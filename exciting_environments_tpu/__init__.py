@@ -1,0 +1,37 @@
+"""exciting-environments-tpu: a TPU-native batched ODE environment engine.
+
+Drop-in capable replacement for ``exciting-environments`` (same environment
+classes, registry ids, wrapper surface and numerical behavior), re-designed
+for TPU: in-house fixed-step ODE solvers, a ``lax.scan`` trajectory engine,
+fused Pallas rollout kernels and ``jax.sharding`` mesh parallelism over the
+batch axis.
+"""
+
+__version__ = "0.1.0"
+
+from exciting_environments_tpu.core import spaces
+from exciting_environments_tpu.core.classic import ClassicODEEnvironment
+from exciting_environments_tpu.core.env import CoreEnvironment
+from exciting_environments_tpu.core.registration import EnvironmentRegistry
+from exciting_environments_tpu.models import (
+    PMSM,
+    Acrobot,
+    CartPole,
+    FluidTank,
+    MassSpringDamper,
+    MotorVariant,
+    Pendulum,
+)
+from exciting_environments_tpu.ops import solvers
+from exciting_environments_tpu.utils import MinMaxNormalization
+from exciting_environments_tpu.wrappers.gym import GymWrapper
+
+
+def __getattr__(name):
+    # MujucoWrapper imports mujoco/mjx lazily so the core package stays usable
+    # on systems without MuJoCo.
+    if name == "MujucoWrapper":
+        from exciting_environments_tpu.wrappers.mujoco import MujucoWrapper
+
+        return MujucoWrapper
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,60 @@
+"""GymWrapper tests (reference ``/root/reference/tests/test_gym_wrapper.py``)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu import EnvironmentRegistry
+
+envs_to_test = list(EnvironmentRegistry)
+
+
+@pytest.mark.parametrize("env_type", envs_to_test)
+def test_step_returns_correct_outputs(env_type):
+    """GymWrapper step must agree with the raw vmap_step observation."""
+    env = env_type.make(batch_size=4)
+    gym_env = excenvs.GymWrapper(env=env)
+
+    action = jnp.ones((env.batch_size, env.action_dim))
+
+    _, state = env.vmap_reset()
+    new_obs, state = env.vmap_step(state, action)
+
+    _ = gym_env.reset()
+    new_obs_gym, reward, terminated, truncated = gym_env.step(action)
+
+    assert jnp.array_equal(new_obs, new_obs_gym)
+    assert reward.shape == (4, 1)
+    assert terminated.shape == (4, 1)
+
+
+@pytest.mark.parametrize("env_type", envs_to_test)
+def test_gym_wrapper_ref_generation(env_type):
+    env = env_type.make(batch_size=4)
+    gym_env = excenvs.GymWrapper(env=env)
+    rng_env = jax.vmap(jax.random.PRNGKey)(jnp.array([0, 1, 2, 3]))
+    rng_ref = jax.vmap(jax.random.PRNGKey)(jnp.array([0, 1, 2, 3]))
+    obs, _ = gym_env.reset(rng_env=rng_env, rng_ref=rng_ref)
+
+    assert gym_env.ref_gen == True
+    assert gym_env.reference_hold_steps.shape == (gym_env.env.batch_size, 1)
+
+
+def test_from_env_factory():
+    gym_env = excenvs.GymWrapper.from_env(EnvironmentRegistry.PENDULUM, batch_size=3)
+    assert gym_env.env.batch_size == 3
+
+
+def test_reference_tracking_loop():
+    """With a control state and reference generation on, the wrapper runs a
+    closed loop and rewards are finite."""
+    env = EnvironmentRegistry.PENDULUM.make(batch_size=4)
+    gym_env = excenvs.GymWrapper(env=env, control_state=["theta"])
+    rng_ref = jax.random.PRNGKey(7)
+    obs, _ = gym_env.reset(rng_ref=rng_ref)
+    assert obs.shape == (4, 3)  # theta, omega, theta_ref
+    for _ in range(5):
+        obs, reward, terminated, truncated = gym_env.step(jnp.zeros((4, 1)))
+    assert jnp.all(jnp.isfinite(reward))
+    assert reward.shape == (4, 1)

@@ -468,6 +468,66 @@ class CoreEnvironment:
         )(init_state, actions, self.env_properties, obs_stepsize, action_stepsize)
         return observations, states, last_state
 
+    @partial(jax.jit, static_argnums=[0, 3])
+    def vmap_rollout(self, init_state, actions, obs_stride: int = 1):
+        """TPU-native multi-step batched rollout (no reference equivalent).
+
+        The reference forces the control loop into user-side Python — one
+        device dispatch per ``vmap_step`` call (``README.md:28-31``).  This
+        method runs the whole action sequence inside a single jitted
+        ``lax.scan``: state stays on-chip for the entire horizon and only the
+        sampled observations are materialized, which removes per-step dispatch
+        overhead entirely and is the intended hot path for RL data generation.
+
+        Unlike :meth:`vmap_sim_ahead` (trajectory ODE solve with frozen
+        solver-time semantics), this is exactly a fused loop of
+        :meth:`vmap_step` — identical numerics to stepping manually.
+
+        Args:
+            init_state: batched initial state (from :meth:`vmap_reset`).
+            actions: normalized actions, shape ``(batch_size, n_steps, action_dim)``.
+            obs_stride: keep every ``obs_stride``-th observation (static).
+                ``n_steps`` must be divisible by it.
+
+        Returns:
+            ``(observations, final_state)`` with observations of shape
+            ``(batch_size, n_steps // obs_stride, obs_dim)``.
+        """
+        assert actions.ndim == 3 and actions.shape[0] == self.batch_size and actions.shape[2] == self.action_dim, (
+            "The actions need shape (batch_size, n_steps, action_dim) = "
+            f"{(self.batch_size, 'T', self.action_dim)}, but {actions.shape} is given"
+        )
+        n_steps = actions.shape[1]
+        assert n_steps % obs_stride == 0, "n_steps must be divisible by obs_stride"
+
+        step_batch = jax.vmap(self.step, in_axes=(0, 0, self.in_axes_env_properties))
+        actions_tm = jnp.swapaxes(actions, 0, 1)  # time-major for scan
+
+        if obs_stride == 1:
+            def body(state, action_t):
+                obs, state = step_batch(state, action_t, self.env_properties)
+                return state, obs
+
+            final_state, obs = jax.lax.scan(body, init_state, actions_tm)
+        else:
+            # nested scan: inner loop advances `obs_stride` steps on-chip and
+            # only the last observation of each chunk is materialized
+            chunked = actions_tm.reshape(n_steps // obs_stride, obs_stride, *actions_tm.shape[1:])
+
+            def inner(carry, action_t):
+                state, _ = carry
+                obs, state = step_batch(state, action_t, self.env_properties)
+                return (state, obs), None
+
+            def body(state, action_chunk):
+                obs0, state = step_batch(state, action_chunk[0], self.env_properties)
+                (state, obs), _ = jax.lax.scan(inner, (state, obs0), action_chunk[1:])
+                return state, obs
+
+            final_state, obs = jax.lax.scan(body, init_state, chunked)
+
+        return jnp.swapaxes(obs, 0, 1), final_state
+
     @partial(jax.jit, static_argnums=0)
     def vmap_generate_rew_trunc_term_ahead(self, states, actions):
         """Batched :meth:`generate_rew_trunc_term_ahead`."""

@@ -1,0 +1,127 @@
+"""Device-mesh batch sharding for environment simulation.
+
+The reference's only parallelism is single-device ``jax.vmap`` over the batch
+axis (``/root/reference/exciting_environments/core_env.py:566,612``); there is
+no distributed backend at all (SURVEY §5).  On TPU the natural extension is
+SPMD over a ``jax.sharding.Mesh``: environment steps are embarrassingly
+parallel across the batch, so the batch axis is laid out over the mesh and
+XLA/GSPMD partitions every step/rollout program with **zero** communication —
+the only collectives are metric reductions
+(:mod:`exciting_environments_tpu.parallel.collectives`) riding ICI.
+
+Usage::
+
+    mesh = make_batch_mesh()                       # 1-D mesh over all chips
+    env = Pendulum(batch_size=65536)
+    senv = ShardedEnv(env, mesh)                   # places properties + states
+    obs, state = senv.vmap_reset()
+    obs, state = senv.vmap_step(state, actions)    # SPMD across the mesh
+
+``ShardedEnv`` wraps (not subclasses) an environment: it device_puts batched
+inputs with a ``P('batch')`` sharding and replicates scalars, then calls the
+untouched functional API — jit propagates the shardings through the whole
+computation, so each chip steps its local slice of environments.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_AXIS = "batch"
+
+
+def make_batch_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
+    """Create a 1-D device mesh over ``devices`` (default: all devices)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated placement."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batched_tree(tree, batch_size: int, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Place a pytree on the mesh: leaves with leading dim == ``batch_size``
+    are split over the batch axis, everything else is replicated.
+
+    This mirrors the vmap in-axes inference rule of the single-chip runtime
+    (reference ``core_env.py:268-272``): per-batch heterogeneous leaves ride
+    with their batch entries, scalars broadcast.
+    """
+    split = batch_sharding(mesh, axis_name)
+    repl = replicated_sharding(mesh)
+
+    def place(leaf):
+        if not isinstance(leaf, jax.Array):
+            # Python scalars stay Python scalars: several environments branch
+            # on them at trace time (e.g. the PMSM deadtime, which selects the
+            # buffer-swap program variant) and jit embeds them as constants —
+            # wrapping them in arrays would turn static structure into traced
+            # values.
+            return leaf
+        if leaf.ndim >= 1 and leaf.shape[0] == batch_size and batch_size % mesh.size == 0:
+            return jax.device_put(leaf, split)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+class ShardedEnv:
+    """Mesh-sharded facade over a :class:`CoreEnvironment`.
+
+    All batched methods accept/return pytrees whose batch-leading leaves are
+    sharded over the mesh.  The wrapped environment is unmodified — the same
+    jitted programs run SPMD because their inputs carry shardings.
+    """
+
+    def __init__(self, env, mesh: Mesh = None, axis_name: str = BATCH_AXIS):
+        if mesh is None:
+            mesh = make_batch_mesh(axis_name=axis_name)
+        if env.batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {env.batch_size} must be divisible by the mesh size {mesh.size}"
+            )
+        self.env = env
+        self.mesh = mesh
+        self.axis_name = axis_name
+        # re-place heterogeneous per-batch properties alongside their batch entries
+        env.env_properties = shard_batched_tree(env.env_properties, env.batch_size, mesh, axis_name)
+
+    # -- placement helpers -------------------------------------------------
+
+    def shard(self, tree):
+        """Shard a batched pytree (state, actions, observations) over the mesh."""
+        return shard_batched_tree(tree, self.env.batch_size, self.mesh, self.axis_name)
+
+    # -- forwarded batched API --------------------------------------------
+
+    def vmap_reset(self, rng=None, initial_state=None):
+        if rng is not None:
+            rng = self.shard(rng)
+        obs, state = self.env.vmap_reset(rng, initial_state)
+        return obs, state
+
+    def vmap_step(self, state, action):
+        return self.env.vmap_step(state, self.shard(action))
+
+    def vmap_sim_ahead(self, init_state, actions, obs_stepsize, action_stepsize):
+        return self.env.vmap_sim_ahead(init_state, self.shard(actions), obs_stepsize, action_stepsize)
+
+    def vmap_rollout(self, init_state, actions, obs_stride: int = 1):
+        return self.env.vmap_rollout(init_state, self.shard(actions), obs_stride)
+
+    def vmap_generate_rew_trunc_term_ahead(self, states, actions):
+        return self.env.vmap_generate_rew_trunc_term_ahead(states, self.shard(actions))
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)

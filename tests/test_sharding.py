@@ -1,0 +1,141 @@
+"""Mesh-sharding equivalence tests on a virtual 8-device CPU mesh.
+
+Proves the SPMD contract: a batch sharded over the mesh produces bit-identical
+results to the single-device run (environment steps are embarrassingly
+parallel, so GSPMD must introduce no communication or reordering).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.parallel import (
+    ShardedEnv,
+    make_batch_mesh,
+    mean_metric,
+    shard_batched_tree,
+    violation_fraction,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return make_batch_mesh()
+
+
+def test_sharded_step_equals_single_device(mesh):
+    batch = 64
+    env = excenvs.Pendulum(batch_size=batch)
+    obs_ref, state_ref = env.vmap_reset()
+    actions = 0.25 * jnp.ones((batch, 1))
+    obs_ref, state_ref = env.vmap_step(state_ref, actions)
+
+    env2 = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env2, mesh)
+    obs_s, state_s = senv.vmap_reset()
+    state_s = senv.shard(state_s)
+    obs_s, state_s = senv.vmap_step(state_s, actions)
+
+    assert obs_s.sharding.is_equivalent_to(senv.shard(obs_ref).sharding, obs_s.ndim)
+    np.testing.assert_array_equal(np.asarray(obs_s), np.asarray(obs_ref))
+
+
+def test_sharded_rollout_equals_single_device(mesh):
+    batch, T = 32, 50
+    actions = jnp.tile(jnp.sin(jnp.linspace(0, 3, T))[None, :, None], (batch, 1, 1)) * 0.5
+
+    env = excenvs.MassSpringDamper(batch_size=batch)
+    _, s0 = env.vmap_reset()
+    obs_ref, last_ref = env.vmap_rollout(s0, actions)
+
+    env2 = excenvs.MassSpringDamper(batch_size=batch)
+    senv = ShardedEnv(env2, mesh)
+    _, s0s = senv.vmap_reset()
+    s0s = senv.shard(s0s)
+    obs_s, last_s = senv.vmap_rollout(s0s, actions)
+
+    np.testing.assert_array_equal(np.asarray(obs_s), np.asarray(obs_ref))
+    np.testing.assert_array_equal(
+        np.asarray(last_s.physical_state.deflection), np.asarray(last_ref.physical_state.deflection)
+    )
+
+
+def test_heterogeneous_properties_shard_with_batch(mesh):
+    """Per-batch parameters (in_axes==0 leaves) must ride with their shard."""
+    batch = 16
+    lengths = jnp.linspace(1.0, 2.0, batch)
+    env = excenvs.Pendulum(batch_size=batch, static_params={"l": lengths, "g": 9.81, "m": 1})
+    ref_obs, ref_state = env.vmap_reset()
+    ref_obs, _ = env.vmap_step(ref_state, 0.5 * jnp.ones((batch, 1)))
+
+    env2 = excenvs.Pendulum(batch_size=batch, static_params={"l": lengths, "g": 9.81, "m": 1})
+    senv = ShardedEnv(env2, mesh)
+    # the per-batch `l` leaf must now be split over the mesh
+    l_sharding = env2.env_properties.static_params.l.sharding
+    assert not l_sharding.is_fully_replicated
+    obs_s, state_s = senv.vmap_reset()
+    obs_s, _ = senv.vmap_step(senv.shard(state_s), 0.5 * jnp.ones((batch, 1)))
+    np.testing.assert_array_equal(np.asarray(obs_s), np.asarray(ref_obs))
+
+
+def test_metric_reduction_over_mesh(mesh):
+    batch = 64
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    obs, state = senv.vmap_reset()
+    state = senv.shard(state)
+    obs, state = senv.vmap_step(state, jnp.zeros((batch, 1)))
+    m = mean_metric(obs)
+    assert m.shape == ()
+    trunc = jax.vmap(env.generate_truncated, in_axes=(0, env.in_axes_env_properties))(
+        state, env.env_properties
+    )
+    frac = violation_fraction(trunc)
+    assert 0.0 <= float(frac) <= 1.0
+
+
+def test_vmap_rollout_matches_step_loop():
+    batch, T = 8, 20
+    env = excenvs.CartPole(batch_size=batch)
+    _, s0 = env.vmap_reset()
+    actions = 0.3 * jnp.ones((batch, T, 1))
+
+    obs_roll, last_roll = env.vmap_rollout(s0, actions)
+
+    state = s0
+    obs_seq = []
+    for t in range(T):
+        o, state = env.vmap_step(state, actions[:, t])
+        obs_seq.append(o)
+    np.testing.assert_array_equal(np.asarray(obs_roll), np.stack([np.asarray(o) for o in obs_seq], axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(last_roll.physical_state.theta), np.asarray(state.physical_state.theta)
+    )
+
+
+def test_vmap_rollout_obs_stride():
+    batch, T = 4, 12
+    env = excenvs.Pendulum(batch_size=batch)
+    _, s0 = env.vmap_reset()
+    actions = 0.1 * jnp.ones((batch, T, 1))
+    obs_full, last_full = env.vmap_rollout(s0, actions)
+    obs_strided, last_strided = env.vmap_rollout(s0, actions, 3)
+    assert obs_strided.shape == (batch, T // 3, obs_full.shape[-1])
+    np.testing.assert_array_equal(np.asarray(obs_strided), np.asarray(obs_full[:, 2::3]))
+    np.testing.assert_array_equal(
+        np.asarray(last_strided.physical_state.theta), np.asarray(last_full.physical_state.theta)
+    )
+
+
+def test_shard_batched_tree_rules(mesh):
+    tree = {
+        "batched": jnp.ones((16, 3)),
+        "scalar": 2.0,
+        "small": jnp.ones((4,)),
+    }
+    placed = shard_batched_tree(tree, 16, mesh)
+    assert not placed["batched"].sharding.is_fully_replicated
+    assert placed["small"].sharding.is_fully_replicated

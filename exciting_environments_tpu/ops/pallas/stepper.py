@@ -1,0 +1,247 @@
+"""Fused Pallas TPU rollout kernel: an entire multi-step environment rollout
+inside one kernel launch.
+
+Motivation (SURVEY §7.7): the XLA ``lax.scan`` rollout
+(:meth:`CoreEnvironment.vmap_rollout`) already removes per-step dispatch, but
+every scan iteration still round-trips the state through HBM with generic
+layouts.  This kernel keeps the *entire state resident in VMEM* for the whole
+horizon: the batch is tiled over the grid, each program instance loads its
+action slab once, then runs ``n_steps`` solver steps on (8, 128)-tiled
+values with zero HBM traffic for the state.  For small-state environments
+(pendulum: 2 floats/env) this is bandwidth-optimal — the only unavoidable
+traffic is streaming the actions.
+
+Scope: the classic ODE environments (elementwise vector fields, scalar
+static parameters) with carry-free explicit solvers (Euler, Heun, Midpoint,
+RK4) — step semantics are then identical to repeated ``vmap_step`` calls.
+FSAL solvers, per-batch heterogeneous parameters and the PMSM (LUT gathers,
+deadtime buffers) transparently fall back to the XLA scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from exciting_environments_tpu.core.env import CoreEnvironment
+from exciting_environments_tpu.ops.solvers import ExplicitRungeKutta
+
+# one batch tile = (SUBLANES, LANES) = 1024 environments (f32 native tiling)
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES
+
+
+class _IndexableAction:
+    """Adapter so env ODEs can index the action (``action(t)[dim]``) while the
+    kernel holds one (8, 128) tile per action dimension."""
+
+    def __init__(self, leaves):
+        self._leaves = leaves
+
+    def __getitem__(self, i):
+        return self._leaves[i]
+
+
+def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
+    """One explicit RK step on a tuple of (8, 128) tiles.
+
+    Coefficient handling mirrors ``solvers._weighted_increment`` (skip zero
+    terms, no multiply for unit coefficients) so Euler is exactly
+    ``y + tau * f`` — bit-identical to the XLA step path.
+    """
+
+    def lincomb(yl, ks_for_leaf, coeffs):
+        acc = None
+        for c, k in zip(coeffs, ks_for_leaf):
+            if c == 0.0:
+                continue
+            term = k if c == 1.0 else c * k
+            acc = term if acc is None else acc + term
+        return yl if acc is None else yl + tau * acc
+
+    ks = [ode(t, y, action)]
+    for row, c in zip(solver.a, solver.c[1:]):
+        ti = t if c == 0.0 else t + c * tau
+        yi = tuple(
+            lincomb(yl, [k[j] for k in ks], row) for j, yl in enumerate(y)
+        )
+        ks.append(ode(ti, yi, action))
+    return tuple(lincomb(yl, [k[j] for k in ks], solver.b) for j, yl in enumerate(y))
+
+
+def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn):
+    """Kernel body over refs ``(actions, *state_in, *state_out)``."""
+
+    def kernel(actions_ref, *refs):
+        in_refs = refs[:n_state]
+        out_refs = refs[n_state:]
+
+        def body(step, y):
+            action = _IndexableAction(tuple(actions_ref[step, a] for a in range(n_action)))
+            y1 = _rk_step(ode, solver, y, action, tau, step * tau)
+            y1 = tuple(
+                ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi if wrap else leaf
+                for leaf, wrap in zip(y1, wrap_flags)
+            )
+            if clip_fn is not None:
+                y1 = clip_fn(y1)
+            return y1
+
+        y = tuple(ref[:] for ref in in_refs)
+        y = jax.lax.fori_loop(0, n_steps, body, y)
+        for ref, leaf in zip(out_refs, y):
+            ref[:] = leaf
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "interpret"),
+)
+def fused_rollout(
+    ode,
+    solver: ExplicitRungeKutta,
+    y0: tuple,
+    actions,
+    n_steps: int,
+    tau: float,
+    wrap_flags: tuple,
+    clip_fn=None,
+    interpret: bool = False,
+):
+    """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
+
+    Args:
+        ode: ``ode(t, y_tuple, indexable_action) -> dy_tuple``, elementwise on
+            (8, 128) tiles; static parameters closed over as Python scalars.
+        solver: carry-free :class:`ExplicitRungeKutta` (tableau baked into
+            the kernel).
+        y0: tuple of ``(B,)`` state arrays, ``B % 1024 == 0``.
+        actions: physical (denormalized) actions, shape ``(B, n_steps, A)``.
+        n_steps: number of control steps (static).
+        tau: step duration (static).
+        wrap_flags: per-leaf flags — wrap into (-pi, pi] after each step.
+        clip_fn: optional post-step saturation on the state tuple.
+        interpret: Pallas interpreter mode (for CPU testing).
+
+    Returns:
+        tuple of ``(B,)`` final state arrays.
+    """
+    batch = y0[0].shape[0]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if solver.fsal:
+        raise ValueError("fused_rollout supports carry-free solvers only")
+    n_state = len(y0)
+    n_action = actions.shape[-1]
+    n_tiles = batch // TILE
+
+    # batch laid out as (rows, 128); actions time-major (T, A, rows, 128)
+    y0_tiled = tuple(leaf.reshape(batch // LANES, LANES) for leaf in y0)
+    actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(
+        n_steps, n_action, batch // LANES, LANES
+    )
+
+    kernel = _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn)
+
+    def state_block():
+        return pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (n_steps, n_action, SUBLANES, LANES),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [state_block() for _ in range(n_state)],
+        out_specs=[state_block() for _ in range(n_state)],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch // LANES, LANES), y0_tiled[0].dtype) for _ in range(n_state)
+        ],
+        interpret=interpret,
+    )(actions_tiled, *y0_tiled)
+
+    return tuple(o.reshape(batch) for o in out)
+
+
+def supports_fused_rollout(env) -> bool:
+    """Whether ``env`` is inside the fused kernel's scope."""
+    param_leaves = jax.tree_util.tree_leaves(env.env_properties.static_params)
+    return (
+        all(np.isscalar(leaf) for leaf in param_leaves)
+        and len(env._ode_state_fields) == env.physical_state_dim
+        and env.batch_size % TILE == 0
+        and isinstance(env._solver, ExplicitRungeKutta)
+        and not env._solver.fsal
+    )
+
+
+def env_fused_rollout(env, init_state, actions_norm, interpret: bool = False):
+    """Environment-level fused rollout: normalized actions in, final
+    ``(obs, state)`` out — numerically identical to
+    ``vmap_rollout(..., obs_stride=n_steps)``'s last step for in-scope envs;
+    transparently falls back to the XLA scan path otherwise.
+    """
+    n_steps = actions_norm.shape[1]
+    if not supports_fused_rollout(env):
+        obs, last_state = env.vmap_rollout(init_state, actions_norm, n_steps)
+        return obs[:, -1], last_state
+
+    params = env.env_properties.static_params
+
+    # denormalize once — a cheap XLA pre-pass over the (B, T, A) slab
+    actions = jax.vmap(
+        jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
+    )(actions_norm, env.env_properties)
+
+    # the tile ODE is cached on the env so the jitted kernel is reused across
+    # calls (a fresh closure per call would miss the jit cache every time)
+    tile_ode = env.__dict__.get("_fused_tile_ode")
+    if tile_ode is None:
+
+        def tile_ode(t, y, action):
+            return env._ode(t, y, params, lambda _t: action)
+
+        env.__dict__["_fused_tile_ode"] = tile_ode
+
+    y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
+    wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
+    clip_fn = env._clip_state if type(env)._clip_state is not CoreEnvironment._clip_state else None
+
+    y_final = fused_rollout(
+        tile_ode,
+        env._solver,
+        y0,
+        actions,
+        n_steps,
+        env.tau,
+        wrap_flags,
+        clip_fn=clip_fn,
+        interpret=interpret,
+    )
+
+    from exciting_environments_tpu.core import structures
+
+    final_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
+        additions=env.Additions(
+            solver_state=None,  # carry-free solvers only (checked above)
+            active_solver_state=jnp.full(env.batch_size, True),
+        ),
+    )
+    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        final_state, env.env_properties
+    )
+    return obs, final_state

@@ -1,0 +1,102 @@
+"""MujucoWrapper tests (the reference ships this wrapper untested; here it
+gets coverage: normalization synthesis, NaN gating, batched stepping)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from exciting_environments_tpu.utils import MinMaxNormalization
+from exciting_environments_tpu.wrappers.mujoco import (
+    MJX_AVAILABLE,
+    MujucoWrapper,
+    dict_to_pytree_dataclass,
+)
+
+# hinge pendulum with limited joint + limited motor: all normalizations derivable
+PENDULUM_XML = """
+<mujoco>
+  <compiler angle="radian"/>
+  <option timestep="0.01"/>
+  <worldbody>
+    <body name="pole" pos="0 0 1">
+      <joint name="hinge" type="hinge" axis="0 1 0" limited="true" range="-1.5 1.5"/>
+      <geom type="capsule" size="0.04" fromto="0 0 0 0 0 0.5" mass="1"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor name="torque" joint="hinge" ctrllimited="true" ctrlrange="-2 2"/>
+  </actuator>
+</mujoco>
+"""
+
+
+@pytest.fixture(scope="module")
+def model():
+    return mujoco.MjModel.from_xml_string(PENDULUM_XML)
+
+
+needs_mjx = pytest.mark.skipif(not MJX_AVAILABLE, reason="mujoco-mjx not installed")
+
+
+@pytest.fixture(scope="module")
+def wrapper(model):
+    if not MJX_AVAILABLE:
+        pytest.skip("mujoco-mjx not installed")
+    qvel = {"hinge_angular_velocity": MinMaxNormalization(min=-10.0, max=10.0)}
+    qvel_dc, _ = dict_to_pytree_dataclass("qvel", qvel)
+    base = MujucoWrapper.__new__(MujucoWrapper)
+    phys = base.generate_physical_normalization_dataclasses.__get__(base)(model)
+    # qpos limits come from the model; qvel needs filling
+    phys = MujucoWrapper.PhysicalNormalizations(qpos=phys.qpos, qvel=qvel_dc)
+    return MujucoWrapper(model, physical_normalizations=phys, batch_size=4)
+
+
+def test_normalization_synthesis(model):
+    base = MujucoWrapper.__new__(MujucoWrapper)
+    phys = base.generate_physical_normalization_dataclasses.__get__(base)(model)
+    assert phys.qpos.hinge_angle.min == -1.5 and phys.qpos.hinge_angle.max == 1.5
+    assert bool(jnp.isnan(phys.qvel.hinge_angular_velocity.min))
+    act = base.generate_action_normalization_dataclasses.__get__(base)(model)
+    assert act.torque.min == -2 and act.torque.max == 2
+
+
+def test_nan_gate(model):
+    """Construction must fail fast: missing mjx -> ImportError; otherwise
+    missing qvel normalizations -> ValueError."""
+    if not MJX_AVAILABLE:
+        with pytest.raises(ImportError, match="mujoco-mjx"):
+            MujucoWrapper(model, batch_size=2)
+    else:
+        with pytest.raises(ValueError, match="physical_normalizations"):
+            MujucoWrapper(model, batch_size=2)
+
+
+def test_reset_and_step_shapes(wrapper):
+    obs, state = wrapper.vmap_reset()
+    assert obs.shape == (4, wrapper.qpos_dim + wrapper.qvel_dim)
+    obs2, state = wrapper.vmap_step(state, 0.5 * jnp.ones((4, wrapper.action_dim)))
+    assert obs2.shape == obs.shape
+    assert bool(jnp.isfinite(obs2).all())
+
+
+def test_dynamics_respond_to_torque(wrapper):
+    _, state = wrapper.vmap_reset()
+    for _ in range(5):
+        obs_pos, state = wrapper.vmap_step(state, jnp.ones((4, 1)))
+    _, state2 = wrapper.vmap_reset()
+    for _ in range(5):
+        obs_neg, state2 = wrapper.vmap_step(state2, -jnp.ones((4, 1)))
+    assert not np.allclose(np.asarray(obs_pos), np.asarray(obs_neg)), (
+        "opposite torques must produce different trajectories"
+    )
+
+
+def test_single_step_matches_vmap_entry(wrapper):
+    _, state = wrapper.vmap_reset()
+    single = jax.tree_util.tree_map(lambda x: x[0], state)
+    obs_single, _ = wrapper.step(single, 0.3 * jnp.ones((1,)), wrapper.env_properties)
+    obs_batch, _ = wrapper.vmap_step(state, 0.3 * jnp.ones((4, 1)))
+    np.testing.assert_allclose(np.asarray(obs_single), np.asarray(obs_batch[0]), rtol=1e-12)

@@ -1,0 +1,98 @@
+"""Fused Pallas rollout kernel tests (interpreter mode on CPU).
+
+The kernel must be numerically identical to the XLA scan path
+(``vmap_rollout``) for in-scope environments/solvers, and the env-level
+wrapper must transparently fall back otherwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.pallas.stepper import (
+    TILE,
+    env_fused_rollout,
+    fused_rollout,
+    supports_fused_rollout,
+)
+from exciting_environments_tpu.ops.solvers import RK4, Euler, Tsit5
+
+BATCH = TILE  # one tile: 1024 environments
+T = 16
+
+
+def _rollout_pair(env_cls, solver, **kwargs):
+    env = env_cls(batch_size=BATCH, solver=solver, **kwargs)
+    key = jax.random.PRNGKey(0)
+    _, state = env.vmap_reset(jax.random.split(key, BATCH))
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(1), (BATCH, T, env.action_dim), minval=-0.9, maxval=0.9
+    )
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_fused, last_fused = env_fused_rollout(env, state, actions, interpret=True)
+    return env, obs_ref[:, -1], last_ref, obs_fused, last_fused
+
+
+@pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.MassSpringDamper, excenvs.CartPole])
+def test_fused_matches_scan_euler(env_cls):
+    env, obs_ref, last_ref, obs_fused, last_fused = _rollout_pair(env_cls, Euler())
+    assert supports_fused_rollout(env)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-12, atol=1e-12)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_fused.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+def test_fused_matches_scan_rk4():
+    env, obs_ref, last_ref, obs_fused, last_fused = _rollout_pair(excenvs.Pendulum, RK4())
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+
+
+def test_fused_clip_fluid_tank():
+    """The fluid tank's post-step clip must be applied inside the kernel."""
+    env = excenvs.FluidTank(batch_size=BATCH)
+    _, state = env.vmap_reset()
+    # full drain: zero inflow keeps clipping the height at 0
+    actions = -jnp.ones((BATCH, T, 1))
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_fused, last_fused = env_fused_rollout(env, state, actions, interpret=True)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref[:, -1]), rtol=1e-12)
+    assert float(jnp.min(last_fused.physical_state.height)) >= 0.0
+
+
+def test_fallback_fsal_solver():
+    """Tsit5 (FSAL) is out of kernel scope -> falls back to the scan path."""
+    env = excenvs.Pendulum(batch_size=BATCH, solver=Tsit5())
+    assert not supports_fused_rollout(env)
+    _, state = env.vmap_reset()
+    actions = 0.2 * jnp.ones((BATCH, T, 1))
+    obs, last = env_fused_rollout(env, state, actions, interpret=True)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref[:, -1]))
+
+
+def test_fallback_heterogeneous_params():
+    env = excenvs.Pendulum(
+        batch_size=BATCH, static_params={"l": jnp.ones(BATCH) * 2, "g": 9.81, "m": 1}
+    )
+    assert not supports_fused_rollout(env)
+
+
+def test_fused_raw_api_bad_batch():
+    with pytest.raises(ValueError, match="multiple"):
+        fused_rollout(
+            lambda t, y, a: y,
+            Euler(),
+            (jnp.ones(100),),
+            jnp.ones((100, 4, 1)),
+            4,
+            1e-3,
+            (False,),
+            interpret=True,
+        )

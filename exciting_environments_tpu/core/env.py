@@ -162,6 +162,21 @@ class CoreEnvironment:
                 f"State needs to consist of jnp.array, tuple, float or bool, but {type(x)} is given."
             )
 
+    def _tile_time(self, x, n):
+        """Broadcast a (possibly non-scalar, e.g. PRNG key) leaf to a leading
+        time axis of length ``n``.  Unlike ``repeat_values`` this handles
+        arbitrary leaf shapes — the reference's ``jnp.full`` equivalent breaks
+        for keyed states (``pendulum_env.py:253``)."""
+        x = jnp.asarray(x)
+        return jnp.broadcast_to(x, (n,) + x.shape)
+
+    @staticmethod
+    def _index_time(states, idx):
+        """Per-leaf time indexing of a time-major ``State`` pytree (replaces
+        the reference's ragged-unsafe ``jnp.array(tree_flatten(...))`` stacking,
+        ``core_env.py:485-486``)."""
+        return jax.tree_util.tree_map(lambda leaf: leaf[idx], states)
+
     # ------------------------------------------------------------------
     # normalization (reference core_env.py:292-359)
     # ------------------------------------------------------------------
@@ -290,7 +305,7 @@ class CoreEnvironment:
         )
         return self.State(
             physical_state=physical_states,
-            PRNGKey=jnp.full(obs_len, init_state.PRNGKey),
+            PRNGKey=self._tile_time(init_state.PRNGKey, obs_len),
             additions=additions,
             reference=reference,
         )
@@ -377,15 +392,14 @@ class CoreEnvironment:
         )
 
         actions = jax.vmap(self.denormalize_action, in_axes=(0, None))(actions, env_properties)
-        single_state_struct = tree_structure(init_state)
 
         states = self._ode_solver_simulate_ahead(
             init_state, actions, env_properties.static_params, obs_stepsize, action_stepsize
         )
         observations = jax.vmap(self.generate_observation, in_axes=(0, None))(states, env_properties)
 
-        states_flatten, _ = tree_flatten(states)
-        last_state = tree_unflatten(single_state_struct, jnp.array(states_flatten)[:, -1])
+        # per-leaf time indexing preserves the single-state tree structure
+        last_state = self._index_time(states, -1)
         return observations, states, last_state
 
     @partial(jax.jit, static_argnums=0)
@@ -399,16 +413,13 @@ class CoreEnvironment:
         )
         actions = jax.vmap(self.denormalize_action, in_axes=(0, None))(actions, env_properties)
 
-        states_flatten, struct = tree_flatten(states)
-        states_without_init_state = tree_unflatten(struct, jnp.array(states_flatten)[:, 1:])
+        obs_len = jax.tree_util.tree_leaves(states)[0].shape[0]
+        states_without_init_state = self._index_time(states, slice(1, None))
 
         reward = jax.vmap(self.generate_reward, in_axes=(0, 0, None))(
             states_without_init_state,
             jnp.expand_dims(
-                jnp.repeat(
-                    actions,
-                    int((jnp.array(states_flatten).shape[1] - 1) / actions.shape[0]),
-                ),
+                jnp.repeat(actions, int((obs_len - 1) / actions.shape[0])),
                 1,
             ),
             env_properties,

@@ -452,7 +452,7 @@ class PMSM(CoreEnvironment):
         )
         return self.State(
             physical_state=phys,
-            PRNGKey=jnp.full(obs_len, init_state.PRNGKey),
+            PRNGKey=self._tile_time(init_state.PRNGKey, obs_len),
             additions=additions,
             reference=ref,
         )
@@ -499,7 +499,7 @@ class PMSM(CoreEnvironment):
             for field in fields(states.additions):
                 name = field.name
                 setattr(states.additions, name, self.repeat_values(getattr(states.additions, name), act_len))
-            states.PRNGKey = jnp.full(act_len, init_state.PRNGKey)
+            states.PRNGKey = self._tile_time(init_state.PRNGKey, act_len)
 
         actions = jax.vmap(self.constraint_denormalization, in_axes=(0, 0, None))(
             actions, states, env_properties
@@ -524,7 +524,6 @@ class PMSM(CoreEnvironment):
             axis=0,
         )
         actions_dead = jnp.vstack([acts_buf, actions[: (actions.shape[0] - deadtime), :]])
-        single_state_struct = tree_structure(init_state)
 
         states = self._ode_solver_simulate_ahead(
             init_state, actions_dead, env_properties, obs_stepsize, action_stepsize
@@ -540,8 +539,8 @@ class PMSM(CoreEnvironment):
 
         observations = jax.vmap(self.generate_observation, in_axes=(0, None))(states, env_properties)
 
-        states_flatten, _ = tree_flatten(states)
-        last_state = tree_unflatten(single_state_struct, jnp.array(states_flatten)[:, -1])
+        # per-leaf time indexing so the simulation can continue from the end point
+        last_state = self._index_time(states, -1)
         return observations, states, last_state
 
     def generate_rew_trunc_term_ahead(self, states, actions, env_properties):
@@ -554,9 +553,9 @@ class PMSM(CoreEnvironment):
         )
         deadtime = env_properties.static_params.deadtime
 
-        states_flatten, struct = tree_flatten(states)
-        states_without_init_state = tree_unflatten(struct, jnp.array(states_flatten)[:, 1:])
-        states_without_last_state = tree_unflatten(struct, jnp.array(states_flatten)[:, :-1])
+        obs_len = jax.tree_util.tree_leaves(states)[0].shape[0]
+        states_without_init_state = self._index_time(states, slice(1, None))
+        states_without_last_state = self._index_time(states, slice(None, -1))
 
         actions = jax.vmap(self.constraint_denormalization, in_axes=(0, 0, None))(
             actions, states_without_last_state, env_properties
@@ -579,7 +578,7 @@ class PMSM(CoreEnvironment):
             jnp.expand_dims(
                 jnp.repeat(
                     actions_dead,
-                    int((jnp.array(states_flatten).shape[1] - 1) / actions_dead.shape[0]),
+                    int((obs_len - 1) / actions_dead.shape[0]),
                     axis=0,
                 ),
                 1,

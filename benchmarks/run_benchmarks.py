@@ -1,0 +1,200 @@
+"""Benchmark suite reproducing the BASELINE.md measurement configs.
+
+Prints one JSON line per config:
+  {"metric": ..., "value": ..., "unit": "env-steps/s", ...}
+
+Configs (BASELINE.json):
+  1. Pendulum, batch=5, Euler, tau=2e-2, 1000-step torque sweep (README loop)
+     -- measured both as the reference-style Python step loop (dispatch
+     bound) and as the fused vmap_rollout.
+  2. Mass-spring-damper, batch=16384, Euler (pure stepper throughput).
+  3. CartPole + Acrobot, Tsit5 via vmap_sim_ahead.
+  4. FluidTank, batch=65536, long-horizon sim_ahead.
+  5. PMSM (linear + saturated BRUSA LUT), batch=65536, vmap_rollout;
+     mesh-sharded when multiple devices are visible.
+
+Every timed result is validated by a host readback of a reduced scalar
+(guards against asynchronous backend failures).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow running as `python benchmarks/run_benchmarks.py` from a source checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _validate_finite(tree, name):
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    m = float(jnp.mean(jnp.asarray(leaf)))
+    if not jnp.isfinite(m):
+        raise RuntimeError(f"{name}: non-finite result (mean={m})")
+
+
+def timed(name, fn, n_env_steps, repeats=3, validate=None):
+    out = fn()
+    jax.block_until_ready(out)
+    _validate_finite(validate if validate is not None else out, name)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    _validate_finite(validate if validate is not None else out, name)
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": n_env_steps / best,
+                "unit": "env-steps/s",
+                "seconds": best,
+            }
+        ),
+        flush=True,
+    )
+    return n_env_steps / best
+
+
+def bench_pendulum_readme_loop():
+    import exciting_environments_tpu as excenvs
+
+    env = excenvs.Pendulum(batch_size=5, tau=2e-2)
+    _, state0 = env.vmap_reset()
+    action = 0.3 * jnp.ones((5, 1))
+
+    def loop():
+        state = state0
+        obs = None
+        for _ in range(1000):
+            obs, state = env.vmap_step(state, action)
+        return obs
+
+    timed("pendulum_b5_readme_python_loop_1000steps", loop, 5 * 1000, repeats=1)
+
+    actions = jnp.broadcast_to(action[:, None, :], (5, 1000, 1))
+    timed(
+        "pendulum_b5_vmap_rollout_1000steps",
+        lambda: env.vmap_rollout(state0, actions, 1000)[1],
+        5 * 1000,
+    )
+
+
+def bench_msd_stepper():
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
+
+    B, T = 16384, 1024
+    env = excenvs.MassSpringDamper(batch_size=B)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1), minval=-1, maxval=1)
+    timed(
+        "msd_b16384_vmap_rollout",
+        lambda: env.vmap_rollout(state, actions, T)[1],
+        B * T,
+    )
+    if supports_fused_rollout(env) and jax.default_backend() != "cpu":
+        timed(
+            "msd_b16384_pallas_fused",
+            lambda: env_fused_rollout(env, state, actions)[1],
+            B * T,
+        )
+
+
+def bench_tsit5_sim_ahead():
+    import exciting_environments_tpu as excenvs
+
+    for cls, name in [(excenvs.CartPole, "cartpole"), (excenvs.Acrobot, "acrobot")]:
+        B, T = 4096, 256
+        env = cls(batch_size=B, solver="tsit5")
+        _, state = env.vmap_reset()
+        actions = 0.3 * jnp.ones((B, T, env.action_dim))
+        timed(
+            f"{name}_b4096_tsit5_sim_ahead",
+            lambda env=env, state=state, actions=actions: env.vmap_sim_ahead(
+                state, actions, env.tau, env.tau
+            )[2],
+            B * T,
+        )
+
+
+def bench_fluid_tank_long_horizon():
+    import exciting_environments_tpu as excenvs
+
+    B, T = 65536, 2048
+    env = excenvs.FluidTank(batch_size=B)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), B))
+    actions = 0.8 * jnp.ones((B, T, 1))
+    timed(
+        "fluid_tank_b65536_rollout_2048steps",
+        lambda: env.vmap_rollout(state, actions, T)[1],
+        B * T,
+    )
+
+
+def bench_pmsm(batch=65536, steps=512):
+    import exciting_environments_tpu as excenvs
+
+    for saturated, variant, name in [
+        (False, excenvs.MotorVariant.DEFAULT, "pmsm_linear"),
+        (True, excenvs.MotorVariant.BRUSA, "pmsm_saturated_brusa"),
+    ]:
+        env = excenvs.PMSM(batch_size=batch, saturated=saturated, motor_variant=variant)
+        _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), batch))
+        actions = 0.2 * jnp.ones((batch, steps, 2))
+        timed(
+            f"{name}_b{batch}_rollout_{steps}steps",
+            lambda env=env, state=state, actions=actions: env.vmap_rollout(state, actions, steps)[1],
+            batch * steps,
+        )
+
+
+def bench_pendulum_headline(batch=65536, steps=1024):
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    env = excenvs.Pendulum(batch_size=batch, tau=1e-4)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, steps, 1), minval=-1, maxval=1)
+    timed(
+        "pendulum_b65536_vmap_rollout",
+        lambda: env.vmap_rollout(state, actions, steps)[1],
+        batch * steps,
+    )
+    if jax.default_backend() != "cpu":  # compiled Pallas needs real TPU
+        timed(
+            "pendulum_b65536_pallas_fused",
+            lambda: env_fused_rollout(env, state, actions)[1],
+            batch * steps,
+        )
+
+
+ALL = {
+    "pendulum_readme": bench_pendulum_readme_loop,
+    "headline": bench_pendulum_headline,
+    "msd": bench_msd_stepper,
+    "tsit5": bench_tsit5_sim_ahead,
+    "fluid_tank": bench_fluid_tank_long_horizon,
+    "pmsm": bench_pmsm,
+}
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--only", nargs="*", choices=sorted(ALL), default=None)
+    args = parser.parse_args()
+    for key, fn in ALL.items():
+        if args.only and key not in args.only:
+            continue
+        try:
+            fn()
+        except Exception as e:  # keep going; a flaky backend shouldn't kill the suite
+            print(json.dumps({"metric": key, "error": f"{type(e).__name__}: {e}"[:200]}), flush=True)

@@ -42,8 +42,15 @@ def pytree_dataclass(cls=None, **kwargs):
         field_names = tuple(f.name for f in dataclasses.fields(c))
 
         def flatten_with_keys(obj):
+            # DictKey (not GetAttrKey): key strings then render as
+            # result['physical_state']['theta'] instead of
+            # result.physical_state.theta in the lowered module's
+            # jax.result_info metadata.  The axon TPU remote-compile service
+            # rejects dotted result names with a runtime UNIMPLEMENTED error,
+            # while bracketed names work; semantically both address the same
+            # dataclass field.
             children = tuple(
-                (jax.tree_util.GetAttrKey(name), getattr(obj, name)) for name in field_names
+                (jax.tree_util.DictKey(name), getattr(obj, name)) for name in field_names
             )
             return children, None
 

@@ -75,12 +75,18 @@ def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
     return tuple(lincomb(yl, [k[j] for k in ks], solver.b) for j, yl in enumerate(y))
 
 
-def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn):
-    """Kernel body over refs ``(actions, *state_in, *state_out)``."""
+def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride):
+    """Kernel body over refs ``(actions, *state_in, *final_out[, *traj_out])``.
+
+    With ``traj_stride`` set, every ``traj_stride``-th post-step state is also
+    written to per-leaf trajectory outputs of shape
+    ``(n_steps // traj_stride, 8, 128)``.
+    """
 
     def kernel(actions_ref, *refs):
         in_refs = refs[:n_state]
-        out_refs = refs[n_state:]
+        final_refs = refs[n_state : 2 * n_state]
+        traj_refs = refs[2 * n_state :]
 
         def body(step, y):
             action = _IndexableAction(tuple(actions_ref[step, a] for a in range(n_action)))
@@ -91,11 +97,19 @@ def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_
             )
             if clip_fn is not None:
                 y1 = clip_fn(y1)
+            if traj_stride is not None:
+
+                @pl.when((step + 1) % traj_stride == 0)
+                def _():
+                    slot = (step + 1) // traj_stride - 1
+                    for ref, leaf in zip(traj_refs, y1):
+                        ref[slot] = leaf
+
             return y1
 
         y = tuple(ref[:] for ref in in_refs)
         y = jax.lax.fori_loop(0, n_steps, body, y)
-        for ref, leaf in zip(out_refs, y):
+        for ref, leaf in zip(final_refs, y):
             ref[:] = leaf
 
     return kernel
@@ -103,7 +117,7 @@ def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "interpret"),
+    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "interpret"),
 )
 def fused_rollout(
     ode,
@@ -114,6 +128,7 @@ def fused_rollout(
     tau: float,
     wrap_flags: tuple,
     clip_fn=None,
+    traj_stride: int = None,
     interpret: bool = False,
 ):
     """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
@@ -129,16 +144,23 @@ def fused_rollout(
         tau: step duration (static).
         wrap_flags: per-leaf flags — wrap into (-pi, pi] after each step.
         clip_fn: optional post-step saturation on the state tuple.
+        traj_stride: if set, additionally return every ``traj_stride``-th
+            post-step state, shape ``(B, n_steps // traj_stride)`` per leaf
+            (static; must divide ``n_steps``).
         interpret: Pallas interpreter mode (for CPU testing).
 
     Returns:
-        tuple of ``(B,)`` final state arrays.
+        tuple of ``(B,)`` final state arrays; with ``traj_stride`` set, a pair
+        ``(final_tuple, traj_tuple)`` where each trajectory leaf has shape
+        ``(B, n_steps // traj_stride)``.
     """
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     if solver.fsal:
         raise ValueError("fused_rollout supports carry-free solvers only")
+    if traj_stride is not None and n_steps % traj_stride != 0:
+        raise ValueError("n_steps must be divisible by traj_stride")
     n_state = len(y0)
     n_action = actions.shape[-1]
     n_tiles = batch // TILE
@@ -149,10 +171,25 @@ def fused_rollout(
         n_steps, n_action, batch // LANES, LANES
     )
 
-    kernel = _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn)
+    kernel = _make_kernel(
+        ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride
+    )
 
     def state_block():
         return pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    dtype = y0_tiled[0].dtype
+    out_specs = [state_block() for _ in range(n_state)]
+    out_shape = [jax.ShapeDtypeStruct((batch // LANES, LANES), dtype) for _ in range(n_state)]
+    if traj_stride is not None:
+        n_saves = n_steps // traj_stride
+        out_specs += [
+            pl.BlockSpec((n_saves, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            for _ in range(n_state)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_saves, batch // LANES, LANES), dtype) for _ in range(n_state)
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -165,14 +202,19 @@ def fused_rollout(
             )
         ]
         + [state_block() for _ in range(n_state)],
-        out_specs=[state_block() for _ in range(n_state)],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch // LANES, LANES), y0_tiled[0].dtype) for _ in range(n_state)
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(actions_tiled, *y0_tiled)
 
-    return tuple(o.reshape(batch) for o in out)
+    final = tuple(o.reshape(batch) for o in out[:n_state])
+    if traj_stride is None:
+        return final
+    n_saves = n_steps // traj_stride
+    traj = tuple(
+        jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in out[n_state:]
+    )
+    return final, traj
 
 
 def supports_fused_rollout(env) -> bool:
@@ -187,16 +229,23 @@ def supports_fused_rollout(env) -> bool:
     )
 
 
-def env_fused_rollout(env, init_state, actions_norm, interpret: bool = False):
-    """Environment-level fused rollout: normalized actions in, final
-    ``(obs, state)`` out — numerically identical to
-    ``vmap_rollout(..., obs_stride=n_steps)``'s last step for in-scope envs;
+def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, interpret: bool = False):
+    """Environment-level fused rollout: normalized actions in, ``(obs, state)``
+    out — numerically identical to the scan path for in-scope envs (final
+    physical states bit-exact; observations may differ by 1 ulp in float32
+    because the normalization fuses into a different XLA program);
     transparently falls back to the XLA scan path otherwise.
+
+    With ``obs_stride`` set, every ``obs_stride``-th observation is returned,
+    shape ``(B, n_steps // obs_stride, obs_dim)``; otherwise only the final
+    observation ``(B, obs_dim)``.
     """
     n_steps = actions_norm.shape[1]
     if not supports_fused_rollout(env):
-        obs, last_state = env.vmap_rollout(init_state, actions_norm, n_steps)
-        return obs[:, -1], last_state
+        obs, last_state = env.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
+        if obs_stride is None:
+            obs = obs[:, -1]
+        return obs, last_state
 
     params = env.env_properties.static_params
 
@@ -219,7 +268,7 @@ def env_fused_rollout(env, init_state, actions_norm, interpret: bool = False):
     wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
     clip_fn = env._clip_state if type(env)._clip_state is not CoreEnvironment._clip_state else None
 
-    y_final = fused_rollout(
+    result = fused_rollout(
         tile_ode,
         env._solver,
         y0,
@@ -228,8 +277,10 @@ def env_fused_rollout(env, init_state, actions_norm, interpret: bool = False):
         env.tau,
         wrap_flags,
         clip_fn=clip_fn,
+        traj_stride=obs_stride,
         interpret=interpret,
     )
+    y_final, y_traj = result if obs_stride is not None else (result, None)
 
     from exciting_environments_tpu.core import structures
 
@@ -241,7 +292,33 @@ def env_fused_rollout(env, init_state, actions_norm, interpret: bool = False):
             active_solver_state=jnp.full(env.batch_size, True),
         ),
     )
-    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-        final_state, env.env_properties
+    if obs_stride is None:
+        obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+            final_state, env.env_properties
+        )
+        return obs, final_state
+
+    # trajectory observations: vmap over (batch, time) on reconstructed states
+    n_saves = n_steps // obs_stride
+    traj_state = structures.replace(
+        final_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_traj))),
+        PRNGKey=(
+            lambda key: jnp.broadcast_to(
+                key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
+            )
+        )(jnp.asarray(init_state.PRNGKey)),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full((env.batch_size, n_saves), True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(jnp.asarray(leaf)[:, None], (env.batch_size, n_saves)),
+            init_state.reference,
+        ),
     )
+    obs = jax.vmap(
+        jax.vmap(env.generate_observation, in_axes=(0, None)),
+        in_axes=(0, env.in_axes_env_properties),
+    )(traj_state, env.env_properties)
     return obs, final_state

@@ -6,9 +6,20 @@ transforms, electrical-angle stepping, voltage-hexagon clipping).  All
 functions are scalar-per-sample and fully traceable, so they fuse into the
 surrounding step computation under ``vmap``/``jit`` on TPU.
 
-Precision note: the hexagon sector-rotation table is kept in ``complex64``
-exactly like the reference (``pmsm_env.py:37-43``) so golden-trajectory
-replays agree bit-for-bit at the pinned tolerance even under float64.
+TPU-specific design decisions:
+
+* **No complex arithmetic.** The reference rotates hexagon sectors with a
+  ``complex64`` lookup table (``pmsm_env.py:37-43``).  TPU backends have no
+  complex support — on the axon runtime even *creating* a complex array
+  aborts the client — so the sector rotation here is the equivalent
+  real-valued 2-D rotation, with the table stored as separate float32
+  real/imaginary parts.  The float32 component values are bit-identical to
+  the reference's ``complex64`` table, so golden-trajectory replays agree at
+  the pinned tolerance even under float64.
+* **No device constants at import time.** Module-level tables are NumPy
+  arrays; they become compile-time constants the first time a jitted
+  function closes over them.  Importing this package therefore performs no
+  device operations at all.
 """
 
 from __future__ import annotations
@@ -16,30 +27,40 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-# Clarke transform alpha/beta -> abc (power-invariant 2/3 convention)
-T32 = jnp.array([[1, 0], [-0.5, 0.5 * jnp.sqrt(3)], [-0.5, -0.5 * jnp.sqrt(3)]])
+_SQRT3 = np.sqrt(3.0)
+
+# Clarke transform alpha/beta -> abc (2/3 convention); NumPy so that import
+# performs no device work.
+T32 = np.array([[1.0, 0.0], [-0.5, 0.5 * _SQRT3], [-0.5, -0.5 * _SQRT3]])
 # abc -> alpha/beta
-T23 = 2 / 3 * jnp.array([[1, 0], [-0.5, 0.5 * jnp.sqrt(3)], [-0.5, -0.5 * jnp.sqrt(3)]]).T
+T23 = 2.0 / 3.0 * T32.T
 
 
-def _build_rotation_map() -> jnp.ndarray:
-    """Sector-dependent complex rotations used by :func:`apply_hex_constraint`.
+def _build_rotation_table():
+    """Sector-dependent rotations used by :func:`apply_hex_constraint`.
 
-    Indexed by the three half-plane sign bits of the voltage phasor w.r.t. the
-    hexagon's symmetry axes; each entry rotates its sector onto the reference
-    sector at the top of the hexagon.
+    Indexed by the three half-plane sign bits of the voltage phasor w.r.t.
+    the hexagon's symmetry axes; each entry rotates its sector onto the
+    reference sector at the top of the hexagon.  Stored as float32
+    (real, imag) pairs — the exact component values of the reference's
+    ``complex64`` table.
     """
-    rot = np.ones((2, 2, 2), dtype=np.complex64)
-    s3 = np.sqrt(3)
-    rot[1, 0, 1] = 0.5 * (1 + s3 * 1j)
-    rot[1, 1, 0] = 0.5 * (1 - s3 * 1j)
-    rot[0, 1, 0] = 0.5 * (-1 - s3 * 1j)
-    rot[0, 1, 1] = -1
-    rot[0, 0, 1] = 0.5 * (-1 + s3 * 1j)
-    return jnp.array(rot)
+    re = np.ones((2, 2, 2), dtype=np.float64)
+    im = np.zeros((2, 2, 2), dtype=np.float64)
+    entries = {
+        (1, 0, 1): (0.5, 0.5 * _SQRT3),
+        (1, 1, 0): (0.5, -0.5 * _SQRT3),
+        (0, 1, 0): (-0.5, -0.5 * _SQRT3),
+        (0, 1, 1): (-1.0, 0.0),
+        (0, 0, 1): (-0.5, 0.5 * _SQRT3),
+    }
+    for idx, (r, i) in entries.items():
+        re[idx] = r
+        im[idx] = i
+    return re.astype(np.float32), im.astype(np.float32)
 
 
-ROTATION_MAP = _build_rotation_map()
+ROTATION_RE, ROTATION_IM = _build_rotation_table()
 
 
 def t_dq_alpha_beta(eps):
@@ -63,12 +84,12 @@ def albet2dq(u_albet, eps):
 
 def dq2abc(u_dq, eps):
     """DQ -> three-phase abc."""
-    return (T32 @ dq2albet(u_dq, eps).T).T
+    return (jnp.asarray(T32) @ dq2albet(u_dq, eps).T).T
 
 
 def abc2dq(u_abc, eps):
     """Three-phase abc -> DQ."""
-    u_alpha_beta = T23 @ u_abc.T
+    u_alpha_beta = jnp.asarray(T23) @ u_abc.T
     return albet2dq(u_alpha_beta.T, eps)
 
 
@@ -85,19 +106,28 @@ def step_eps(eps, omega_el, tau, tau_scale=1.0):
 def apply_hex_constraint(u_albet):
     """Clip an alpha-beta voltage phasor into the inverter voltage hexagon.
 
-    Implementation: treat the phasor as a complex number, rotate its sector
-    onto the reference sector via :data:`ROTATION_MAP`, clip the rectangle
-    covering that sector, and rotate back (reference ``pmsm_env.py:92-102``).
+    Treat the phasor ``(a, b)`` as ``a + b i``: identify its sector from the
+    sign of ``sin(angle - k*120°)`` for ``k ∈ {0,1,2}``, rotate the sector
+    onto the reference sector at the top of the hexagon, clip the rectangle
+    covering that sector, and rotate back (reference ``pmsm_env.py:92-102``,
+    with the complex multiplications expanded to real 2-D rotations).
     Input shape ``(2,)``, output shape ``(1, 2)``.
     """
-    u_c = u_albet[0] + 1j * u_albet[1]
-    idx = (jnp.sin(jnp.angle(u_c)[..., jnp.newaxis] - 2 / 3 * jnp.pi * jnp.arange(3)) >= 0).astype(int)
-    rot_vec = ROTATION_MAP[idx[0], idx[1], idx[2]]
-    u_c = u_c * rot_vec  # rotate sector upwards
-    u_c = jnp.clip(u_c.real, -2 / 3, 2 / 3) + 1j * u_c.imag
-    u_c = u_c.real + 1j * jnp.clip(u_c.imag, 0, 2 / 3 * jnp.sqrt(3))
-    u_c = u_c * jnp.conjugate(rot_vec)  # rotate back
-    return jnp.column_stack([u_c.real, u_c.imag])
+    a = u_albet[0]
+    b = u_albet[1]
+    angle = jnp.arctan2(b, a)
+    idx = (jnp.sin(angle[..., jnp.newaxis] - 2 / 3 * jnp.pi * jnp.arange(3)) >= 0).astype(int)
+    rot_re = jnp.asarray(ROTATION_RE)[idx[0], idx[1], idx[2]]
+    rot_im = jnp.asarray(ROTATION_IM)[idx[0], idx[1], idx[2]]
+    # rotate sector upwards: (a + b i) * (rot_re + rot_im i)
+    ra = a * rot_re - b * rot_im
+    rb = a * rot_im + b * rot_re
+    ra = jnp.clip(ra, -2 / 3, 2 / 3)
+    rb = jnp.clip(rb, 0, 2 / 3 * jnp.sqrt(3))
+    # rotate back: (ra + rb i) * conj(rot) = (ra + rb i) * (rot_re - rot_im i)
+    oa = ra * rot_re + rb * rot_im
+    ob = rb * rot_re - ra * rot_im
+    return jnp.column_stack([oa, ob])
 
 
 def clip_in_abc_coordinates(u_dq, u_dc, omega_el, eps, tau):

@@ -84,6 +84,25 @@ def test_fallback_heterogeneous_params():
     assert not supports_fused_rollout(env)
 
 
+def test_fused_trajectory_output():
+    """Strided in-kernel trajectory saves must equal the scan path's strided
+    observations (and the final state)."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(4), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+
+    obs_ref, last_ref = env.vmap_rollout(state, actions, 4)  # every 4th obs
+    obs_fused, last_fused = env_fused_rollout(env, state, actions, obs_stride=4, interpret=True)
+
+    assert obs_fused.shape == (BATCH, T // 4, 2)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(last_fused.physical_state.omega),
+        np.asarray(last_ref.physical_state.omega),
+        rtol=1e-12,
+    )
+
+
 def test_fused_raw_api_bad_batch():
     with pytest.raises(ValueError, match="multiple"):
         fused_rollout(
@@ -96,3 +115,27 @@ def test_fused_raw_api_bad_batch():
             (False,),
             interpret=True,
         )
+
+
+def test_pendulum_fast_math_kernel():
+    """Fast-math kernel (poly sin + floor wrap) tracks the exact path within
+    the documented tolerance, and fast-math primitives match their exact
+    counterparts at the float32 rounding level."""
+    from exciting_environments_tpu.ops.fastmath import poly_sin, poly_sin_max_error, wrap_angle_fast
+    from exciting_environments_tpu.ops.pallas.pendulum_fast import pendulum_fast_rollout
+
+    assert poly_sin_max_error() < 5e-7
+
+    x = jnp.linspace(-jnp.pi + 1e-6, jnp.pi, 1001, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(poly_sin(x)), np.sin(np.asarray(x)), atol=5e-7)
+    wrapped = wrap_angle_fast(jnp.linspace(-9.0, 9.0, 1001))
+    ref = ((jnp.linspace(-9.0, 9.0, 1001) + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+    np.testing.assert_allclose(np.asarray(wrapped), np.asarray(ref), atol=1e-5)
+
+    env = excenvs.Pendulum(batch_size=128, tau=1e-4)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 128))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (128, 64, 1), minval=-1.0, maxval=1.0)
+    th, om = pendulum_fast_rollout(env, state, actions, chunk=8, interpret=True)
+    _, last = env.vmap_rollout(state, actions, 64)
+    np.testing.assert_allclose(np.asarray(th), np.asarray(last.physical_state.theta), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)

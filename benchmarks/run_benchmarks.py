@@ -39,14 +39,26 @@ def _validate_finite(tree, name):
         raise RuntimeError(f"{name}: non-finite result (mean={m})")
 
 
-def timed(name, fn, n_env_steps, repeats=3, validate=None):
-    out = fn()
+def timed(name, fn, n_env_steps, inputs=None, repeats=3, validate=None):
+    """Time ``fn`` with distinct inputs per repeat.
+
+    The relayed TPU runtime caches identical (executable, args) executions,
+    so repeats must vary their input; ``inputs`` is a list whose first entry
+    warms up compilation and the rest are timed.  Without ``inputs`` the
+    function is assumed to take no arguments (single-shot timing only).
+    """
+    if inputs is None:
+        inputs = [None] * (repeats + 1)
+        call = lambda x: fn()
+    else:
+        call = fn
+    out = call(inputs[0])
     jax.block_until_ready(out)
     _validate_finite(validate if validate is not None else out, name)
     best = float("inf")
-    for _ in range(repeats):
+    for x in inputs[1:]:
         t0 = time.perf_counter()
-        out = fn()
+        out = call(x)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     _validate_finite(validate if validate is not None else out, name)
@@ -95,17 +107,22 @@ def bench_msd_stepper():
     B, T = 16384, 1024
     env = excenvs.MassSpringDamper(batch_size=B)
     _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
-    actions = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1), minval=-1, maxval=1)
+    action_sets = [
+        jax.random.uniform(jax.random.PRNGKey(10 + i), (B, T, 1), minval=-1, maxval=1)
+        for i in range(4)
+    ]
     timed(
         "msd_b16384_vmap_rollout",
-        lambda: env.vmap_rollout(state, actions, T)[1],
+        lambda a: env.vmap_rollout(state, a, T)[1],
         B * T,
+        inputs=action_sets,
     )
     if supports_fused_rollout(env) and jax.default_backend() != "cpu":
         timed(
             "msd_b16384_pallas_fused",
-            lambda: env_fused_rollout(env, state, actions)[1],
+            lambda a: env_fused_rollout(env, state, a)[1],
             B * T,
+            inputs=action_sets,
         )
 
 
@@ -116,13 +133,15 @@ def bench_tsit5_sim_ahead():
         B, T = 4096, 256
         env = cls(batch_size=B, solver="tsit5")
         _, state = env.vmap_reset()
-        actions = 0.3 * jnp.ones((B, T, env.action_dim))
+        action_sets = [
+            jax.random.uniform(jax.random.PRNGKey(20 + i), (B, T, env.action_dim), minval=-0.5, maxval=0.5)
+            for i in range(4)
+        ]
         timed(
             f"{name}_b4096_tsit5_sim_ahead",
-            lambda env=env, state=state, actions=actions: env.vmap_sim_ahead(
-                state, actions, env.tau, env.tau
-            )[2],
+            lambda a, env=env, state=state: env.vmap_sim_ahead(state, a, env.tau, env.tau)[2],
             B * T,
+            inputs=action_sets,
         )
 
 
@@ -132,11 +151,15 @@ def bench_fluid_tank_long_horizon():
     B, T = 65536, 2048
     env = excenvs.FluidTank(batch_size=B)
     _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), B))
-    actions = 0.8 * jnp.ones((B, T, 1))
+    action_sets = [
+        jax.random.uniform(jax.random.PRNGKey(30 + i), (B, T, 1), minval=0.3, maxval=1.0)
+        for i in range(4)
+    ]
     timed(
         "fluid_tank_b65536_rollout_2048steps",
-        lambda: env.vmap_rollout(state, actions, T)[1],
+        lambda a: env.vmap_rollout(state, a, T)[1],
         B * T,
+        inputs=action_sets,
     )
 
 
@@ -149,11 +172,15 @@ def bench_pmsm(batch=65536, steps=512):
     ]:
         env = excenvs.PMSM(batch_size=batch, saturated=saturated, motor_variant=variant)
         _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), batch))
-        actions = 0.2 * jnp.ones((batch, steps, 2))
+        action_sets = [
+            jax.random.uniform(jax.random.PRNGKey(40 + i), (batch, steps, 2), minval=-0.3, maxval=0.3)
+            for i in range(4)
+        ]
         timed(
             f"{name}_b{batch}_rollout_{steps}steps",
-            lambda env=env, state=state, actions=actions: env.vmap_rollout(state, actions, steps)[1],
+            lambda a, env=env, state=state: env.vmap_rollout(state, a, steps)[1],
             batch * steps,
+            inputs=action_sets,
         )
 
 
@@ -163,17 +190,30 @@ def bench_pendulum_headline(batch=65536, steps=1024):
 
     env = excenvs.Pendulum(batch_size=batch, tau=1e-4)
     _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
-    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, steps, 1), minval=-1, maxval=1)
+    action_sets = [
+        jax.random.uniform(jax.random.PRNGKey(50 + i), (batch, steps, 1), minval=-1, maxval=1)
+        for i in range(4)
+    ]
     timed(
         "pendulum_b65536_vmap_rollout",
-        lambda: env.vmap_rollout(state, actions, steps)[1],
+        lambda a: env.vmap_rollout(state, a, steps)[1],
         batch * steps,
+        inputs=action_sets,
     )
     if jax.default_backend() != "cpu":  # compiled Pallas needs real TPU
         timed(
             "pendulum_b65536_pallas_fused",
-            lambda: env_fused_rollout(env, state, actions)[1],
+            lambda a: env_fused_rollout(env, state, a)[1],
             batch * steps,
+            inputs=action_sets,
+        )
+        from exciting_environments_tpu.ops.pallas.pendulum_fast import pendulum_fast_rollout
+
+        timed(
+            "pendulum_b65536_pallas_fast_math",
+            lambda a: pendulum_fast_rollout(env, state, a),
+            batch * steps,
+            inputs=action_sets,
         )
 
 

@@ -229,10 +229,18 @@ class PMSM(CoreEnvironment):
         return torque
 
     def currents_to_torque_saturated(self, i_d, i_q, env_properties):
-        """Saturated torque from the flux-linkage LUTs."""
-        Psi_d = self.LUT_interpolators["Psi_d"](jnp.array([i_d, i_q]))
-        Psi_q = self.LUT_interpolators["Psi_q"](jnp.array([i_d, i_q]))
-        return 3 / 2 * env_properties.static_params.p * (Psi_d * i_q - Psi_q * i_d)[0]
+        """Saturated torque from the flux-linkage LUTs.
+
+        Uses one stacked gather for both flux channels (the reference calls a
+        separate ``RegularGridInterpolator`` per quantity, ``pmsm_env.py:377-381``).
+        Without LUTs (non-saturated envs trace this branch under ``lax.cond``)
+        the result is NaN, matching the reference's placeholder interpolators.
+        """
+        if self._lut is None:
+            return jnp.nan * (i_d + i_q)
+        vals = self._lut.interpolate_all(jnp.array([i_d, i_q]))
+        psi_d, psi_q = vals[4], vals[5]
+        return 3 / 2 * env_properties.static_params.p * (psi_d * i_q - psi_q * i_d)
 
     def nonlinear_ode(self, t, y, args, action):
         """Saturated electrical dynamics with the differential inductance

@@ -58,3 +58,16 @@ def test_reference_tracking_loop():
         obs, reward, terminated, truncated = gym_env.step(jnp.zeros((4, 1)))
     assert jnp.all(jnp.isfinite(reward))
     assert reward.shape == (4, 1)
+
+
+def test_custom_ref_params():
+    """User-provided ref_params must be honored (the reference silently
+    dropped them: gym_wrapper.py:44-48 only sets defaults)."""
+    env = EnvironmentRegistry.PENDULUM.make(batch_size=4)
+    gym_env = excenvs.GymWrapper(
+        env=env, control_state=["theta"], ref_params={"hold_steps_min": 2, "hold_steps_max": 5}
+    )
+    assert gym_env.ref_params == {"hold_steps_min": 2, "hold_steps_max": 5}
+    obs, _ = gym_env.reset(rng_ref=jax.random.PRNGKey(3))
+    assert bool((gym_env.reference_hold_steps >= 2).all())
+    assert bool((gym_env.reference_hold_steps < 5).all())

@@ -1,12 +1,57 @@
-"""Environment id registry (reference ``exciting_environments/registration.py``)."""
+"""Environment registry.
+
+Exposes the same surface as the reference's enum registry
+(``exciting_environments/registration.py``: ``EnvironmentRegistry.PENDULUM
+.make(**kwargs)`` with the ``"<Name>-v0"`` id strings) but is backed by an
+extensible id->constructor table: downstream projects can plug in their own
+environments with :func:`register` and build them via :func:`make` without
+touching this module.
+"""
 
 from __future__ import annotations
 
 from enum import Enum
+from typing import Callable, Dict
+
+#: global id -> environment-class resolver table
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(env_id: str, resolver: Callable) -> None:
+    """Register an environment id.
+
+    Args:
+        env_id: id string, conventionally ``"<Name>-v<version>"``.
+        resolver: zero-argument callable returning the environment class
+            (kept lazy so registration does not import heavy modules).
+    """
+    _REGISTRY[env_id] = resolver
+
+
+def make(env_id: str, **env_kwargs):
+    """Instantiate a registered environment by id string."""
+    try:
+        resolver = _REGISTRY[env_id]
+    except KeyError:
+        raise ValueError(f"Unknown environment: {env_id!r}. Registered: {sorted(_REGISTRY)}")
+    return resolver()(**env_kwargs)
+
+
+def _builtin(name: str) -> Callable:
+    def resolver():
+        import exciting_environments_tpu.models as models
+
+        return getattr(models, name)
+
+    return resolver
+
+
+for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM"):
+    register(f"{_name}-v0", _builtin(_name))
 
 
 class EnvironmentRegistry(Enum):
-    """Maps environment id strings to their classes; construct via ``.make()``."""
+    """Enum facade over the registry (reference-compatible ids)."""
 
     CART_POLE = "CartPole-v0"
     MASS_SPRING_DAMPER = "MassSpringDamper-v0"
@@ -17,22 +62,4 @@ class EnvironmentRegistry(Enum):
 
     def make(self, **env_kwargs):
         """Instantiate the environment class behind this registry id."""
-        from exciting_environments_tpu.models.acrobot import Acrobot
-        from exciting_environments_tpu.models.cart_pole import CartPole
-        from exciting_environments_tpu.models.fluid_tank import FluidTank
-        from exciting_environments_tpu.models.mass_spring_damper import MassSpringDamper
-        from exciting_environments_tpu.models.pendulum import Pendulum
-        from exciting_environments_tpu.models.pmsm import PMSM
-
-        env_map = {
-            EnvironmentRegistry.CART_POLE: CartPole,
-            EnvironmentRegistry.MASS_SPRING_DAMPER: MassSpringDamper,
-            EnvironmentRegistry.PENDULUM: Pendulum,
-            EnvironmentRegistry.FLUID_TANK: FluidTank,
-            EnvironmentRegistry.PMSM: PMSM,
-            EnvironmentRegistry.ACROBOT: Acrobot,
-        }
-        cls = env_map.get(self)
-        if cls is None:
-            raise ValueError(f"Unknown environment: {self}")
-        return cls(**env_kwargs)
+        return make(self.value, **env_kwargs)

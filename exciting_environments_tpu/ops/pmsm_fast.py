@@ -1,0 +1,204 @@
+"""Fast-math PMSM rollout: trigonometry-free electrical drive stepping.
+
+The exact PMSM step evaluates ~8 transcendentals per control step (Park
+rotations at the deadtime-advanced angle, hexagon sector angle, angle
+stepping — reference ``pmsm_env.py:594-616, 851-883``).  Because the
+electrical angular velocity is constant along a rollout, ALL of that trig
+collapses into an incremental 2-D rotation:
+
+* ``cos/sin`` of the advanced angle are carried as state and advanced each
+  step by one rotation with the per-trajectory constants
+  ``(cos(omega*tau), sin(omega*tau))`` — four FMAs instead of two
+  transcendental evaluations, with a first-order renormalization to kill
+  drift,
+* the hexagon sector bits ``sin(angle - k*120deg) >= 0`` are evaluated as
+  exact linear sign tests on the (alpha, beta) components (no ``atan2``),
+* the 8-entry sector-rotation table is combined multilinearly in the bits
+  (pure FMA, no gather),
+* the final electrical angle is reconstructed once in closed form.
+
+Numerics: sector bits and clipping are exact; the rotation recurrence drifts
+by O(n_steps * ulp) relative to evaluating ``cos``/``sin`` directly, so
+trajectories deviate from the exact path at the 1e-5 level over ~1000 float32
+steps.  Validated against ``vmap_rollout`` in the tests.
+
+Scope: linear magnetics, scalar static params, Euler solver, deadtime 0/1
+(the reference's golden configuration).  Out-of-scope envs raise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from exciting_environments_tpu.ops.fastmath import wrap_angle_fast
+from exciting_environments_tpu.ops.transforms import ROTATION_IM, ROTATION_RE
+
+_S3H = float(np.sqrt(3.0) / 2.0)
+
+
+def _multilinear_table(table, b0, b1, b2):
+    """Combine an (2,2,2) table multilinearly in three {0,1} float bits."""
+    acc = 0.0
+    for i in (0, 1):
+        wi = b0 if i else (1.0 - b0)
+        for j in (0, 1):
+            wj = b1 if j else (1.0 - b1)
+            for k in (0, 1):
+                wk = b2 if k else (1.0 - b2)
+                acc = acc + float(table[i, j, k]) * (wi * wj * wk)
+    return acc
+
+
+def hex_clip_fast(alpha, beta):
+    """Voltage-hexagon clip on batched (alpha, beta) without trigonometry.
+
+    The sector test ``sin(angle(u) - k*120deg) >= 0`` equals the sign of the
+    cross product of ``u`` with the k-th symmetry axis, a linear function of
+    (alpha, beta); the sector rotation is then a real 2-D rotation taken from
+    the same table as :func:`...transforms.apply_hex_constraint`.
+    """
+    b0 = (beta >= 0).astype(alpha.dtype)
+    b1 = ((-0.5) * beta - _S3H * alpha >= 0).astype(alpha.dtype)
+    b2 = ((-0.5) * beta + _S3H * alpha >= 0).astype(alpha.dtype)
+    rot_re = _multilinear_table(ROTATION_RE, b0, b1, b2)
+    rot_im = _multilinear_table(ROTATION_IM, b0, b1, b2)
+    ra = alpha * rot_re - beta * rot_im
+    rb = alpha * rot_im + beta * rot_re
+    ra = jnp.clip(ra, -2.0 / 3.0, 2.0 / 3.0)
+    rb = jnp.clip(rb, 0.0, 2.0 / 3.0 * np.sqrt(3.0))
+    oa = ra * rot_re + rb * rot_im
+    ob = rb * rot_re - ra * rot_im
+    return oa, ob
+
+
+@functools.partial(jax.jit, static_argnames=("tau", "p", "r_s", "l_d", "l_q", "psi_p", "u_dc",
+                                             "deadtime", "a_scale_d", "a_off_d", "a_scale_q", "a_off_q"))
+def _rollout(i_d, i_q, eps, omega, buf_d, buf_q, actions_tm,
+             tau, p, r_s, l_d, l_q, psi_p, u_dc, deadtime,
+             a_scale_d, a_off_d, a_scale_q, a_off_q):
+    n_steps = actions_tm.shape[0]
+    delta = omega * tau
+    c_delta = jnp.cos(delta)
+    s_delta = jnp.sin(delta)
+    adv0 = eps + (deadtime + 0.5) * tau * omega
+    cA = jnp.cos(adv0)
+    sA = jnp.sin(adv0)
+    inv_ld = 1.0 / l_d
+    inv_lq = 1.0 / l_q
+    to_halfdc = 2.0 / u_dc
+    from_halfdc = u_dc / 2.0
+
+    def body(carry, a_t):
+        i_d, i_q, cA, sA, buf_d, buf_q = carry
+        u_d = a_t[0] * a_scale_d + a_off_d
+        u_q = a_t[1] * a_scale_q + a_off_q
+        nd = u_d * to_halfdc
+        nq = u_q * to_halfdc
+        # dq -> alpha/beta at the advanced angle (rotation by +adv)
+        alpha = cA * nd - sA * nq
+        beta = sA * nd + cA * nq
+        alpha, beta = hex_clip_fast(alpha, beta)
+        # alpha/beta -> dq (rotation by -adv), back to volts
+        ud_c = (cA * alpha + sA * beta) * from_halfdc
+        uq_c = (-sA * alpha + cA * beta) * from_halfdc
+        if deadtime > 0:
+            u_app_d, u_app_q = buf_d, buf_q
+            buf_d, buf_q = ud_c, uq_c
+        else:
+            u_app_d, u_app_q = ud_c, uq_c
+        # Euler step of the linear electrical dynamics (old currents on RHS)
+        di_d = (u_app_d + omega * l_q * i_q - r_s * i_d) * inv_ld
+        di_q = (u_app_q - omega * (l_d * i_d + psi_p) - r_s * i_q) * inv_lq
+        i_d = i_d + tau * di_d
+        i_q = i_q + tau * di_q
+        # advance the carried rotation and renormalize (first-order)
+        cA, sA = cA * c_delta - sA * s_delta, sA * c_delta + cA * s_delta
+        r2 = cA * cA + sA * sA
+        corr = 0.5 * (3.0 - r2)
+        cA = cA * corr
+        sA = sA * corr
+        return (i_d, i_q, cA, sA, buf_d, buf_q), None
+
+    (i_d, i_q, cA, sA, buf_d, buf_q), _ = jax.lax.scan(
+        body, (i_d, i_q, cA, sA, buf_d, buf_q), actions_tm
+    )
+    eps_final = wrap_angle_fast(eps + n_steps * delta)
+    torque = 1.5 * p * (psi_p + (l_d - l_q) * i_d) * i_q
+    return i_d, i_q, eps_final, torque, buf_d, buf_q
+
+
+def pmsm_linear_fast_rollout(env, init_state, actions_norm):
+    """Trig-free rollout of a linear-magnetics PMSM.
+
+    Args:
+        env: a non-saturated :class:`PMSM` with scalar static params, Euler
+            solver, deadtime 0 or 1.
+        init_state: batched state from ``vmap_reset``.
+        actions_norm: normalized dq voltages, shape ``(B, n_steps, 2)``.
+
+    Returns:
+        the final batched ``State`` (same structure as ``vmap_rollout``'s).
+    """
+    params = env.env_properties.static_params
+    leaves = jax.tree_util.tree_leaves(params)
+    if env.env_properties.saturated:
+        raise ValueError("pmsm_linear_fast_rollout supports linear magnetics only")
+    if not all(np.isscalar(l) for l in leaves):
+        raise ValueError("pmsm_linear_fast_rollout requires scalar static params")
+    if int(params.deadtime) not in (0, 1):
+        raise ValueError("deadtime must be 0 or 1")
+    from exciting_environments_tpu.ops.solvers import Euler
+
+    if type(env._solver) is not Euler:
+        raise ValueError("pmsm_linear_fast_rollout requires the Euler solver")
+
+    an = env.env_properties.action_normalizations
+    phys = init_state.physical_state
+    actions_tm = jnp.moveaxis(jnp.asarray(actions_norm), 0, 1)  # (T, B, 2)
+    actions_tm = jnp.moveaxis(actions_tm, 2, 1)  # (T, 2, B)
+
+    i_d, i_q, eps_final, torque, buf_d, buf_q = _rollout(
+        jnp.asarray(phys.i_d),
+        jnp.asarray(phys.i_q),
+        jnp.asarray(phys.epsilon),
+        jnp.asarray(phys.omega_el),
+        jnp.asarray(phys.u_d_buffer),
+        jnp.asarray(phys.u_q_buffer),
+        actions_tm,
+        tau=float(env.tau),
+        p=float(params.p),
+        r_s=float(params.r_s),
+        l_d=float(params.l_d),
+        l_q=float(params.l_q),
+        psi_p=float(params.psi_p),
+        u_dc=float(params.u_dc),
+        deadtime=int(params.deadtime),
+        a_scale_d=float((an.u_d.max - an.u_d.min) / 2.0),
+        a_off_d=float((an.u_d.max + an.u_d.min) / 2.0),
+        a_scale_q=float((an.u_q.max - an.u_q.min) / 2.0),
+        a_off_q=float((an.u_q.max + an.u_q.min) / 2.0),
+    )
+
+    from exciting_environments_tpu.core import structures
+
+    new_phys = structures.replace(
+        phys,
+        i_d=i_d,
+        i_q=i_q,
+        epsilon=eps_final,
+        torque=torque,
+        u_d_buffer=buf_d,
+        u_q_buffer=buf_q,
+    )
+    return structures.replace(
+        init_state,
+        physical_state=new_phys,
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full(env.batch_size, True),
+        ),
+    )

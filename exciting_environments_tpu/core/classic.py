@@ -81,6 +81,7 @@ class ClassicODEEnvironment(CoreEnvironment):
         control_state: list = None,
         solver=None,
         tau: float = None,
+        fast_math: bool = False,
     ):
         """
         Args:
@@ -97,11 +98,26 @@ class ClassicODEEnvironment(CoreEnvironment):
                 tracking.
             solver: ODE solver instance or registry name (default Euler).
             tau: Duration of one control step in seconds.
+            fast_math: Replace ``sin``/``cos`` and the angle wrap in the
+                dynamics with FMA-only polynomial equivalents
+                (:mod:`exciting_environments_tpu.ops.fastmath`; ~2e-7 max
+                error per evaluation).  Opt-in: golden-fixture parity
+                requires the default exact ops.
 
         Note: attributes of ``MinMaxNormalization`` and ``static_params``
         values may also be ``(batch_size,)`` arrays to set per-batch values
         (reference heterogeneous batching, ``core_env.py:268-272``).
         """
+        from exciting_environments_tpu.ops import fastmath
+
+        self.fast_math = bool(fast_math)
+        if self.fast_math:
+            self._sin = fastmath.sin_wrapped
+            self._cos = fastmath.poly_cos
+        else:
+            self._sin = jnp.sin
+            self._cos = jnp.cos
+
         if batch_size is None:
             batch_size = self._default_batch_size
         if tau is None:
@@ -130,6 +146,20 @@ class ClassicODEEnvironment(CoreEnvironment):
     # ------------------------------------------------------------------
     # reset / observation / reconstruction
     # ------------------------------------------------------------------
+
+    def _wrap_angles(self, y):
+        if not self._angle_fields:
+            return y
+        if getattr(self, "fast_math", False):
+            from exciting_environments_tpu.ops.fastmath import wrap_angle_fast
+
+            y = list(y)
+            for name in self._angle_fields:
+                y[self._ode_state_fields.index(name)] = wrap_angle_fast(
+                    y[self._ode_state_fields.index(name)]
+                )
+            return tuple(y)
+        return super()._wrap_angles(y)
 
     @property
     def _physical_field_names(self):

@@ -116,21 +116,21 @@ class Acrobot(ClassicODEEnvironment):
         d_11 = (
             params.m_1 * params.l_c1**2
             + params.m_2
-            * (params.l_1**2 + params.l_c2**2 + 2 * params.l_1 * params.l_c2 * jnp.cos(theta_2))
+            * (params.l_1**2 + params.l_c2**2 + 2 * params.l_1 * params.l_c2 * self._cos(theta_2))
             + params.I_1
             + params.I_2
         )
-        d_12 = params.m_2 * (params.l_c2**2 + params.l_1 * params.l_c2 * jnp.cos(theta_2)) + params.I_2
+        d_12 = params.m_2 * (params.l_c2**2 + params.l_1 * params.l_c2 * self._cos(theta_2)) + params.I_2
         d_22 = params.m_2 * params.l_c2**2 + params.I_2
         h_1 = (
-            -params.m_2 * params.l_1 * params.l_c2 * jnp.sin(theta_2) * omega_2**2
-            - 2 * params.m_2 * params.l_1 * params.l_c2 * jnp.sin(theta_2) * omega_1 * omega_2
+            -params.m_2 * params.l_1 * params.l_c2 * self._sin(theta_2) * omega_2**2
+            - 2 * params.m_2 * params.l_1 * params.l_c2 * self._sin(theta_2) * omega_1 * omega_2
         )
-        h_2 = params.m_2 * params.l_1 * params.l_c2 * jnp.sin(theta_2) * omega_1**2
-        phi_1 = (params.m_1 * params.l_c1 + params.m_2 * params.l_1) * params.g * jnp.cos(
+        h_2 = params.m_2 * params.l_1 * params.l_c2 * self._sin(theta_2) * omega_1**2
+        phi_1 = (params.m_1 * params.l_c1 + params.m_2 * params.l_1) * params.g * self._cos(
             theta_1 + jnp.pi / 2
-        ) + params.m_2 * params.l_c2 * params.g * jnp.cos(theta_1 + theta_2 + jnp.pi / 2)
-        phi_2 = params.m_2 * params.l_c2 * params.g * jnp.cos(theta_1 + theta_2 + jnp.pi / 2)
+        ) + params.m_2 * params.l_c2 * params.g * self._cos(theta_1 + theta_2 + jnp.pi / 2)
+        phi_2 = params.m_2 * params.l_c2 * params.g * self._cos(theta_1 + theta_2 + jnp.pi / 2)
         d_omega_1 = (
             1 / (d_12 - d_22 / d_12 * d_11) * (action(t)[0] + d_22 / d_12 * (h_1 + phi_1) - h_2 - phi_2)
         )

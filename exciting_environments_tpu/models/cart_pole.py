@@ -104,22 +104,22 @@ class CartPole(ClassicODEEnvironment):
         deflection, velocity, theta, omega = y
         params = args
         d_omega = (
-            params.g * jnp.sin(theta)
-            + jnp.cos(theta)
+            params.g * self._sin(theta)
+            + self._cos(theta)
             * (
                 (
                     -action(t)[0]
-                    - params.m_p * params.l * (omega**2) * jnp.sin(theta)
+                    - params.m_p * params.l * (omega**2) * self._sin(theta)
                     + params.mu_c * jnp.sign(velocity)
                 )
                 / (params.m_c + params.m_p)
             )
             - (params.mu_p * omega) / (params.m_p * params.l)
-        ) / (params.l * (4 / 3 - (params.m_p * (jnp.cos(theta)) ** 2) / (params.m_c + params.m_p)))
+        ) / (params.l * (4 / 3 - (params.m_p * (self._cos(theta)) ** 2) / (params.m_c + params.m_p)))
 
         d_velocity = (
             action(t)[0]
-            + params.m_p * params.l * ((omega**2) * jnp.sin(theta) - d_omega * jnp.cos(theta))
+            + params.m_p * params.l * ((omega**2) * self._sin(theta) - d_omega * self._cos(theta))
             - params.mu_c * jnp.sign(velocity)
         ) / (params.m_c + params.m_p)
         d_theta = omega

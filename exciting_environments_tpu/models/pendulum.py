@@ -93,7 +93,7 @@ class Pendulum(ClassicODEEnvironment):
     def _ode(self, t, y, args, action):
         theta, omega = y
         params = args
-        d_omega = (action(t)[0] + params.l * params.m * params.g * jnp.sin(theta)) / (
+        d_omega = (action(t)[0] + params.l * params.m * params.g * self._sin(theta)) / (
             params.m * (params.l) ** 2
         )
         d_theta = omega

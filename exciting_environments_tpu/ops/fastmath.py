@@ -65,3 +65,13 @@ def poly_sin_max_error() -> float:
     for c in _SIN_ODD_COEFFS[-2::-1]:
         acc = acc * x2 + np.float64(c)
     return float(np.max(np.abs(x * acc - np.sin(x))))
+
+
+def sin_wrapped(x):
+    """Polynomial sin for arbitrary arguments (one fast wrap + poly)."""
+    return poly_sin(wrap_angle_fast(x))
+
+
+def poly_cos(x):
+    """Polynomial cos via the shifted sin identity (fast wrap + poly)."""
+    return poly_sin(wrap_angle_fast(x + 0.5 * np.pi))

@@ -139,3 +139,27 @@ def test_pendulum_fast_math_kernel():
     _, last = env.vmap_rollout(state, actions, 64)
     np.testing.assert_allclose(np.asarray(th), np.asarray(last.physical_state.theta), atol=1e-4)
     np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)
+
+
+@pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.CartPole, excenvs.Acrobot])
+def test_env_fast_math_flag(env_cls):
+    """fast_math envs track the exact envs within polynomial-error tolerance
+    across all rollout paths."""
+    B, T = 64, 100
+    exact = env_cls(batch_size=B)
+    fast = env_cls(batch_size=B, fast_math=True)
+    assert fast.fast_math and not exact.fast_math
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, s_e = exact.vmap_reset(keys)
+    _, s_f = fast.vmap_reset(keys)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (B, T, exact.action_dim), minval=-0.8, maxval=0.8)
+    _, last_e = exact.vmap_rollout(s_e, actions, T)
+    _, last_f = fast.vmap_rollout(s_f, actions, T)
+    for name in exact._ode_state_fields:
+        a = np.asarray(getattr(last_f.physical_state, name))
+        b = np.asarray(getattr(last_e.physical_state, name))
+        if name in exact._angle_fields:
+            d = np.abs(((a - b) + np.pi) % (2 * np.pi) - np.pi)
+        else:
+            d = np.abs(a - b)
+        assert d.max() < 1e-2, f"{name}: {d.max()}"

@@ -34,7 +34,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.tree_util import tree_flatten, tree_structure, tree_unflatten
+from jax.tree_util import tree_flatten, tree_structure
 
 from exciting_environments_tpu.core import structures
 from exciting_environments_tpu.core.structures import pytree_dataclass

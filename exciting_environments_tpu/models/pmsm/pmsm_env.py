@@ -25,7 +25,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from dataclasses import fields
-from jax.tree_util import tree_flatten, tree_unflatten, tree_structure
 
 from exciting_environments_tpu.core import structures
 from exciting_environments_tpu.core.env import CoreEnvironment

@@ -26,7 +26,6 @@ computation, so each chip steps its local slice of environments.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -1,0 +1,132 @@
+"""Fleet-scale trajectory collection for RL / system-identification datasets.
+
+The reference leaves data capture to user-side Python loops; this module
+provides the production path: a single jitted ``lax.scan`` that steps the
+batched environment, evaluates rewards and termination flags, and stores the
+whole trajectory batch on-device — one dispatch per collected dataset, mesh-
+shardable over the batch axis like every other rollout.
+
+Two action sources:
+
+* **open-loop**: a precomputed action slab ``(B, T, A)`` (e.g. from
+  :mod:`exciting_environments_tpu.ops.signals`),
+* **closed-loop**: a jittable ``policy(obs, key) -> action`` evaluated
+  per step on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from exciting_environments_tpu.core.structures import pytree_dataclass
+
+
+@pytree_dataclass
+class TrajectoryBatch:
+    """On-device trajectory storage, batch-major: every leaf ``(B, T, ...)``."""
+
+    observations: jax.Array
+    actions: jax.Array
+    rewards: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+
+
+class RolloutCollector:
+    """Collects trajectory batches from a batched environment."""
+
+    def __init__(self, env):
+        self.env = env
+
+    @partial(jax.jit, static_argnums=0)
+    def collect(self, state, actions):
+        """Open-loop collection.
+
+        Args:
+            state: batched state (from ``vmap_reset``).
+            actions: normalized actions, shape ``(B, T, A)``.
+
+        Returns:
+            ``(TrajectoryBatch, final_state)`` with observations/rewards/flags
+            for each of the ``T`` steps (observations are post-step).
+        """
+        env = self.env
+        in_axes = env.in_axes_env_properties
+        step_batch = jax.vmap(env.step, in_axes=(0, 0, in_axes))
+        reward_batch = jax.vmap(env.generate_reward, in_axes=(0, 0, in_axes))
+        term_batch = jax.vmap(env.generate_terminated, in_axes=(0, 0, in_axes))
+        trunc_batch = jax.vmap(env.generate_truncated, in_axes=(0, in_axes))
+
+        def body(state, action_t):
+            obs, state = step_batch(state, action_t, env.env_properties)
+            reward = reward_batch(state, action_t, env.env_properties)
+            terminated = term_batch(state, reward, env.env_properties)
+            truncated = trunc_batch(state, env.env_properties)
+            return state, (obs, reward, terminated, truncated)
+
+        final_state, (obs, reward, terminated, truncated) = jax.lax.scan(
+            body, state, jnp.swapaxes(actions, 0, 1)
+        )
+        batch_major = lambda x: jnp.swapaxes(x, 0, 1)
+        return (
+            TrajectoryBatch(
+                observations=batch_major(obs),
+                actions=actions,
+                rewards=batch_major(reward),
+                terminated=batch_major(terminated),
+                truncated=batch_major(truncated),
+            ),
+            final_state,
+        )
+
+    @partial(jax.jit, static_argnums=(0, 1, 4))
+    def collect_policy(self, policy, state, rng, n_steps: int):
+        """Closed-loop collection with an on-device policy.
+
+        Args:
+            policy: jittable ``policy(obs, key) -> action`` mapping a batched
+                observation ``(B, obs_dim)`` to normalized actions ``(B, A)``.
+            state: batched state (from ``vmap_reset``).
+            rng: PRNG key (split per step).
+            n_steps: horizon (static).
+
+        Returns:
+            ``(TrajectoryBatch, final_state)``.
+        """
+        env = self.env
+        in_axes = env.in_axes_env_properties
+        obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_axes))(
+            state, env.env_properties
+        )
+        step_batch = jax.vmap(env.step, in_axes=(0, 0, in_axes))
+        reward_batch = jax.vmap(env.generate_reward, in_axes=(0, 0, in_axes))
+        term_batch = jax.vmap(env.generate_terminated, in_axes=(0, 0, in_axes))
+        trunc_batch = jax.vmap(env.generate_truncated, in_axes=(0, in_axes))
+
+        def body(carry, key):
+            state, obs = carry
+            action = policy(obs, key)
+            obs, state = step_batch(state, action, env.env_properties)
+            reward = reward_batch(state, action, env.env_properties)
+            terminated = term_batch(state, reward, env.env_properties)
+            truncated = trunc_batch(state, env.env_properties)
+            return (state, obs), (obs, action, reward, terminated, truncated)
+
+        keys = jax.random.split(rng, n_steps)
+        (final_state, _), (obs, action, reward, terminated, truncated) = jax.lax.scan(
+            body, (state, obs0), keys
+        )
+        batch_major = lambda x: jnp.swapaxes(x, 0, 1)
+        return (
+            TrajectoryBatch(
+                observations=batch_major(obs),
+                actions=batch_major(action),
+                rewards=batch_major(reward),
+                terminated=batch_major(terminated),
+                truncated=batch_major(truncated),
+            ),
+            final_state,
+        )

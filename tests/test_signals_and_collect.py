@@ -1,0 +1,75 @@
+"""Excitation-signal generators and the trajectory collector."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.signals import aprbs, chirp, multisine, white_uniform
+from exciting_environments_tpu.utils.collect import RolloutCollector
+
+
+def test_aprbs_properties():
+    sig = aprbs(jax.random.PRNGKey(0), 4, 500, 2, hold_min=10, hold_max=50)
+    assert sig.shape == (4, 500, 2)
+    a = np.asarray(sig)
+    assert a.min() >= -1 and a.max() <= 1
+    # piecewise constant: many consecutive-equal samples, but not all equal
+    diffs = np.abs(np.diff(a, axis=1))
+    frac_const = float((diffs < 1e-12).mean())
+    assert 0.9 < frac_const < 1.0
+    n_switches = int((diffs[0, :, 0] > 1e-12).sum())
+    assert 500 // 50 <= n_switches <= 500 // 10 + 1
+    # channels and batch entries differ
+    assert not np.allclose(a[0], a[1])
+    assert not np.allclose(a[0, :, 0], a[0, :, 1])
+
+
+def test_chirp_and_multisine():
+    c = chirp(3, 256, 1, tau=1e-3, f0=1.0, f1=50.0, amplitude=0.7)
+    assert c.shape == (3, 256, 1)
+    assert float(jnp.max(jnp.abs(c))) <= 0.7 + 1e-6
+    m = multisine(jax.random.PRNGKey(1), 2, 256, 2, tau=1e-3, f_min=1.0, f_max=40.0)
+    assert m.shape == (2, 256, 2)
+    np.testing.assert_allclose(float(jnp.max(jnp.abs(m))), 1.0, atol=1e-5)
+    w = white_uniform(jax.random.PRNGKey(2), 2, 16, 1)
+    assert w.shape == (2, 16, 1)
+
+
+def test_collector_open_loop_matches_manual():
+    env = excenvs.Pendulum(batch_size=4, control_state=["theta"])
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    actions = aprbs(jax.random.PRNGKey(1), 4, 30, 1, hold_min=3, hold_max=8)
+
+    traj, final_state = RolloutCollector(env).collect(state, actions)
+    assert traj.observations.shape == (4, 30, len(env.obs_description))
+    assert traj.rewards.shape == (4, 30, 1)
+    assert traj.terminated.shape == (4, 30, 1)
+
+    # manual loop cross-check
+    s = state
+    for t in range(30):
+        obs, s = env.vmap_step(s, actions[:, t])
+    np.testing.assert_array_equal(np.asarray(traj.observations[:, -1]), np.asarray(obs))
+    np.testing.assert_array_equal(
+        np.asarray(final_state.physical_state.theta), np.asarray(s.physical_state.theta)
+    )
+
+
+def test_collector_closed_loop():
+    env = excenvs.MassSpringDamper(batch_size=3)
+    _, state = env.vmap_reset()
+
+    def policy(obs, key):
+        # simple proportional controller + exploration noise
+        u = -0.5 * obs[:, :1]
+        return u + 0.1 * jax.random.uniform(key, u.shape, minval=-1, maxval=1)
+
+    traj, final_state = RolloutCollector(env).collect_policy(policy, state, jax.random.PRNGKey(7), 25)
+    assert traj.observations.shape == (3, 25, 2)
+    assert traj.actions.shape == (3, 25, 1)
+    assert bool(jnp.isfinite(traj.observations).all())
+    # trajectory batch is itself a pytree -> checkpointable / shardable
+    leaves = jax.tree_util.tree_leaves(traj)
+    assert all(l.shape[0] == 3 for l in leaves)

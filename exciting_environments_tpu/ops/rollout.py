@@ -39,7 +39,15 @@ def zoh_action(actions, action_stepsize: float) -> Callable:
     """
 
     def action(t):
-        return actions[jnp.asarray(t / action_stepsize, int)]
+        # Guard the floor against division jitter: t is within a few ulps of
+        # an exact grid point (k * obs_stepsize), so fl(t / action_stepsize)
+        # can land infinitesimally BELOW the mathematical quotient and floor
+        # to the previous action (observed as a one-step wrong action after
+        # ~4000 steps in float64).  A relative epsilon far below the smallest
+        # solver stage fraction absorbs it; jnp gathers clamp at the end.
+        kq = t / action_stepsize
+        kq = kq + (4 * jnp.finfo(jnp.result_type(kq)).eps) * jnp.abs(kq)
+        return actions[jnp.floor(kq).astype(int)]
 
     return action
 
@@ -69,7 +77,10 @@ def solve_trajectory(solver, f: Callable, y0, args, n_steps: int, obs_stepsize: 
 
     def body(carry, t):
         y, solver_carry = carry
-        y1, solver_carry1 = solver.step(f, t, t + obs_stepsize, y, args, solver_carry)
+        # dt passed explicitly: fl(t + h) - t can differ from h by one ulp,
+        # which chaotic systems amplify — with the exact dt the trajectory is
+        # bit-identical to the re-anchored step loop for one-stage solvers.
+        y1, solver_carry1 = solver.step(f, t, t + obs_stepsize, y, args, solver_carry, dt=obs_stepsize)
         return (y1, solver_carry1), y1
 
     (y_last, _), ys_tail = jax.lax.scan(body, (y0, carry0), ts)

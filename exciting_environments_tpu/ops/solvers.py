@@ -74,8 +74,13 @@ class ODESolver:
         """Create the initial solver carry for integrating from ``(t0, y0)``."""
         raise NotImplementedError
 
-    def step(self, f: Callable, t0, t1, y0, args, carry):
-        """Advance one step over ``[t0, t1]``; returns ``(y1, new_carry)``."""
+    def step(self, f: Callable, t0, t1, y0, args, carry, dt=None):
+        """Advance one step over ``[t0, t1]``; returns ``(y1, new_carry)``.
+
+        ``dt`` optionally overrides the step size (otherwise ``t1 - t0``):
+        trajectory engines pass the exact grid spacing so that ``fl(t + h) - t``
+        rounding cannot perturb the step.
+        """
         raise NotImplementedError
 
     def __repr__(self):  # pragma: no cover - cosmetic
@@ -104,8 +109,8 @@ class ExplicitRungeKutta(ODESolver):
             return f(t0, y0, args)
         return None
 
-    def step(self, f, t0, t1, y0, args, carry):
-        h = t1 - t0
+    def step(self, f, t0, t1, y0, args, carry, dt=None):
+        h = (t1 - t0) if dt is None else dt
         if self.fsal:
             k1 = carry
         else:
@@ -227,8 +232,8 @@ class ImplicitEuler(ODESolver):
     def init(self, f, t0, t1, y0, args):
         return None
 
-    def step(self, f, t0, t1, y0, args, carry):
-        h = t1 - t0
+    def step(self, f, t0, t1, y0, args, carry, dt=None):
+        h = (t1 - t0) if dt is None else dt
         leaves, treedef = jax.tree_util.tree_flatten(y0)
         y0_flat = jnp.stack([jnp.asarray(l) for l in leaves])
 

@@ -77,19 +77,27 @@ class GymWrapper:
         ``(batch_size, obs_dim)``.
         """
         obs, reward, terminated, truncated, self.state, self.reference_hold_steps = self.gym_step(
-            action, self.state, self.reference_hold_steps
+            action, self.state, self.reference_hold_steps, bool(self.ref_gen and len(self.control_state))
         )
         return obs, reward, terminated, truncated
 
-    @partial(jax.jit, static_argnums=0)
-    def gym_step(self, action, state, reference_hold_steps):
+    @partial(jax.jit, static_argnums=(0, 4))
+    def gym_step(self, action, state, reference_hold_steps, ref_active):
         """Jitted core of :meth:`step`: env step, optional reference update,
-        reward/flag computation, state re-flattening."""
+        reward/flag computation, state re-flattening.
+
+        ``ref_active`` is an explicit static argument (instead of reading
+        ``self.ref_gen`` at trace time) so toggling reference generation via
+        ``reset(rng_ref=...)`` after a first ``step`` retraces instead of
+        silently reusing the stale executable — a latent bug in the
+        reference wrapper (``gym_wrapper.py:112`` reads the flag only when
+        the jit cache misses).
+        """
         state = tree_unflatten(self.state_tree_struct, state)
 
         obs, state = self.env.vmap_step(state, action)
 
-        if len(self.control_state) and self.ref_gen:
+        if ref_active:
             state, reference_hold_steps = jax.vmap(
                 self.update_ref, in_axes=(0, self.env.in_axes_env_properties, 0)
             )(state, self.env.env_properties, reference_hold_steps)

@@ -71,3 +71,19 @@ def test_custom_ref_params():
     obs, _ = gym_env.reset(rng_ref=jax.random.PRNGKey(3))
     assert bool((gym_env.reference_hold_steps >= 2).all())
     assert bool((gym_env.reference_hold_steps < 5).all())
+
+
+def test_ref_generation_enabled_after_first_step():
+    """Enabling reference generation after the wrapper has already stepped
+    must retrace (the reference wrapper silently reuses the stale no-ref
+    executable here)."""
+    env = EnvironmentRegistry.PENDULUM.make(batch_size=4)
+    gym_env = excenvs.GymWrapper(env=env, control_state=["theta"])
+    gym_env.reset()  # no rng_ref: generation off
+    gym_env.step(jnp.zeros((4, 1)))  # traces with ref_active=False
+
+    gym_env.reset(rng_ref=jax.random.PRNGKey(1))
+    hold0 = gym_env.reference_hold_steps.copy()
+    gym_env.step(jnp.zeros((4, 1)))
+    # with generation active, the hold counter must decrement
+    assert bool((gym_env.reference_hold_steps == hold0 - 1).all())

@@ -182,15 +182,14 @@ def bench_pmsm(batch=65536, steps=512):
             batch * steps,
             inputs=action_sets,
         )
-        if not saturated:
-            from exciting_environments_tpu.ops.pmsm_fast import pmsm_linear_fast_rollout
+        from exciting_environments_tpu.ops.pmsm_fast import pmsm_fast_rollout
 
-            timed(
-                f"{name}_b{batch}_fast_math_{steps}steps",
-                lambda a, env=env, state=state: pmsm_linear_fast_rollout(env, state, a),
-                batch * steps,
-                inputs=action_sets,
-            )
+        timed(
+            f"{name}_b{batch}_fast_math_{steps}steps",
+            lambda a, env=env, state=state: pmsm_fast_rollout(env, state, a),
+            batch * steps,
+            inputs=action_sets,
+        )
 
 
 def bench_pendulum_headline(batch=65536, steps=1024):

@@ -75,11 +75,34 @@ def hex_clip_fast(alpha, beta):
     return oa, ob
 
 
+def _lut_gather(lut_values, x0, dx, y0, dy, nx, ny, i_d, i_q):
+    """Stacked bilinear gather of all 6 magnetics channels at batched points
+    (the batched counterpart of ``StackedBilinearLUT.interpolate_all``)."""
+    fx = (i_d - x0) / dx
+    fy = (i_q - y0) / dy
+    ix = jnp.clip(jnp.floor(fx), 0, nx - 2).astype(int)
+    iy = jnp.clip(jnp.floor(fy), 0, ny - 2).astype(int)
+    wx = fx - ix
+    wy = fy - iy
+    v00 = lut_values[:, ix, iy]
+    v01 = lut_values[:, ix, iy + 1]
+    v10 = lut_values[:, ix + 1, iy]
+    v11 = lut_values[:, ix + 1, iy + 1]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * (1 - wx) * wy
+        + v10 * wx * (1 - wy)
+        + v11 * wx * wy
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tau", "p", "r_s", "l_d", "l_q", "psi_p", "u_dc",
-                                             "deadtime", "a_scale_d", "a_off_d", "a_scale_q", "a_off_q"))
+                                             "deadtime", "a_scale_d", "a_off_d", "a_scale_q", "a_off_q",
+                                             "lut_grid"))
 def _rollout(i_d, i_q, eps, omega, buf_d, buf_q, actions_tm,
              tau, p, r_s, l_d, l_q, psi_p, u_dc, deadtime,
-             a_scale_d, a_off_d, a_scale_q, a_off_q):
+             a_scale_d, a_off_d, a_scale_q, a_off_q,
+             lut_values=None, lut_grid=None):
     n_steps = actions_tm.shape[0]
     delta = omega * tau
     c_delta = jnp.cos(delta)
@@ -110,9 +133,18 @@ def _rollout(i_d, i_q, eps, omega, buf_d, buf_q, actions_tm,
             buf_d, buf_q = ud_c, uq_c
         else:
             u_app_d, u_app_q = ud_c, uq_c
-        # Euler step of the linear electrical dynamics (old currents on RHS)
-        di_d = (u_app_d + omega * l_q * i_q - r_s * i_d) * inv_ld
-        di_q = (u_app_q - omega * (l_d * i_d + psi_p) - r_s * i_q) * inv_lq
+        # Euler step of the electrical dynamics (old currents on RHS)
+        if lut_values is None:
+            di_d = (u_app_d + omega * l_q * i_q - r_s * i_d) * inv_ld
+            di_q = (u_app_q - omega * (l_d * i_d + psi_p) - r_s * i_q) * inv_lq
+        else:
+            vals = _lut_gather(lut_values, *lut_grid, i_d, i_q)
+            l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = vals
+            det = l_dd * l_qq - l_dq * l_qd
+            rhs_d = u_app_d - r_s * i_d + omega * psi_q
+            rhs_q = u_app_q - r_s * i_q - omega * psi_d
+            di_d = (l_qq * rhs_d - l_dq * rhs_q) / det
+            di_q = (l_dd * rhs_q - l_qd * rhs_d) / det
         i_d = i_d + tau * di_d
         i_q = i_q + tau * di_q
         # advance the carried rotation and renormalize (first-order)
@@ -127,16 +159,20 @@ def _rollout(i_d, i_q, eps, omega, buf_d, buf_q, actions_tm,
         body, (i_d, i_q, cA, sA, buf_d, buf_q), actions_tm
     )
     eps_final = wrap_angle_fast(eps + n_steps * delta)
-    torque = 1.5 * p * (psi_p + (l_d - l_q) * i_d) * i_q
+    if lut_values is None:
+        torque = 1.5 * p * (psi_p + (l_d - l_q) * i_d) * i_q
+    else:
+        vals = _lut_gather(lut_values, *lut_grid, i_d, i_q)
+        torque = 1.5 * p * (vals[4] * i_q - vals[5] * i_d)
     return i_d, i_q, eps_final, torque, buf_d, buf_q
 
 
-def pmsm_linear_fast_rollout(env, init_state, actions_norm):
-    """Trig-free rollout of a linear-magnetics PMSM.
+def pmsm_fast_rollout(env, init_state, actions_norm):
+    """Trig-free rollout of a PMSM drive (linear or LUT-saturated magnetics).
 
     Args:
-        env: a non-saturated :class:`PMSM` with scalar static params, Euler
-            solver, deadtime 0 or 1.
+        env: a :class:`PMSM` with scalar static params, Euler solver,
+            deadtime 0 or 1.
         init_state: batched state from ``vmap_reset``.
         actions_norm: normalized dq voltages, shape ``(B, n_steps, 2)``.
 
@@ -145,16 +181,29 @@ def pmsm_linear_fast_rollout(env, init_state, actions_norm):
     """
     params = env.env_properties.static_params
     leaves = jax.tree_util.tree_leaves(params)
-    if env.env_properties.saturated:
-        raise ValueError("pmsm_linear_fast_rollout supports linear magnetics only")
+    saturated = bool(env.env_properties.saturated)
     if not all(np.isscalar(l) for l in leaves):
-        raise ValueError("pmsm_linear_fast_rollout requires scalar static params")
+        raise ValueError("pmsm_fast_rollout requires scalar static params")
     if int(params.deadtime) not in (0, 1):
         raise ValueError("deadtime must be 0 or 1")
     from exciting_environments_tpu.ops.solvers import Euler
 
     if type(env._solver) is not Euler:
-        raise ValueError("pmsm_linear_fast_rollout requires the Euler solver")
+        raise ValueError("pmsm_fast_rollout requires the Euler solver")
+
+    if saturated:
+        lut = env._lut
+        lut_values = lut.values
+        lut_grid = (lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny)
+        # linear parameters are NaN in the saturated preset; pass inert
+        # placeholders (NaN static args would defeat the jit cache, and the
+        # linear branch is not traced when LUTs are present)
+        l_d = l_q = 1.0
+        psi_p = 0.0
+    else:
+        lut_values = None
+        lut_grid = None
+        l_d, l_q, psi_p = float(params.l_d), float(params.l_q), float(params.psi_p)
 
     an = env.env_properties.action_normalizations
     phys = init_state.physical_state
@@ -172,15 +221,17 @@ def pmsm_linear_fast_rollout(env, init_state, actions_norm):
         tau=float(env.tau),
         p=float(params.p),
         r_s=float(params.r_s),
-        l_d=float(params.l_d),
-        l_q=float(params.l_q),
-        psi_p=float(params.psi_p),
+        l_d=l_d,
+        l_q=l_q,
+        psi_p=psi_p,
         u_dc=float(params.u_dc),
         deadtime=int(params.deadtime),
         a_scale_d=float((an.u_d.max - an.u_d.min) / 2.0),
         a_off_d=float((an.u_d.max + an.u_d.min) / 2.0),
         a_scale_q=float((an.u_q.max - an.u_q.min) / 2.0),
         a_off_q=float((an.u_q.max + an.u_q.min) / 2.0),
+        lut_values=lut_values,
+        lut_grid=lut_grid,
     )
 
     from exciting_environments_tpu.core import structures
@@ -202,3 +253,10 @@ def pmsm_linear_fast_rollout(env, init_state, actions_norm):
             active_solver_state=jnp.full(env.batch_size, True),
         ),
     )
+
+
+def pmsm_linear_fast_rollout(env, init_state, actions_norm):
+    """Linear-magnetics-only alias of :func:`pmsm_fast_rollout`."""
+    if env.env_properties.saturated:
+        raise ValueError("pmsm_linear_fast_rollout supports linear magnetics only")
+    return pmsm_fast_rollout(env, init_state, actions_norm)

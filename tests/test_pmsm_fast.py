@@ -58,3 +58,22 @@ def test_fast_rollout_scope_checks():
     _, st2 = env2.vmap_reset()
     with pytest.raises(ValueError, match="Euler"):
         pmsm_linear_fast_rollout(env2, st2, jnp.zeros((8, 4, 2)))
+
+
+def test_fast_rollout_saturated_matches_exact():
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.pmsm_fast import pmsm_fast_rollout
+
+    B, T = 128, 150
+    env = excenvs.PMSM(batch_size=B, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), B))
+    actions = jax.random.uniform(jax.random.PRNGKey(3), (B, T, 2), minval=-0.3, maxval=0.3)
+
+    _, last_exact = env.vmap_rollout(state, actions, T)
+    last_fast = pmsm_fast_rollout(env, state, actions)
+
+    for name, tol in [("i_d", 2e-2), ("i_q", 2e-2), ("torque", 1e-1)]:
+        a = np.asarray(getattr(last_fast.physical_state, name))
+        b = np.asarray(getattr(last_exact.physical_state, name))
+        scale = max(1.0, np.abs(b).max())
+        assert np.max(np.abs(a - b)) / scale < tol, f"{name}: {np.max(np.abs(a-b))} vs {scale}"

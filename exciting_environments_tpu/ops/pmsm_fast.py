@@ -22,8 +22,9 @@ by O(n_steps * ulp) relative to evaluating ``cos``/``sin`` directly, so
 trajectories deviate from the exact path at the 1e-5 level over ~1000 float32
 steps.  Validated against ``vmap_rollout`` in the tests.
 
-Scope: linear magnetics, scalar static params, Euler solver, deadtime 0/1
-(the reference's golden configuration).  Out-of-scope envs raise.
+Scope: linear OR LUT-saturated magnetics (the saturated path gathers all six
+flux/inductance channels with one batched stacked-bilinear lookup per step),
+scalar static params, Euler solver, deadtime 0/1.  Out-of-scope envs raise.
 """
 
 from __future__ import annotations

@@ -133,3 +133,31 @@ def test_make_solver_registry():
     assert isinstance(make_solver("tsit5"), Tsit5)
     s = Euler()
     assert make_solver(s) is s
+
+
+def test_implicit_euler_inside_environment():
+    """The implicit solver plugs into the full environment step protocol."""
+    import exciting_environments_tpu as excenvs
+
+    env = excenvs.MassSpringDamper(batch_size=4, solver="implicit_euler", tau=1e-2)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    for _ in range(20):
+        obs, state = env.vmap_step(state, 0.3 * jnp.ones((4, 1)))
+    assert bool(jnp.isfinite(obs).all())
+    # backward Euler is dissipative: stiff spring stays bounded at a step
+    # size where explicit Euler oscillates hard (k=100, tau=1e-2 -> |1-k*tau^2|...)
+    assert float(jnp.max(jnp.abs(state.physical_state.deflection))) < 10.0
+
+    # accuracy sanity: small tau implicit ~ explicit
+    env_e = excenvs.MassSpringDamper(batch_size=4, tau=1e-4)
+    env_i = excenvs.MassSpringDamper(batch_size=4, solver="implicit_euler", tau=1e-4)
+    _, se = env_e.vmap_reset(jax.random.split(jax.random.PRNGKey(1), 4))
+    _, si = env_i.vmap_reset(jax.random.split(jax.random.PRNGKey(1), 4))
+    for _ in range(50):
+        _, se = env_e.vmap_step(se, 0.2 * jnp.ones((4, 1)))
+        _, si = env_i.vmap_step(si, 0.2 * jnp.ones((4, 1)))
+    np.testing.assert_allclose(
+        np.asarray(si.physical_state.deflection),
+        np.asarray(se.physical_state.deflection),
+        atol=1e-3,
+    )

@@ -75,21 +75,32 @@ def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
     return tuple(lincomb(yl, [k[j] for k in ks], solver.b) for j, yl in enumerate(y))
 
 
-def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride):
-    """Kernel body over refs ``(actions, *state_in, *final_out[, *traj_out])``.
+def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride):
+    """Kernel body over refs ``(actions, *state_in, *state_out[, *traj_out])``.
 
-    With ``traj_stride`` set, every ``traj_stride``-th post-step state is also
-    written to per-leaf trajectory outputs of shape
-    ``(n_steps // traj_stride, 8, 128)``.
+    The grid is ``(batch_tiles, time_chunks)`` with time innermost: the state
+    output block (constant over the time axis) doubles as the carried state —
+    it is initialized from the input block on the first chunk and revisited
+    by every later chunk of the same batch tile, while Pallas double-buffers
+    the per-chunk action DMA.  With ``traj_stride`` set, every
+    ``traj_stride``-th post-step state is also written to per-leaf trajectory
+    blocks of ``chunk // traj_stride`` rows.
     """
 
     def kernel(actions_ref, *refs):
         in_refs = refs[:n_state]
-        final_refs = refs[n_state : 2 * n_state]
+        state_refs = refs[n_state : 2 * n_state]
         traj_refs = refs[2 * n_state :]
+        k = pl.program_id(1)
 
-        def body(step, y):
-            action = _IndexableAction(tuple(actions_ref[step, a] for a in range(n_action)))
+        @pl.when(k == 0)
+        def _():
+            for ref, src in zip(state_refs, in_refs):
+                ref[:] = src[:]
+
+        def body(i, y):
+            action = _IndexableAction(tuple(actions_ref[i, a] for a in range(n_action)))
+            step = k * chunk + i
             y1 = _rk_step(ode, solver, y, action, tau, step * tau)
             y1 = tuple(
                 ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi if wrap else leaf
@@ -99,17 +110,17 @@ def _make_kernel(ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_
                 y1 = clip_fn(y1)
             if traj_stride is not None:
 
-                @pl.when((step + 1) % traj_stride == 0)
+                @pl.when((i + 1) % traj_stride == 0)
                 def _():
-                    slot = (step + 1) // traj_stride - 1
+                    slot = (i + 1) // traj_stride - 1
                     for ref, leaf in zip(traj_refs, y1):
                         ref[slot] = leaf
 
             return y1
 
-        y = tuple(ref[:] for ref in in_refs)
-        y = jax.lax.fori_loop(0, n_steps, body, y)
-        for ref, leaf in zip(final_refs, y):
+        y = tuple(ref[:] for ref in state_refs)
+        y = jax.lax.fori_loop(0, chunk, body, y)
+        for ref, leaf in zip(state_refs, y):
             ref[:] = leaf
 
     return kernel
@@ -163,41 +174,59 @@ def fused_rollout(
         raise ValueError("n_steps must be divisible by traj_stride")
     n_state = len(y0)
     n_action = actions.shape[-1]
-    n_tiles = batch // TILE
+    total_rows = batch // LANES
+
+    # batch tile: as many (x, 128) rows as fit a ~1 MB/leaf VMEM budget
+    rows = SUBLANES
+    while rows * 2 <= total_rows and total_rows % (rows * 2) == 0 and rows < 64:
+        rows *= 2
+    n_batch_tiles = total_rows // rows
+
+    # time chunk: largest divisor of n_steps keeping the action block <= ~2 MB
+    # (Pallas double-buffers it) and compatible with the trajectory stride
+    max_chunk = max(1, (2 * 1024 * 1024) // (n_action * rows * LANES * 4))
+    chunk = 1
+    for c in range(1, n_steps + 1):
+        if n_steps % c == 0 and c <= max_chunk and (traj_stride is None or c % traj_stride == 0):
+            chunk = c
+    if traj_stride is not None and chunk % traj_stride != 0:
+        raise ValueError("no time chunk compatible with traj_stride; use a smaller stride")
+    n_time_chunks = n_steps // chunk
 
     # batch laid out as (rows, 128); actions time-major (T, A, rows, 128)
-    y0_tiled = tuple(leaf.reshape(batch // LANES, LANES) for leaf in y0)
-    actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(
-        n_steps, n_action, batch // LANES, LANES
-    )
+    y0_tiled = tuple(leaf.reshape(total_rows, LANES) for leaf in y0)
+    actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(n_steps, n_action, total_rows, LANES)
 
-    kernel = _make_kernel(
-        ode, solver, n_steps, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride
-    )
+    kernel = _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride)
 
     def state_block():
-        return pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        # constant over the time axis: the output block carries the state
+        # across time chunks of the same batch tile
+        return pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
 
     dtype = y0_tiled[0].dtype
     out_specs = [state_block() for _ in range(n_state)]
-    out_shape = [jax.ShapeDtypeStruct((batch // LANES, LANES), dtype) for _ in range(n_state)]
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_state)]
     if traj_stride is not None:
+        saves_per_chunk = chunk // traj_stride
         n_saves = n_steps // traj_stride
         out_specs += [
-            pl.BlockSpec((n_saves, SUBLANES, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (saves_per_chunk, rows, LANES), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
+            )
             for _ in range(n_state)
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((n_saves, batch // LANES, LANES), dtype) for _ in range(n_state)
+            jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype) for _ in range(n_state)
         ]
 
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_batch_tiles, n_time_chunks),  # time innermost: state accumulates per tile
         in_specs=[
             pl.BlockSpec(
-                (n_steps, n_action, SUBLANES, LANES),
-                lambda i: (0, 0, i, 0),
+                (chunk, n_action, rows, LANES),
+                lambda b, k: (k, 0, b, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -211,9 +240,7 @@ def fused_rollout(
     if traj_stride is None:
         return final
     n_saves = n_steps // traj_stride
-    traj = tuple(
-        jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in out[n_state:]
-    )
+    traj = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in out[n_state:])
     return final, traj
 
 

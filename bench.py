@@ -83,8 +83,21 @@ def run():
     max_dev = None
 
     on_tpu = jax.default_backend() != "cpu"
+    fused_value = None
     if on_tpu:
-        # path 2: fast-math Pallas kernel, cross-validated against path 1 on
+        # path 2: exact-op fused Pallas kernel, must agree with path 1 exactly
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+        t_fused, (_, last_fused) = _time_best(lambda a: env_fused_rollout(env, state, a), action_sets)
+        theta_fused = last_fused.physical_state.theta
+        _finite(jnp.mean(theta_fused))
+        fused_dev = float(jnp.max(jnp.abs(theta_fused - theta_exact)))
+        fused_value = BATCH * STEPS / t_fused
+        if fused_dev == 0.0 and fused_value > value:
+            value = fused_value
+            path = "pallas_fused_exact"
+
+        # path 3: fast-math Pallas kernel, cross-validated against path 1 on
         # the same final action set (two independent implementations agreeing
         # is the correctness check)
         t_fast, (th, om) = _time_best(lambda a: pendulum_fast_rollout(env, state, a), action_sets)
@@ -104,6 +117,7 @@ def run():
                 "vs_baseline": value / NORTH_STAR,
                 "path": path,
                 "exact_path_value": exact_value,
+                "fused_exact_path_value": fused_value,
                 "fast_path_value": fast_value,
                 "fast_vs_exact_max_abs_dtheta_rad": max_dev,
             }

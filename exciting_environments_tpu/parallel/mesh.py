@@ -122,5 +122,44 @@ class ShardedEnv:
     def vmap_generate_rew_trunc_term_ahead(self, states, actions):
         return self.env.vmap_generate_rew_trunc_term_ahead(states, self.shard(actions))
 
+    def fused_rollout(self, init_state, actions_norm, obs_stride: int = None, interpret: bool = False):
+        """Run the fused Pallas rollout kernel per shard under the mesh.
+
+        ``shard_map`` gives each chip its local batch slice; the kernel then
+        keeps that slice resident in VMEM for the whole horizon.  Stepping is
+        embarrassingly parallel, so no collectives are inserted.  The local
+        batch (``batch_size / mesh.size``) must satisfy the kernel's tiling
+        constraints (multiple of 1024); out-of-scope environments fall back
+        to the sharded scan path like the single-chip wrapper does.
+        """
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
+
+        env = self.env
+        local_batch = env.batch_size // self.mesh.size
+        if not (supports_fused_rollout(env) and local_batch % 1024 == 0):
+            obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or actions_norm.shape[1])
+            return (obs if obs_stride is not None else obs[:, -1]), last
+
+        # a shadow env with the per-shard batch size drives the local kernel
+        shadow = object.__new__(type(env))
+        shadow.__dict__.update(env.__dict__)
+        shadow.batch_size = local_batch
+
+        spec = P(self.axis_name)
+
+        def local(state, actions):
+            return env_fused_rollout(shadow, state, actions, obs_stride=obs_stride, interpret=interpret)
+
+        sharded = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(spec, spec),   # pytree prefixes: every leaf batch-sharded
+            out_specs=(spec, spec),
+            # pallas_call outputs carry no varying-mesh-axis metadata; the
+            # kernel is purely local per shard, so the check is vacuous here
+            check_vma=False,
+        )
+        return sharded(self.shard(init_state), self.shard(actions_norm))
+
     def __getattr__(self, name):
         return getattr(self.env, name)

@@ -139,3 +139,34 @@ def test_shard_batched_tree_rules(mesh):
     placed = shard_batched_tree(tree, 16, mesh)
     assert not placed["batched"].sharding.is_fully_replicated
     assert placed["small"].sharding.is_fully_replicated
+
+
+def test_sharded_fused_rollout(mesh):
+    """The fused Pallas kernel runs per shard under shard_map and matches the
+    single-device scan path."""
+    batch, T = 8192, 16  # 1024 envs per shard on the 8-device mesh
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 1), minval=-0.9, maxval=0.9)
+
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(last_f.physical_state.theta), np.asarray(last_s.physical_state.theta)
+    )
+    assert not last_f.physical_state.theta.sharding.is_fully_replicated
+
+
+def test_sharded_fused_rollout_fallback(mesh):
+    """Out-of-kernel-scope envs fall back to the sharded scan path."""
+    batch = 64  # 8 per shard: below the kernel's 1024-env tile
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset()
+    state = senv.shard(state)
+    actions = 0.2 * jnp.ones((batch, 4, 1))
+    obs, last = senv.fused_rollout(state, actions)
+    assert obs.shape == (batch, 2)

@@ -87,3 +87,19 @@ def test_ref_generation_enabled_after_first_step():
     gym_env.step(jnp.zeros((4, 1)))
     # with generation active, the hold counter must decrement
     assert bool((gym_env.reference_hold_steps == hold0 - 1).all())
+
+
+def test_reset_with_initial_state():
+    """Resetting to a caller-provided flattened state restores it exactly."""
+    from jax.tree_util import tree_flatten
+
+    env = EnvironmentRegistry.MASS_SPRING_DAMPER.make(batch_size=3)
+    gym_env = excenvs.GymWrapper(env=env)
+    for _ in range(5):
+        gym_env.step(0.7 * jnp.ones((3, 1)))
+    saved = [leaf.copy() for leaf in gym_env.state]
+
+    gym_env.step(0.7 * jnp.ones((3, 1)))  # move away
+    obs, _ = gym_env.reset(initial_state=saved)
+    for a, b in zip(gym_env.state, saved):
+        assert jnp.array_equal(a, b, equal_nan=True)  # reference/PRNG leaves are NaN

@@ -69,3 +69,42 @@ def test_grad_through_sim_ahead_and_pmsm():
 
     g2 = jax.grad(loss_pmsm)(0.05 * jnp.ones((2, 12, 2)))
     assert bool(jnp.isfinite(g2).all()) and float(jnp.linalg.norm(g2)) > 0
+
+
+def test_parameter_gradient_system_identification():
+    """Gradients w.r.t. physical parameters enable system identification:
+    recover the spring constant from observed trajectories by gradient
+    descent (the functional API takes env_properties as an argument, so any
+    leaf can be a differentiation target)."""
+    from exciting_environments_tpu.core import structures
+
+    true_env = excenvs.MassSpringDamper(batch_size=4, tau=1e-2)
+    _, s0 = true_env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (4, 60, 1), minval=-1, maxval=1)
+    obs_data, _ = true_env.vmap_rollout(s0, actions)  # ground truth, k = 100
+
+    env = true_env
+
+    def rollout_with_k(k):
+        props = structures.replace(
+            env.env_properties,
+            static_params=structures.replace(env.env_properties.static_params, k=k),
+        )
+
+        def body(state, a_t):
+            obs, state = jax.vmap(env.step, in_axes=(0, 0, None))(state, a_t, props)
+            return state, obs
+
+        _, obs = jax.lax.scan(body, s0, jnp.swapaxes(actions, 0, 1))
+        return jnp.swapaxes(obs, 0, 1)
+
+    def loss(k):
+        return jnp.mean((rollout_with_k(k) - obs_data) ** 2)
+
+    k = 60.0
+    value_and_grad = jax.jit(jax.value_and_grad(loss))
+    for _ in range(100):
+        l, g = value_and_grad(k)
+        k = k - 120.0 * g
+    assert abs(float(k) - 100.0) < 0.5, f"identified k = {float(k)}"
+    assert float(l) < 1e-4

@@ -81,17 +81,25 @@ class Timer:
         return sum(self.times) / len(self.times)
 
 
-def benchmark_steps_per_sec(fn: Callable, *args, n_env_steps: int, repeats: int = 3):
-    """Measure sustained env-steps/sec of ``fn(*args)``.
+def benchmark_steps_per_sec(fn: Callable, *args, n_env_steps: int, repeats: int = 3, inputs=None):
+    """Measure sustained env-steps/sec of ``fn``.
 
     The first call is excluded (compile); subsequent calls are synchronized
     with ``block_until_ready``.  Returns ``(steps_per_sec, best_seconds)``.
+
+    Pass ``inputs`` (a list of distinct argument tuples, first entry used for
+    warmup) when benchmarking on runtimes that cache identical
+    (executable, arguments) executions — re-timing the same call there
+    measures the cache, not the device.  Without ``inputs``, ``fn(*args)`` is
+    repeated as-is.
     """
-    out = fn(*args)
+    if inputs is None:
+        inputs = [args] * (repeats + 1)
+    out = fn(*inputs[0])
     jax.block_until_ready(out)
     timer = Timer()
-    for _ in range(repeats):
+    for call_args in inputs[1:]:
         with timer.measure():
-            out = fn(*args)
+            out = fn(*call_args)
             jax.block_until_ready(out)
     return n_env_steps / timer.best, timer.best

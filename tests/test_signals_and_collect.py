@@ -73,3 +73,22 @@ def test_collector_closed_loop():
     # trajectory batch is itself a pytree -> checkpointable / shardable
     leaves = jax.tree_util.tree_leaves(traj)
     assert all(l.shape[0] == 3 for l in leaves)
+
+
+def test_collector_on_sharded_env():
+    """The collector composes with mesh sharding (delegated attribute access)."""
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh()
+    env = excenvs.Pendulum(batch_size=16)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset()
+    state = senv.shard(state)
+    actions = senv.shard(aprbs(jax.random.PRNGKey(0), 16, 12, 1, hold_min=2, hold_max=6))
+
+    traj, final_state = RolloutCollector(senv).collect(state, actions)
+    assert traj.observations.shape == (16, 12, 2)
+    assert not traj.observations.sharding.is_fully_replicated
+    # equals the unsharded collection
+    traj_ref, _ = RolloutCollector(env).collect(state, actions)
+    np.testing.assert_array_equal(np.asarray(traj.observations), np.asarray(traj_ref.observations))

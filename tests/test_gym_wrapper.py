@@ -103,3 +103,16 @@ def test_reset_with_initial_state():
     obs, _ = gym_env.reset(initial_state=saved)
     for a, b in zip(gym_env.state, saved):
         assert jnp.array_equal(a, b, equal_nan=True)  # reference/PRNG leaves are NaN
+
+
+def test_custom_reward_function():
+    """User-supplied reward/terminated/truncated functions replace the env's."""
+    env = EnvironmentRegistry.PENDULUM.make(batch_size=2)
+
+    def my_reward(state, action, env_properties):
+        return jnp.array([42.0])
+
+    gym_env = excenvs.GymWrapper(env=env, generate_reward=my_reward)
+    gym_env.reset()
+    obs, reward, terminated, truncated = gym_env.step(jnp.zeros((2, 1)))
+    assert bool((reward == 42.0).all())

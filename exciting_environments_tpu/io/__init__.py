@@ -1,0 +1,12 @@
+"""Dataset IO: native asynchronous shard writing for trajectory batches.
+
+Fleet-scale collection produces multi-gigabyte :class:`TrajectoryBatch`
+pytrees per rollout; persisting them must not stall the device pipeline.
+:class:`ShardWriter` streams pytrees into a simple self-describing binary
+shard format through a **C++ background writer thread** (bounded queue, see
+``native/shard_writer.cpp``) so serialization overlaps the next rollout.
+If no C++ toolchain is available the same API falls back to a Python-thread
+writer.
+"""
+
+from exciting_environments_tpu.io.dataset import ShardWriter, read_shard

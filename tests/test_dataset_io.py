@@ -1,0 +1,68 @@
+"""Native async shard writer: round-trips, backpressure, both backends."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.io import ShardWriter, read_shard
+from exciting_environments_tpu.io.native import native_available
+from exciting_environments_tpu.utils.collect import RolloutCollector
+
+BACKENDS = [False] + ([True] if native_available() else [])
+
+
+@pytest.mark.parametrize("use_native", BACKENDS, ids=["python", "native"][: len(BACKENDS)])
+def test_trajectory_shard_roundtrip(tmp_path, use_native):
+    env = excenvs.Pendulum(batch_size=8)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 8))
+    collector = RolloutCollector(env)
+
+    path = tmp_path / "run.extpu"
+    trajs = []
+    with ShardWriter(path, use_native=use_native) as w:
+        assert w.native == use_native
+        for i in range(3):
+            actions = jax.random.uniform(jax.random.PRNGKey(i), (8, 10, 1), minval=-1, maxval=1)
+            traj, state = collector.collect(state, actions)
+            trajs.append(traj)
+            w.append(traj, name=f"rollout_{i}")
+
+    entries = read_shard(path)
+    assert [name for name, _ in entries] == ["rollout_0", "rollout_1", "rollout_2"]
+    for (name, arrays), traj in zip(entries, trajs):
+        np.testing.assert_array_equal(arrays["['observations']"], np.asarray(traj.observations))
+        np.testing.assert_array_equal(arrays["['actions']"], np.asarray(traj.actions))
+        np.testing.assert_array_equal(arrays["['rewards']"], np.asarray(traj.rewards))
+
+
+def test_native_builds_and_reports_written(tmp_path):
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    w = ShardWriter(tmp_path / "x.extpu", use_native=True)
+    w.append({"a": jnp.arange(1000.0)})
+    written = w.close()
+    # magic + 4000 payload bytes + footer
+    assert written > 4000
+    (name, arrays), = read_shard(tmp_path / "x.extpu")
+    np.testing.assert_array_equal(arrays["['a']"], np.arange(1000.0))
+
+
+@pytest.mark.parametrize("use_native", BACKENDS, ids=["python", "native"][: len(BACKENDS)])
+def test_many_appends_and_order(tmp_path, use_native):
+    path = tmp_path / "many.extpu"
+    with ShardWriter(path, use_native=use_native, max_queue_bytes=1 << 16) as w:
+        for i in range(50):
+            w.append({"x": np.full((128,), i, dtype=np.float32)})
+    entries = read_shard(path)
+    assert len(entries) == 50
+    for i, (_, arrays) in enumerate(entries):
+        assert float(arrays["['x']"][0]) == i  # order preserved under backpressure
+
+
+def test_corrupt_file_rejected(tmp_path):
+    p = tmp_path / "bad.extpu"
+    p.write_bytes(b"not a shard at all")
+    with pytest.raises(ValueError, match="EXTPU1"):
+        read_shard(p)

@@ -4,12 +4,12 @@ inside one kernel launch.
 Motivation (SURVEY §7.7): the XLA ``lax.scan`` rollout
 (:meth:`CoreEnvironment.vmap_rollout`) already removes per-step dispatch, but
 every scan iteration still round-trips the state through HBM with generic
-layouts.  This kernel keeps the *entire state resident in VMEM* for the whole
-horizon: the batch is tiled over the grid, each program instance loads its
-action slab once, then runs ``n_steps`` solver steps on (8, 128)-tiled
-values with zero HBM traffic for the state.  For small-state environments
-(pendulum: 2 floats/env) this is bandwidth-optimal — the only unavoidable
-traffic is streaming the actions.
+layouts.  This kernel keeps the state *resident in VMEM* for the whole
+horizon on a 2-D grid: batch tiles (up to 64x128 rows) on the outer axis and
+double-buffered ~2 MB action chunks streaming on the inner (time) axis, with
+the state carried in the revisited output block.  The horizon length is
+therefore unbounded by VMEM, and for small-state environments (pendulum:
+2 floats/env) the only unavoidable HBM traffic is streaming the actions.
 
 Scope: the classic ODE environments (elementwise vector fields, scalar
 static parameters) with carry-free explicit solvers (Euler, Heun, Midpoint,

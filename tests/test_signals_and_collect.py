@@ -92,3 +92,18 @@ def test_collector_on_sharded_env():
     # equals the unsharded collection
     traj_ref, _ = RolloutCollector(env).collect(state, actions)
     np.testing.assert_array_equal(np.asarray(traj.observations), np.asarray(traj_ref.observations))
+
+
+def test_profiler_trace_context(tmp_path):
+    """The jax.profiler trace context captures a rollout without error and
+    produces trace artifacts."""
+    from exciting_environments_tpu.utils.profiling import annotate, trace
+
+    env = excenvs.Pendulum(batch_size=8)
+    _, state = env.vmap_reset()
+    with trace(str(tmp_path / "tb")):
+        with annotate("rollout"):
+            obs, last = env.vmap_rollout(state, 0.2 * jnp.ones((8, 16, 1)))
+            jax.block_until_ready(obs)
+    files = list((tmp_path / "tb").rglob("*"))
+    assert files, "profiler produced no trace artifacts"

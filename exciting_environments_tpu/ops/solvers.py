@@ -129,6 +129,34 @@ class ExplicitRungeKutta(ODESolver):
             new_carry = None
         return y1, new_carry
 
+    #: embedded lower-order error weights (``b - bhat``); None when the
+    #: method has no embedded pair
+    b_err = None
+
+    def step_with_error(self, f, t0, t1, y0, args, dt=None):
+        """One step plus the embedded local error estimate.
+
+        Returns ``(y1, err)`` with ``err = h * sum_i b_err[i] * k_i`` — the
+        difference between the solution and its embedded lower-order
+        companion, used by the adaptive controller
+        (:mod:`exciting_environments_tpu.ops.adaptive`).
+        """
+        if self.b_err is None:
+            raise ValueError(f"{type(self).__name__} has no embedded error estimate")
+        h = (t1 - t0) if dt is None else dt
+        ks = [f(t0, y0, args)]
+        for i, row in enumerate(self.a):
+            ti = t0 if self.c[i + 1] == 0.0 else t0 + self.c[i + 1] * h
+            yi = _weighted_increment(y0, h, ks, row)
+            ks.append(f(ti, yi, args))
+        if self.fsal:
+            y1 = _weighted_increment(y0, h, ks[:-1], self.b[:-1])
+        else:
+            y1 = _weighted_increment(y0, h, ks, self.b)
+        zero = jax.tree_util.tree_map(lambda leaf: leaf * 0.0, y0)
+        err = _weighted_increment(zero, h, ks, self.b_err)
+        return y1, err
+
 
 class Euler(ExplicitRungeKutta):
     """Explicit (forward) Euler — the reference's default solver
@@ -195,6 +223,16 @@ class Tsit5(ExplicitRungeKutta):
         2.324710524099774,
         0.0,
     )
+    # embedded 4th-order error weights (b - bhat), standard Tsit5 values
+    b_err = (
+        -0.00178001105222577714,
+        -0.0008164344596567469,
+        0.007880878010261995,
+        -0.1447110071732629,
+        0.5823571654525552,
+        -0.45808210592918697,
+        0.015151515151515152,
+    )
 
 
 class Dopri5(ExplicitRungeKutta):
@@ -212,6 +250,16 @@ class Dopri5(ExplicitRungeKutta):
         (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
     )
     b = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+    # embedded 4th-order error weights (b - bhat), standard Dopri5 values
+    b_err = (
+        71 / 57600,
+        0.0,
+        -71 / 16695,
+        71 / 1920,
+        -17253 / 339200,
+        22 / 525,
+        -1 / 40,
+    )
 
 
 class ImplicitEuler(ODESolver):

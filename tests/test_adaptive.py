@@ -1,0 +1,60 @@
+"""Batched adaptive integration: accuracy, efficiency, per-instance control."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from exciting_environments_tpu.ops.adaptive import adaptive_solve
+from exciting_environments_tpu.ops.rollout import solve_trajectory
+from exciting_environments_tpu.ops.solvers import Dopri5, Euler, Tsit5
+
+
+def _decay(t, y, args):
+    (lam,) = args
+    return (-lam * y[0],)
+
+
+def _oscillator(t, y, args):
+    x, v = y
+    return (v, -x)
+
+
+@pytest.mark.parametrize("solver", [Tsit5(), Dopri5()], ids=["tsit5", "dopri5"])
+def test_accuracy_tracks_tolerance(solver):
+    for rtol in [1e-4, 1e-8]:
+        y, stats = adaptive_solve(solver, _decay, (1.0,), (2.0,), 0.0, 1.0, rtol=rtol, atol=rtol)
+        err = abs(float(y[0]) - np.exp(-2.0))
+        assert err < 50 * rtol, f"rtol={rtol}: err {err}"
+
+
+def test_fewer_steps_than_fixed_for_same_accuracy():
+    """Adaptive Tsit5 reaches fixed-step accuracy with far fewer steps on a
+    smooth problem."""
+    y_fix, _ = solve_trajectory(Tsit5(), _oscillator, (1.0, 0.0), (), 1000, 0.01)
+    y_ad, stats = adaptive_solve(Tsit5(), _oscillator, (1.0, 0.0), (), 0.0, 10.0, rtol=1e-8, atol=1e-10)
+    assert abs(float(y_ad[0]) - np.cos(10.0)) < 1e-6
+    assert int(stats.accepted) < 300  # vs 1000 fixed steps
+
+
+def test_per_instance_step_counts():
+    """A batch mixing slow and fast dynamics takes per-instance step counts."""
+    lams = jnp.array([0.1, 1.0, 10.0, 100.0])
+    y0 = (jnp.ones(4),)
+    y, stats = adaptive_solve(Tsit5(), _decay, y0, (lams,), 0.0, 1.0, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(y[0]), np.exp(-np.asarray(lams)), rtol=1e-5, atol=1e-8)
+    counts = np.asarray(stats.accepted)
+    assert counts[3] > 3 * counts[0], f"stiffest instance should take more steps: {counts}"
+
+
+def test_rejections_happen_and_converge():
+    """A deliberately huge initial step gets rejected, then the controller
+    recovers."""
+    y, stats = adaptive_solve(Tsit5(), _decay, (1.0,), (50.0,), 0.0, 1.0, dt0=1.0, rtol=1e-6, atol=1e-9)
+    assert int(stats.rejected) >= 1
+    assert abs(float(y[0]) - np.exp(-50.0)) < 1e-6
+
+
+def test_no_embedded_pair_rejected():
+    with pytest.raises(ValueError, match="embedded"):
+        adaptive_solve(Euler(), _decay, (1.0,), (1.0,), 0.0, 1.0)

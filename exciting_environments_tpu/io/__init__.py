@@ -7,6 +7,13 @@ shard format through a **C++ background writer thread** (bounded queue, see
 ``native/shard_writer.cpp``) so serialization overlaps the next rollout.
 If no C++ toolchain is available the same API falls back to a Python-thread
 writer.
+
+Reading back, :class:`DeviceLoader` completes the pipeline: footer-only
+shard indexing with memory-mapped payloads plus a double-buffered
+background thread that stages each entry onto device (optionally scattered
+over a mesh sharding) while the consumer is still computing on the
+previous one.
 """
 
 from exciting_environments_tpu.io.dataset import ShardWriter, read_shard
+from exciting_environments_tpu.io.loader import DeviceLoader, ShardIndex, read_shard_lazy

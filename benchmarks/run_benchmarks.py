@@ -230,6 +230,31 @@ def bench_pendulum_headline(batch=65536, steps=1024):
         )
 
 
+def bench_fast_mechanics(batch=65536, steps=1024):
+    """CartPole/Acrobot fused-kernel throughput, exact vs fast-math ops."""
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    if jax.default_backend() == "cpu":
+        return
+    for cls, name in [(excenvs.CartPole, "cartpole"), (excenvs.Acrobot, "acrobot")]:
+        action_sets = [
+            jax.random.uniform(
+                jax.random.PRNGKey(60 + i), (batch, steps, 1), minval=-0.8, maxval=0.8
+            )
+            for i in range(4)
+        ]
+        for fast in (False, True):
+            env = cls(batch_size=batch, tau=1e-4, fast_math=fast)
+            _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), batch))
+            timed(
+                f"{name}_b{batch}_pallas_fused{'_fast_math' if fast else ''}",
+                lambda a, env=env, state=state: env_fused_rollout(env, state, a)[1],
+                batch * steps,
+                inputs=action_sets,
+            )
+
+
 ALL = {
     "pendulum_readme": bench_pendulum_readme_loop,
     "headline": bench_pendulum_headline,
@@ -237,6 +262,7 @@ ALL = {
     "tsit5": bench_tsit5_sim_ahead,
     "fluid_tank": bench_fluid_tank_long_horizon,
     "pmsm": bench_pmsm,
+    "fast_mechanics": bench_fast_mechanics,
 }
 
 

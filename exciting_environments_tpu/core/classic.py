@@ -114,9 +114,11 @@ class ClassicODEEnvironment(CoreEnvironment):
         if self.fast_math:
             self._sin = fastmath.sin_wrapped
             self._cos = fastmath.poly_cos
+            self._sign = fastmath.fast_sign
         else:
             self._sin = jnp.sin
             self._cos = jnp.cos
+            self._sign = jnp.sign
 
         if batch_size is None:
             batch_size = self._default_batch_size

@@ -110,7 +110,7 @@ class CartPole(ClassicODEEnvironment):
                 (
                     -action(t)[0]
                     - params.m_p * params.l * (omega**2) * self._sin(theta)
-                    + params.mu_c * jnp.sign(velocity)
+                    + params.mu_c * self._sign(velocity)
                 )
                 / (params.m_c + params.m_p)
             )
@@ -120,7 +120,7 @@ class CartPole(ClassicODEEnvironment):
         d_velocity = (
             action(t)[0]
             + params.m_p * params.l * ((omega**2) * self._sin(theta) - d_omega * self._cos(theta))
-            - params.mu_c * jnp.sign(velocity)
+            - params.mu_c * self._sign(velocity)
         ) / (params.m_c + params.m_p)
         d_theta = omega
         d_deflection = velocity

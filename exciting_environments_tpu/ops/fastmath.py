@@ -75,3 +75,15 @@ def sin_wrapped(x):
 def poly_cos(x):
     """Polynomial cos via the shifted sin identity (fast wrap + poly)."""
     return poly_sin(wrap_angle_fast(x + 0.5 * np.pi))
+
+
+def fast_sign(x):
+    """``sign`` without select: ``clip(x * 1e30, -1, 1)`` (min/max only).
+
+    Matches ``jnp.sign`` exactly for 0 and any ``|x| >= 1e-30``; float32
+    subnormal-magnitude inputs land strictly between -1 and 1, which the
+    friction terms using this (Coulomb ``mu_c * sign(velocity)``) tolerate
+    at fast-math accuracy.
+    """
+    x = jnp.asarray(x)
+    return jnp.clip(x * jnp.asarray(1e30, x.dtype), -1.0, 1.0)

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from exciting_environments_tpu.core.env import CoreEnvironment
+from exciting_environments_tpu.ops.fastmath import wrap_angle_fast
 from exciting_environments_tpu.ops.solvers import ExplicitRungeKutta
 
 # one batch tile = (SUBLANES, LANES) = 1024 environments (f32 native tiling)
@@ -75,7 +76,7 @@ def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
     return tuple(lincomb(yl, [k[j] for k in ks], solver.b) for j, yl in enumerate(y))
 
 
-def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride):
+def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride, fast_wrap):
     """Kernel body over refs ``(actions, *state_in, *state_out[, *traj_out])``.
 
     The grid is ``(batch_tiles, time_chunks)`` with time innermost: the state
@@ -102,9 +103,11 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
             action = _IndexableAction(tuple(actions_ref[i, a] for a in range(n_action)))
             step = k * chunk + i
             y1 = _rk_step(ode, solver, y, action, tau, step * tau)
+            wrap_op = wrap_angle_fast if fast_wrap else (
+                lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+            )
             y1 = tuple(
-                ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi if wrap else leaf
-                for leaf, wrap in zip(y1, wrap_flags)
+                wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
             )
             if clip_fn is not None:
                 y1 = clip_fn(y1)
@@ -128,7 +131,7 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "interpret"),
+    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "fast_wrap", "interpret"),
 )
 def fused_rollout(
     ode,
@@ -140,6 +143,7 @@ def fused_rollout(
     wrap_flags: tuple,
     clip_fn=None,
     traj_stride: int = None,
+    fast_wrap: bool = False,
     interpret: bool = False,
 ):
     """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
@@ -158,6 +162,9 @@ def fused_rollout(
         traj_stride: if set, additionally return every ``traj_stride``-th
             post-step state, shape ``(B, n_steps // traj_stride)`` per leaf
             (static; must divide ``n_steps``).
+        fast_wrap: wrap angles with the FMA+floor floored-modulo identity
+            instead of ``rem`` (fast-math environments; last-ulp rounding
+            differences).
         interpret: Pallas interpreter mode (for CPU testing).
 
     Returns:
@@ -197,7 +204,7 @@ def fused_rollout(
     y0_tiled = tuple(leaf.reshape(total_rows, LANES) for leaf in y0)
     actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(n_steps, n_action, total_rows, LANES)
 
-    kernel = _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride)
+    kernel = _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride, fast_wrap)
 
     def state_block():
         # constant over the time axis: the output block carries the state
@@ -305,6 +312,7 @@ def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, int
         wrap_flags,
         clip_fn=clip_fn,
         traj_stride=obs_stride,
+        fast_wrap=getattr(env, "fast_math", False),
         interpret=interpret,
     )
     y_final, y_traj = result if obs_stride is not None else (result, None)

@@ -141,6 +141,29 @@ def test_pendulum_fast_math_kernel():
     np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)
 
 
+def test_fast_sign_matches_sign():
+    from exciting_environments_tpu.ops.fastmath import fast_sign
+
+    x = jnp.array([-3.0, -1e-20, 0.0, 1e-20, 8.0])
+    np.testing.assert_array_equal(np.asarray(fast_sign(x)), np.sign(np.asarray(x)))
+
+
+@pytest.mark.parametrize("env_cls", [excenvs.CartPole, excenvs.Acrobot])
+def test_fused_matches_scan_fast_math(env_cls):
+    """fast_math envs run poly trig + floor wrap + clamp sign INSIDE the fused
+    kernel, identically to their fast scan path."""
+    env, obs_ref, last_ref, obs_fused, last_fused = _rollout_pair(env_cls, Euler(), fast_math=True)
+    assert supports_fused_rollout(env)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-12, atol=1e-12)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_fused.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+
 @pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.CartPole, excenvs.Acrobot])
 def test_env_fast_math_flag(env_cls):
     """fast_math envs track the exact envs within polynomial-error tolerance

@@ -79,15 +79,23 @@ def _pendulum_kernel_call(theta0, omega0, actions_tm, tau, g, l, m, a_scale, a_o
     return th, om
 
 
-def pendulum_fast_rollout(env, init_state, actions_norm, chunk: int = 16, interpret: bool = False):
+def pendulum_fast_rollout(
+    env, init_state, actions_norm, chunk: int = 16, time_major: bool = False, interpret: bool = False
+):
     """Fast-math Euler rollout for a :class:`Pendulum` environment.
 
     Args:
         env: a ``Pendulum`` with scalar static params and an Euler solver.
         init_state: batched state from ``vmap_reset``.
-        actions_norm: normalized actions, shape ``(B, n_steps, 1)``;
+        actions_norm: normalized actions, shape ``(B, n_steps, 1)`` — or
+            ``(n_steps, B, 1)`` with ``time_major=True``;
             ``n_steps`` must be divisible by ``chunk``.
         chunk: actions per DMA block (time-chunk size of the grid).
+        time_major: the kernel streams actions time-major; batch-major input
+            costs a full transposed copy of the action slab PER CALL (~3x
+            total runtime at the benchmark scale).  Generate long-horizon /
+            repeatedly-replayed action slabs ``(n_steps, B, 1)`` and pass
+            ``time_major=True`` to skip it.
         interpret: Pallas interpreter mode for CPU testing.
 
     Returns:
@@ -98,7 +106,10 @@ def pendulum_fast_rollout(env, init_state, actions_norm, chunk: int = 16, interp
     a_scale = float((norm.max - norm.min) / 2.0)
     a_offset = float((norm.max + norm.min) / 2.0)
 
-    batch, n_steps, _ = actions_norm.shape
+    if time_major:
+        n_steps, batch, _ = actions_norm.shape
+    else:
+        batch, n_steps, _ = actions_norm.shape
     if batch % LANES != 0:
         raise ValueError(f"batch {batch} must be a multiple of {LANES}")
     if n_steps % chunk != 0:
@@ -107,9 +118,12 @@ def pendulum_fast_rollout(env, init_state, actions_norm, chunk: int = 16, interp
 
     theta0 = jnp.asarray(init_state.physical_state.theta, jnp.float32).reshape(rows, LANES)
     omega0 = jnp.asarray(init_state.physical_state.omega, jnp.float32).reshape(rows, LANES)
-    actions_tm = (
-        jnp.asarray(actions_norm, jnp.float32).reshape(batch, n_steps).T.reshape(n_steps, rows, LANES)
-    )
+    if time_major:
+        actions_tm = jnp.asarray(actions_norm, jnp.float32).reshape(n_steps, rows, LANES)
+    else:
+        actions_tm = (
+            jnp.asarray(actions_norm, jnp.float32).reshape(batch, n_steps).T.reshape(n_steps, rows, LANES)
+        )
 
     th, om = _pendulum_kernel_call(
         theta0,

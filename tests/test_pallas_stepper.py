@@ -141,6 +141,22 @@ def test_pendulum_fast_math_kernel():
     np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)
 
 
+def test_pendulum_fast_time_major_layout():
+    """Time-major action input (no per-call transpose) is bit-identical to
+    the batch-major path."""
+    from exciting_environments_tpu.ops.pallas.pendulum_fast import pendulum_fast_rollout
+
+    env = excenvs.Pendulum(batch_size=128, tau=1e-4)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 128))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (128, 64, 1), minval=-1.0, maxval=1.0)
+    th, om = pendulum_fast_rollout(env, state, actions, chunk=8, interpret=True)
+    th_tm, om_tm = pendulum_fast_rollout(
+        env, state, jnp.transpose(actions, (1, 0, 2)), chunk=8, time_major=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(th_tm), np.asarray(th))
+    np.testing.assert_array_equal(np.asarray(om_tm), np.asarray(om))
+
+
 def test_fast_sign_matches_sign():
     from exciting_environments_tpu.ops.fastmath import fast_sign
 

@@ -238,18 +238,25 @@ def bench_fast_mechanics(batch=65536, steps=1024):
     if jax.default_backend() == "cpu":
         return
     for cls, name in [(excenvs.CartPole, "cartpole"), (excenvs.Acrobot, "acrobot")]:
+        # time-major slabs + one jitted executable per call: the layout the
+        # kernel streams (a batch-major slab costs a transposed copy per call)
         action_sets = [
             jax.random.uniform(
-                jax.random.PRNGKey(60 + i), (batch, steps, 1), minval=-0.8, maxval=0.8
+                jax.random.PRNGKey(60 + i), (steps, batch, 1), minval=-0.8, maxval=0.8
             )
             for i in range(4)
         ]
         for fast in (False, True):
             env = cls(batch_size=batch, tau=1e-4, fast_math=fast)
             _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), batch))
+            step = jax.jit(
+                lambda a, env=env, state=state: env_fused_rollout(
+                    env, state, a, time_major=True
+                )[1]
+            )
             timed(
                 f"{name}_b{batch}_pallas_fused{'_fast_math' if fast else ''}",
-                lambda a, env=env, state=state: env_fused_rollout(env, state, a)[1],
+                step,
                 batch * steps,
                 inputs=action_sets,
             )

@@ -131,7 +131,7 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "fast_wrap", "interpret"),
+    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "fast_wrap", "time_major", "interpret"),
 )
 def fused_rollout(
     ode,
@@ -144,6 +144,7 @@ def fused_rollout(
     clip_fn=None,
     traj_stride: int = None,
     fast_wrap: bool = False,
+    time_major: bool = False,
     interpret: bool = False,
 ):
     """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
@@ -154,7 +155,11 @@ def fused_rollout(
         solver: carry-free :class:`ExplicitRungeKutta` (tableau baked into
             the kernel).
         y0: tuple of ``(B,)`` state arrays, ``B % 1024 == 0``.
-        actions: physical (denormalized) actions, shape ``(B, n_steps, A)``.
+        actions: physical (denormalized) actions, shape ``(B, n_steps, A)``
+            — or ``(n_steps, B, A)`` with ``time_major=True``, which is the
+            layout the kernel streams: for ``A == 1`` it is consumed with NO
+            copy, while batch-major input costs a full transposed copy of
+            the slab per call (the dominant cost at large ``B*n_steps``).
         n_steps: number of control steps (static).
         tau: step duration (static).
         wrap_flags: per-leaf flags — wrap into (-pi, pi] after each step.
@@ -181,6 +186,8 @@ def fused_rollout(
         raise ValueError("n_steps must be divisible by traj_stride")
     n_state = len(y0)
     n_action = actions.shape[-1]
+    if time_major and actions.shape[:2] != (n_steps, batch):
+        raise ValueError(f"time_major actions must be (n_steps, B, A), got {actions.shape}")
     total_rows = batch // LANES
 
     # batch tile: as many (x, 128) rows as fit a ~1 MB/leaf VMEM budget
@@ -202,7 +209,16 @@ def fused_rollout(
 
     # batch laid out as (rows, 128); actions time-major (T, A, rows, 128)
     y0_tiled = tuple(leaf.reshape(total_rows, LANES) for leaf in y0)
-    actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(n_steps, n_action, total_rows, LANES)
+    if time_major:
+        # (T, B, A): a pure reshape for A == 1, a last-two-dims transpose else
+        if n_action == 1:
+            actions_tiled = actions.reshape(n_steps, 1, total_rows, LANES)
+        else:
+            actions_tiled = jnp.transpose(actions, (0, 2, 1)).reshape(
+                n_steps, n_action, total_rows, LANES
+            )
+    else:
+        actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(n_steps, n_action, total_rows, LANES)
 
     kernel = _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride, fast_wrap)
 
@@ -253,7 +269,9 @@ def fused_rollout(
 
 def supports_fused_rollout(env) -> bool:
     """Whether ``env`` is inside the fused kernel's scope."""
-    param_leaves = jax.tree_util.tree_leaves(env.env_properties.static_params)
+    param_leaves = jax.tree_util.tree_leaves(env.env_properties.static_params) + jax.tree_util.tree_leaves(
+        env.env_properties.action_normalizations
+    )
     return (
         all(np.isscalar(leaf) for leaf in param_leaves)
         and len(env._ode_state_fields) == env.physical_state_dim
@@ -263,7 +281,14 @@ def supports_fused_rollout(env) -> bool:
     )
 
 
-def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, interpret: bool = False):
+def env_fused_rollout(
+    env,
+    init_state,
+    actions_norm,
+    obs_stride: int = None,
+    time_major: bool = False,
+    interpret: bool = False,
+):
     """Environment-level fused rollout: normalized actions in, ``(obs, state)``
     out — numerically identical to the scan path for in-scope envs (final
     physical states bit-exact; observations may differ by 1 ulp in float32
@@ -273,9 +298,16 @@ def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, int
     With ``obs_stride`` set, every ``obs_stride``-th observation is returned,
     shape ``(B, n_steps // obs_stride, obs_dim)``; otherwise only the final
     observation ``(B, obs_dim)``.
+
+    ``time_major=True`` takes actions ``(n_steps, B, A)`` — the layout the
+    kernel streams, saving a full transposed copy of the slab per call (for
+    peak sustained throughput also jit-wrap the call so the pre-passes fuse
+    into one executable).  The fallback scan path transposes back.
     """
-    n_steps = actions_norm.shape[1]
+    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     if not supports_fused_rollout(env):
+        if time_major:
+            actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, last_state = env.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
         if obs_stride is None:
             obs = obs[:, -1]
@@ -283,7 +315,8 @@ def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, int
 
     params = env.env_properties.static_params
 
-    # denormalize once — a cheap XLA pre-pass over the (B, T, A) slab
+    # denormalize once — a cheap XLA pre-pass over the action slab (the
+    # leading two axes are (B, T) or (T, B); the double vmap peels both)
     actions = jax.vmap(
         jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
     )(actions_norm, env.env_properties)
@@ -313,6 +346,7 @@ def env_fused_rollout(env, init_state, actions_norm, obs_stride: int = None, int
         clip_fn=clip_fn,
         traj_stride=obs_stride,
         fast_wrap=getattr(env, "fast_math", False),
+        time_major=time_major,
         interpret=interpret,
     )
     y_final, y_traj = result if obs_stride is not None else (result, None)

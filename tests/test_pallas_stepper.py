@@ -141,6 +141,48 @@ def test_pendulum_fast_math_kernel():
     np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)
 
 
+@pytest.mark.parametrize("env_cls,fast", [(excenvs.Pendulum, False), (excenvs.CartPole, True)])
+def test_fused_time_major_layout(env_cls, fast):
+    """(T, B, A) actions produce bit-identical results to (B, T, A)."""
+    env = env_cls(batch_size=BATCH, fast_math=fast)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+    obs, last = env_fused_rollout(env, state, actions, interpret=True)
+    obs_tm, last_tm = env_fused_rollout(
+        env, state, jnp.transpose(actions, (1, 0, 2)), time_major=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
+    for name in env._ode_state_fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(last_tm.physical_state, name)),
+            np.asarray(getattr(last.physical_state, name)),
+        )
+
+
+def test_fused_time_major_fallback_matches():
+    """Out-of-scope envs transpose back and use the scan path."""
+    env = excenvs.Pendulum(batch_size=BATCH, solver=Tsit5())  # FSAL -> fallback
+    assert not supports_fused_rollout(env)
+    _, state = env.vmap_reset()
+    actions = 0.2 * jnp.ones((BATCH, T, 1))
+    obs, _ = env_fused_rollout(env, state, actions, interpret=True)
+    obs_tm, _ = env_fused_rollout(
+        env, state, jnp.transpose(actions, (1, 0, 2)), time_major=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
+
+
+def test_fallback_per_batch_action_normalization():
+    """Per-batch action normalizations are outside the fused denorm pre-pass."""
+    from exciting_environments_tpu.utils import MinMaxNormalization
+
+    env = excenvs.Pendulum(
+        batch_size=BATCH,
+        action_normalizations={"torque": MinMaxNormalization(min=-jnp.ones(BATCH) * 20, max=20.0)},
+    )
+    assert not supports_fused_rollout(env)
+
+
 def test_pendulum_fast_time_major_layout():
     """Time-major action input (no per-call transpose) is bit-identical to
     the batch-major path."""

@@ -168,14 +168,17 @@ def _rollout(i_d, i_q, eps, omega, buf_d, buf_q, actions_tm,
     return i_d, i_q, eps_final, torque, buf_d, buf_q
 
 
-def pmsm_fast_rollout(env, init_state, actions_norm):
+def pmsm_fast_rollout(env, init_state, actions_norm, time_major: bool = False):
     """Trig-free rollout of a PMSM drive (linear or LUT-saturated magnetics).
 
     Args:
         env: a :class:`PMSM` with scalar static params, Euler solver,
             deadtime 0 or 1.
         init_state: batched state from ``vmap_reset``.
-        actions_norm: normalized dq voltages, shape ``(B, n_steps, 2)``.
+        actions_norm: normalized dq voltages, shape ``(B, n_steps, 2)`` —
+            or ``(n_steps, B, 2)`` with ``time_major=True``, which skips one
+            full transposed copy of the slab per call (jit-wrap the call to
+            fuse the remaining relayout into the rollout executable).
 
     Returns:
         the final batched ``State`` (same structure as ``vmap_rollout``'s).
@@ -208,7 +211,9 @@ def pmsm_fast_rollout(env, init_state, actions_norm):
 
     an = env.env_properties.action_normalizations
     phys = init_state.physical_state
-    actions_tm = jnp.moveaxis(jnp.asarray(actions_norm), 0, 1)  # (T, B, 2)
+    actions_tm = jnp.asarray(actions_norm)
+    if not time_major:
+        actions_tm = jnp.moveaxis(actions_tm, 0, 1)  # (T, B, 2)
     actions_tm = jnp.moveaxis(actions_tm, 2, 1)  # (T, 2, B)
 
     i_d, i_q, eps_final, torque, buf_d, buf_q = _rollout(
@@ -256,8 +261,8 @@ def pmsm_fast_rollout(env, init_state, actions_norm):
     )
 
 
-def pmsm_linear_fast_rollout(env, init_state, actions_norm):
+def pmsm_linear_fast_rollout(env, init_state, actions_norm, time_major: bool = False):
     """Linear-magnetics-only alias of :func:`pmsm_fast_rollout`."""
     if env.env_properties.saturated:
         raise ValueError("pmsm_linear_fast_rollout supports linear magnetics only")
-    return pmsm_fast_rollout(env, init_state, actions_norm)
+    return pmsm_fast_rollout(env, init_state, actions_norm, time_major=time_major)

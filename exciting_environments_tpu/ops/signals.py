@@ -17,12 +17,23 @@ jit-compatible generators producing normalized action sequences of shape
 
 Everything is computed on-device; generating a 65,536 x 1024-step APRBS slab
 is a single fused program.
+
+The fused rollout kernels stream actions time-major; convert a slab once
+with :func:`to_time_major` and replay it copy-free
+(``env_fused_rollout(..., time_major=True)``).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def to_time_major(actions):
+    """Relayout a ``(B, n_steps, A)`` slab to ``(n_steps, B, A)`` — the
+    layout the rollout kernels stream.  One transposed copy here saves one
+    per rollout call."""
+    return jnp.transpose(actions, (1, 0, 2))
 
 
 def white_uniform(key, batch_size: int, n_steps: int, action_dim: int, minval=-1.0, maxval=1.0):

@@ -49,6 +49,24 @@ def test_fast_rollout_matches_exact_path(deadtime):
     assert np.max(np.abs(deps)) < 1e-3
 
 
+def test_fast_rollout_time_major_identical():
+    from exciting_environments_tpu.ops.signals import to_time_major
+
+    B, T = 256, 64
+    params = {"p": 3, "r_s": 15e-3, "l_d": 0.37e-3, "l_q": 1.2e-3,
+              "psi_p": 65.6e-3, "u_dc": 400, "deadtime": 0}
+    env = excenvs.PMSM(batch_size=B, static_params=params)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 2), minval=-0.4, maxval=0.4)
+    last = pmsm_linear_fast_rollout(env, state, actions)
+    last_tm = pmsm_linear_fast_rollout(env, state, to_time_major(actions), time_major=True)
+    for name in ("i_d", "i_q", "epsilon", "torque"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(last_tm.physical_state, name)),
+            np.asarray(getattr(last.physical_state, name)),
+        )
+
+
 def test_fast_rollout_scope_checks():
     env = excenvs.PMSM(batch_size=8, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
     _, st = env.vmap_reset()

@@ -119,6 +119,7 @@ def run():
     on_tpu = jax.default_backend() != "cpu"
     fused_value = None
     sustained_value = None
+    fused_dev = None
     if on_tpu:
         # path 2: exact-op fused Pallas kernel; the whole chain must agree
         # with path 1 bit-for-bit (independent implementations, same inputs)
@@ -191,6 +192,7 @@ def run():
                 "path": path,
                 "exact_path_value": exact_value,
                 "fused_exact_path_value": fused_value,
+                "fused_vs_scan_max_abs_dev": fused_dev,  # must be 0.0 (bit-exact)
                 "fast_path_value": fast_value,
                 "fast_sustained_value": sustained_value,
                 "fast_vs_exact_max_abs_dtheta_rad": max_dev,

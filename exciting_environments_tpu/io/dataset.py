@@ -169,23 +169,10 @@ def read_shard(path):
     """Load a shard written by :class:`ShardWriter`.
 
     Returns a list of ``(name, {leaf_path: np.ndarray})`` in append order.
+    The format logic lives in :class:`~exciting_environments_tpu.io.loader
+    .ShardIndex` (single source of truth; imported lazily — loader depends
+    on this module for ``MAGIC``).
     """
-    with open(path, "rb") as f:
-        data = f.read()
-    if not (data.startswith(MAGIC) and data.endswith(MAGIC)):
-        raise ValueError(f"{path!r} is not an EXTPU1 shard")
-    header_len = struct.unpack("<Q", data[-len(MAGIC) - 8 : -len(MAGIC)])[0]
-    header_start = len(data) - len(MAGIC) - 8 - header_len
-    header = json.loads(data[header_start : header_start + header_len])
-    base = len(MAGIC)
-    out = []
-    for entry in header["entries"]:
-        arrays = {}
-        for leaf in entry["leaves"]:
-            start = base + leaf["offset"]
-            buf = data[start : start + leaf["nbytes"]]
-            arrays[leaf["path"]] = np.frombuffer(buf, dtype=np.dtype(leaf["dtype"])).reshape(
-                leaf["shape"]
-            )
-        out.append((entry["name"], arrays))
-    return out
+    from exciting_environments_tpu.io.loader import read_shard_lazy
+
+    return list(read_shard_lazy(path))

@@ -155,6 +155,18 @@ class DeviceLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item):
+            """Bounded put that gives up when the consumer is gone — every
+            worker put must go through this, or an abandoned iterator leaves
+            the thread blocked forever, pinning its prefetched device
+            batches in HBM."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
         def worker():
             try:
                 for path in self.paths:
@@ -167,15 +179,10 @@ class DeviceLoader:
                             # dispatch the async host->device copy NOW; the
                             # queue hands the caller an already-in-flight batch
                             batch = {k: self._put(k, np.ascontiguousarray(v)) for k, v in arrays.items()}
-                            while not stop.is_set():
-                                try:
-                                    q.put((name, batch), timeout=0.1)
-                                    break
-                                except queue.Full:
-                                    continue
-                q.put(None)
+                            put_or_stop((name, batch))
+                put_or_stop(None)
             except BaseException as exc:  # propagate to the consumer
-                q.put(exc)
+                put_or_stop(exc)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()

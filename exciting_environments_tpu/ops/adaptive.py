@@ -91,40 +91,53 @@ def adaptive_solve(
     if dt0 is None:
         dt0 = (t1 - t0) / 100.0
 
-    # per-instance scalars broadcast against the state's batch shape
+    # per-instance scalars broadcast against the state's batch shape; scalar
+    # state leaves are broadcast up front so the while_loop carry is stable
     proto = jnp.zeros(jnp.broadcast_shapes(*[jnp.shape(l) for l in jax.tree_util.tree_leaves(y0)]))
+    y0 = jax.tree_util.tree_map(lambda leaf: jnp.broadcast_to(leaf, proto.shape).astype(jnp.result_type(leaf, proto)), y0)
     t = proto + t0
     dt = proto + dt0
     accepted = jnp.zeros_like(proto, dtype=jnp.int32)
     rejected = jnp.zeros_like(proto, dtype=jnp.int32)
     inv_order = 1.0 / solver.order
+    # FSAL: an accepted step's final stage IS the next step's first stage
+    # (valid per instance because the vector field is elementwise over the
+    # batch, like everything else in this controller)
+    fsal = bool(getattr(solver, "fsal", False))
+    k0 = f(t, y0, args)
 
     def cond(carry):
-        i, t, dt, y, accepted, rejected = carry
+        i, t, dt, y, k0, accepted, rejected = carry
         return jnp.logical_and(i < max_steps, jnp.any(t < t1))
 
     def body(carry):
-        i, t, dt, y, accepted, rejected = carry
+        i, t, dt, y, k0, accepted, rejected = carry
         active = t < t1
         dt_try = jnp.minimum(dt, t1 - t)  # don't overshoot the horizon
         dt_try = jnp.where(active, dt_try, dt)
 
-        y_new, err = solver.step_with_error(f, t, t + dt_try, y, args, dt=dt_try)
+        y_new, err, k_end = solver.step_with_error(
+            f, t, t + dt_try, y, args, dt=dt_try, k0=k0 if fsal else None
+        )
         ratio = _error_ratio(y, y_new, err, rtol, atol)
+        # a non-finite trial step (overflowing dynamics) counts as infinitely
+        # wrong: reject and shrink by min_factor instead of poisoning dt
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
         accept = jnp.logical_and(ratio <= 1.0, active)
 
-        y = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(jnp.broadcast_to(accept, jnp.shape(new)), new, old), y, y_new
-        )
+        sel = lambda old, new: jnp.where(jnp.broadcast_to(accept, jnp.shape(new)), new, old)
+        y = jax.tree_util.tree_map(sel, y, y_new)
+        if fsal:
+            k0 = jax.tree_util.tree_map(sel, k0, k_end)
         t = jnp.where(accept, t + dt_try, t)
         accepted = accepted + accept.astype(jnp.int32)
         rejected = rejected + jnp.logical_and(active, ~accept).astype(jnp.int32)
 
         factor = jnp.clip(safety * ratio ** (-inv_order), min_factor, max_factor)
         dt = jnp.where(active, dt_try * factor, dt)
-        return (i + 1, t, dt, y, accepted, rejected)
+        return (i + 1, t, dt, y, k0, accepted, rejected)
 
-    _, t, dt, y, accepted, rejected = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), t, dt, y0, accepted, rejected)
+    _, t, dt, y, k0, accepted, rejected = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), t, dt, y0, k0, accepted, rejected)
     )
     return y, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)

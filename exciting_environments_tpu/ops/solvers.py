@@ -133,18 +133,21 @@ class ExplicitRungeKutta(ODESolver):
     #: method has no embedded pair
     b_err = None
 
-    def step_with_error(self, f, t0, t1, y0, args, dt=None):
+    def step_with_error(self, f, t0, t1, y0, args, dt=None, k0=None):
         """One step plus the embedded local error estimate.
 
-        Returns ``(y1, err)`` with ``err = h * sum_i b_err[i] * k_i`` — the
-        difference between the solution and its embedded lower-order
-        companion, used by the adaptive controller
-        (:mod:`exciting_environments_tpu.ops.adaptive`).
+        Returns ``(y1, err, k_end)`` with ``err = h * sum_i b_err[i] * k_i``
+        — the difference between the solution and its embedded lower-order
+        companion — and ``k_end`` the final stage, used by the adaptive
+        controller (:mod:`exciting_environments_tpu.ops.adaptive`).  For
+        FSAL methods ``k_end = f(t0 + h, y1)``, so an accepted step's
+        ``k_end`` can be passed back as ``k0`` (the first stage) of the next
+        step, saving one vector-field evaluation per accepted step.
         """
         if self.b_err is None:
             raise ValueError(f"{type(self).__name__} has no embedded error estimate")
         h = (t1 - t0) if dt is None else dt
-        ks = [f(t0, y0, args)]
+        ks = [f(t0, y0, args) if k0 is None else k0]
         for i, row in enumerate(self.a):
             ti = t0 if self.c[i + 1] == 0.0 else t0 + self.c[i + 1] * h
             yi = _weighted_increment(y0, h, ks, row)
@@ -155,7 +158,7 @@ class ExplicitRungeKutta(ODESolver):
             y1 = _weighted_increment(y0, h, ks, self.b)
         zero = jax.tree_util.tree_map(lambda leaf: leaf * 0.0, y0)
         err = _weighted_increment(zero, h, ks, self.b_err)
-        return y1, err
+        return y1, err, ks[-1]
 
 
 class Euler(ExplicitRungeKutta):

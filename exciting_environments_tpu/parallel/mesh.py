@@ -26,6 +26,7 @@ computation, so each chip steps its local slice of environments.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -122,7 +123,14 @@ class ShardedEnv:
     def vmap_generate_rew_trunc_term_ahead(self, states, actions):
         return self.env.vmap_generate_rew_trunc_term_ahead(states, self.shard(actions))
 
-    def fused_rollout(self, init_state, actions_norm, obs_stride: int = None, interpret: bool = False):
+    def fused_rollout(
+        self,
+        init_state,
+        actions_norm,
+        obs_stride: int = None,
+        time_major: bool = False,
+        interpret: bool = False,
+    ):
         """Run the fused Pallas rollout kernel per shard under the mesh.
 
         ``shard_map`` gives each chip its local batch slice; the kernel then
@@ -131,13 +139,20 @@ class ShardedEnv:
         batch (``batch_size / mesh.size``) must satisfy the kernel's tiling
         constraints (multiple of 1024); out-of-scope environments fall back
         to the sharded scan path like the single-chip wrapper does.
+
+        ``time_major=True`` takes actions ``(n_steps, B, A)`` — the layout
+        the kernel streams; batch-major input costs a full transposed copy
+        of each chip's slab per call (see the single-chip wrapper).
         """
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
 
         env = self.env
+        n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
         local_batch = env.batch_size // self.mesh.size
         if not (supports_fused_rollout(env) and local_batch % 1024 == 0):
-            obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or actions_norm.shape[1])
+            if time_major:
+                actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+            obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
             return (obs if obs_stride is not None else obs[:, -1]), last
 
         # a shadow env with the per-shard batch size drives the local kernel
@@ -146,20 +161,27 @@ class ShardedEnv:
         shadow.batch_size = local_batch
 
         spec = P(self.axis_name)
+        a_spec = P(None, self.axis_name) if time_major else spec  # batch axis position
 
         def local(state, actions):
-            return env_fused_rollout(shadow, state, actions, obs_stride=obs_stride, interpret=interpret)
+            return env_fused_rollout(
+                shadow, state, actions, obs_stride=obs_stride, time_major=time_major, interpret=interpret
+            )
 
         sharded = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(spec, spec),   # pytree prefixes: every leaf batch-sharded
+            in_specs=(spec, a_spec),  # pytree prefixes: every leaf batch-sharded
             out_specs=(spec, spec),
             # pallas_call outputs carry no varying-mesh-axis metadata; the
             # kernel is purely local per shard, so the check is vacuous here
             check_vma=False,
         )
-        return sharded(self.shard(init_state), self.shard(actions_norm))
+        if time_major:
+            actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+        else:
+            actions_sharded = self.shard(actions_norm)
+        return sharded(self.shard(init_state), actions_sharded)
 
     def __getattr__(self, name):
         return getattr(self.env, name)

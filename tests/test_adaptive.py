@@ -58,3 +58,36 @@ def test_rejections_happen_and_converge():
 def test_no_embedded_pair_rejected():
     with pytest.raises(ValueError, match="embedded"):
         adaptive_solve(Euler(), _decay, (1.0,), (1.0,), 0.0, 1.0)
+
+
+def test_overflowing_trial_step_recovers():
+    """A trial step that overflows to non-finite must be rejected (shrinking
+    dt by min_factor), not poison the controller."""
+    y, stats = adaptive_solve(
+        Tsit5(), lambda t, y, a: (-(y[0] ** 3) * 1e6,), (1.0,), (), 0.0, 1.0, dt0=1.0
+    )
+    assert np.isfinite(float(y[0])) and np.isfinite(float(stats.final_dt))
+    assert int(stats.accepted) > 0
+    # y' = -1e6 y^3, y(0)=1 -> y(1) = 1/sqrt(1 + 2e6) ~ 7.07e-4
+    np.testing.assert_allclose(float(y[0]), (1 + 2e6) ** -0.5, rtol=1e-3)
+
+
+def test_mixed_scalar_and_batched_leaves():
+    """Docstring contract: y0 leaves may mix scalars and (B,) arrays."""
+    def f(t, y, args):
+        x, v = y
+        return (v, -x)
+
+    y, stats = adaptive_solve(Tsit5(), f, (1.0, jnp.zeros(4)), (), 0.0, 3.0, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(y[0]), np.full(4, np.cos(3.0)), rtol=1e-5)
+
+
+def test_fsal_reuse_matches_plain_stepping():
+    """The FSAL first-stage carry must not change results beyond rounding."""
+    from exciting_environments_tpu.ops.adaptive import AdaptiveStats  # noqa: F401
+
+    y, stats = adaptive_solve(Tsit5(), _oscillator, (1.0, 0.0), (), 0.0, 10.0, rtol=1e-8, atol=1e-10)
+    # vs a non-FSAL embedded solver on the same problem
+    y2, _ = adaptive_solve(Dopri5(), _oscillator, (1.0, 0.0), (), 0.0, 10.0, rtol=1e-8, atol=1e-10)
+    assert abs(float(y[0]) - np.cos(10.0)) < 1e-6
+    assert abs(float(y2[0]) - np.cos(10.0)) < 1e-6

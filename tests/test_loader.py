@@ -95,8 +95,20 @@ def test_device_loader_propagates_errors(tmp_path):
 
 
 def test_device_loader_early_break_stops_worker(tmp_path):
+    import threading
+    import time
+
     p = tmp_path / "a.extpu"
-    _write(p, 10)
-    for i, _ in enumerate(DeviceLoader([p], prefetch=1)):
-        if i == 1:
-            break  # generator close must not deadlock on the full queue
+    _write(p, 3)
+    before = {t.ident for t in threading.enumerate()}
+    # prefetch >= remaining entries: the worker reaches its terminal
+    # q.put(None) with the queue full, which must also honor the stop flag
+    for i, _ in enumerate(DeviceLoader([p], prefetch=2)):
+        break  # generator close must not deadlock or leak the worker
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate() if t.ident not in before]
+        if not leaked:
+            return
+        time.sleep(0.05)
+    raise AssertionError(f"worker thread leaked: {leaked}")

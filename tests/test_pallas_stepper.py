@@ -159,6 +159,22 @@ def test_fused_time_major_layout(env_cls, fast):
         )
 
 
+def test_fused_time_major_with_obs_stride():
+    """Strided trajectory output composes with the time-major layout."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(4), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+    obs, last = env_fused_rollout(env, state, actions, obs_stride=4, interpret=True)
+    obs_tm, last_tm = env_fused_rollout(
+        env, state, jnp.transpose(actions, (1, 0, 2)), obs_stride=4, time_major=True, interpret=True
+    )
+    assert obs_tm.shape == (BATCH, T // 4, 2)
+    np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
+    np.testing.assert_array_equal(
+        np.asarray(last_tm.physical_state.theta), np.asarray(last.physical_state.theta)
+    )
+
+
 def test_fused_time_major_fallback_matches():
     """Out-of-scope envs transpose back and use the scan path."""
     env = excenvs.Pendulum(batch_size=BATCH, solver=Tsit5())  # FSAL -> fallback

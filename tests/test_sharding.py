@@ -170,3 +170,26 @@ def test_sharded_fused_rollout_fallback(mesh):
     actions = 0.2 * jnp.ones((batch, 4, 1))
     obs, last = senv.fused_rollout(state, actions)
     assert obs.shape == (batch, 2)
+    # time-major input through the fallback transposes back
+    obs_tm, _ = senv.fused_rollout(state, jnp.transpose(actions, (1, 0, 2)), time_major=True)
+    np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
+
+
+def test_sharded_fused_rollout_time_major(mesh):
+    """(T, B, A) slabs shard over axis 1 and match the batch-major kernel."""
+    batch, T = 8192, 16
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 1), minval=-0.9, maxval=0.9)
+
+    obs, last = senv.fused_rollout(state, actions, interpret=True)
+    obs_tm, last_tm = senv.fused_rollout(
+        state, jnp.transpose(actions, (1, 0, 2)), time_major=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
+    np.testing.assert_array_equal(
+        np.asarray(last_tm.physical_state.theta), np.asarray(last.physical_state.theta)
+    )
+    assert not last_tm.physical_state.theta.sharding.is_fully_replicated

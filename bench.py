@@ -173,8 +173,11 @@ def run():
                     st, physical_state=structures.replace(st.physical_state, theta=th, omega=om)
                 )
 
+            # an extra pass here: this is the headline path and per-pass cost
+            # is small, so buy another draw against slow-worker routing
+            _, state_c = env.vmap_reset(jax.random.split(jax.random.PRNGKey(11), BATCH))
             t_link, _ = _time_chained(
-                lambda st, a: fast_step_tm(st, a), state_w, passes, [a_long], theta_leaf
+                lambda st, a: fast_step_tm(st, a), state_w, [state_c] + passes, [a_long], theta_leaf
             )
             # _time_chained runs CHAIN links; normalize to this path's horizon
             sustained_value = BATCH * t_long / t_link

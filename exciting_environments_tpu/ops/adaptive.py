@@ -9,14 +9,21 @@ trajectories in the same batch each take as many steps as they need — with
 no host synchronization and full ``vmap``-free batching (all comparisons are
 elementwise masks).
 
-Usage is solver-level (continuous vector fields; ZOH action discontinuities
-would defeat the smoothness assumption behind the controller):
+Two entry points:
 
-    y, stats = adaptive_solve(Tsit5(), f, y0, args, t0=0.0, t1=1.0,
-                              rtol=1e-6, atol=1e-8)
+* :func:`adaptive_solve` — solver-level, one smooth vector field:
 
-``y0`` leaves may be scalars or ``(B,)`` arrays; ``args`` follow the usual
-broadcasting rules.
+      y, stats = adaptive_solve(Tsit5(), f, y0, args, t0=0.0, t1=1.0,
+                                rtol=1e-6, atol=1e-8)
+
+  ``y0`` leaves may be scalars or ``(B,)`` arrays; ``args`` follow the usual
+  broadcasting rules.
+
+* :func:`adaptive_rollout` — environment-level, across a zero-order-hold
+  action sequence: each hold interval (inside which the field is smooth) is
+  integrated adaptively, with the step proposal warm-started between
+  intervals, so stiff parameter regions are resolved correctly where the
+  fixed-step paths take exactly one solver step per ``tau``.
 """
 
 from __future__ import annotations
@@ -95,10 +102,24 @@ def adaptive_solve(
     # state leaves are broadcast up front so the while_loop carry is stable
     proto = jnp.zeros(jnp.broadcast_shapes(*[jnp.shape(l) for l in jax.tree_util.tree_leaves(y0)]))
     y0 = jax.tree_util.tree_map(lambda leaf: jnp.broadcast_to(leaf, proto.shape).astype(jnp.result_type(leaf, proto)), y0)
-    t = proto + t0
-    dt = proto + dt0
-    accepted = jnp.zeros_like(proto, dtype=jnp.int32)
-    rejected = jnp.zeros_like(proto, dtype=jnp.int32)
+    y, dt, accepted, rejected = _adaptive_interval(
+        solver, f, y0, args, proto + t0, proto + t1, proto + dt0,
+        rtol, atol, max_steps, safety, min_factor, max_factor,
+    )
+    return y, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)
+
+
+def _adaptive_interval(
+    solver, f, y0, args, t, t1, dt, rtol, atol, max_steps, safety, min_factor, max_factor
+):
+    """PI-controlled integration of one smooth interval; all of ``t``,
+    ``t1``, ``dt`` are per-instance arrays, ``y0`` leaves match their shape.
+
+    Returns ``(y, dt, accepted, rejected)`` with ``dt`` the controller's
+    final step proposal (warm start for a following interval).
+    """
+    accepted = jnp.zeros_like(t, dtype=jnp.int32)
+    rejected = jnp.zeros_like(t, dtype=jnp.int32)
     inv_order = 1.0 / solver.order
     # FSAL: an accepted step's final stage IS the next step's first stage
     # (valid per instance because the vector field is elementwise over the
@@ -140,4 +161,112 @@ def adaptive_solve(
     _, t, dt, y, k0, accepted, rejected = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), t, dt, y0, k0, accepted, rejected)
     )
-    return y, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)
+    return y, dt, accepted, rejected
+
+
+def adaptive_rollout(
+    env,
+    init_state,
+    actions_norm,
+    rtol: float = 1e-6,
+    atol: float = 1e-8,
+    solver=None,
+    dt0: float = None,
+    max_steps_per_interval: int = 1_000,
+    safety: float = 0.9,
+    min_factor: float = 0.2,
+    max_factor: float = 5.0,
+):
+    """Environment-level adaptive rollout: integrate the env dynamics across
+    a zero-order-hold action sequence with per-instance adaptive steps.
+
+    The fixed-step paths (``vmap_rollout``, the fused kernels) take exactly
+    one solver step per control interval ``tau``; for stiff parameter
+    regions that silently under-resolves the dynamics.  Here each hold
+    interval — inside which the vector field is smooth — is integrated by
+    the PI-controlled embedded solver of :func:`adaptive_solve`, with the
+    step proposal warm-started across intervals (torchode-style per-instance
+    state: a stiff and a smooth instance in the same batch take different
+    step counts, with no host sync).  Angle wrapping and post-step clipping
+    (e.g. the fluid tank's ``h >= 0``) apply at interval boundaries, exactly
+    where the fixed-step path applies them.
+
+    Args:
+        env: a classic ODE environment (scalar or per-batch ``(B,)``
+            parameters both work — the controller is elementwise).
+        init_state: batched state from ``vmap_reset``.
+        actions_norm: normalized actions ``(B, n_intervals, A)``; each is
+            held for ``env.tau`` seconds.
+        rtol, atol: local-error tolerances.
+        solver: embedded-pair solver (default ``Tsit5()``).
+        dt0: initial step proposal (default ``tau / 10``).
+        max_steps_per_interval: while-loop bound per hold interval.
+        safety, min_factor, max_factor: controller constants.
+
+    Returns:
+        ``(obs, final_state, stats)`` — observations at the final time,
+        the full environment ``State``, and per-instance
+        :class:`AdaptiveStats` accumulated over the whole horizon.
+    """
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.core.env import CoreEnvironment
+    from exciting_environments_tpu.ops.solvers import Tsit5
+
+    solver = solver if solver is not None else Tsit5()
+    if getattr(solver, "b_err", None) is None:
+        raise ValueError(f"{type(solver).__name__} has no embedded error estimate")
+    params = env.env_properties.static_params
+    tau = float(env.tau)
+    if dt0 is None:
+        dt0 = tau / 10.0
+
+    batch, n_intervals, n_action = actions_norm.shape
+    acts = jax.vmap(
+        jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
+    )(actions_norm, env.env_properties)
+    acts_tm = jnp.moveaxis(acts, 1, 0)  # (n_intervals, B, A)
+
+    phys = init_state.physical_state
+    y = tuple(jnp.asarray(getattr(phys, n)) for n in env._ode_state_fields)
+    proto = jnp.zeros(batch, dtype=y[0].dtype)
+    y = tuple(jnp.broadcast_to(leaf, proto.shape) for leaf in y)
+
+    clip = type(env)._clip_state is not CoreEnvironment._clip_state
+
+    def interval(carry, a_i):
+        y, dt, t0, accepted, rejected = carry
+        act = tuple(a_i[:, j] for j in range(n_action))
+
+        def f(t, yy, aa):
+            return env._ode(t, yy, aa, lambda _t: act)
+
+        y, dt, acc, rej = _adaptive_interval(
+            solver, f, y, params, t0, t0 + tau, dt,
+            rtol, atol, max_steps_per_interval, safety, min_factor, max_factor,
+        )
+        y = env._wrap_angles(y)
+        if clip:
+            y = env._clip_state(y)
+        return (y, dt, t0 + tau, accepted + acc, rejected + rej), None
+
+    carry0 = (
+        y,
+        proto + dt0,
+        proto,
+        jnp.zeros(batch, jnp.int32),
+        jnp.zeros(batch, jnp.int32),
+    )
+    (y, dt, _, accepted, rejected), _ = jax.lax.scan(interval, carry0, acts_tm)
+
+    final_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y))),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full(batch, True),
+        ),
+    )
+    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        final_state, env.env_properties
+    )
+    return obs, final_state, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)

@@ -5,7 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from exciting_environments_tpu.ops.adaptive import adaptive_solve
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.adaptive import adaptive_rollout, adaptive_solve
 from exciting_environments_tpu.ops.rollout import solve_trajectory
 from exciting_environments_tpu.ops.solvers import Dopri5, Euler, Tsit5
 
@@ -91,3 +92,76 @@ def test_fsal_reuse_matches_plain_stepping():
     y2, _ = adaptive_solve(Dopri5(), _oscillator, (1.0, 0.0), (), 0.0, 10.0, rtol=1e-8, atol=1e-10)
     assert abs(float(y[0]) - np.cos(10.0)) < 1e-6
     assert abs(float(y2[0]) - np.cos(10.0)) < 1e-6
+
+
+def test_adaptive_rollout_matches_fine_fixed_step():
+    """Env-level adaptive rollout agrees with a 50x-oversampled fixed-step
+    rollout on the pendulum (same ZOH action sequence)."""
+    B, N = 16, 20
+    env = excenvs.Pendulum(batch_size=B, tau=2e-2)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, state = env.vmap_reset(keys)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (B, N, 1), minval=-0.8, maxval=0.8)
+
+    obs, last, stats = adaptive_rollout(env, state, actions, rtol=1e-8, atol=1e-10)
+
+    sub = 50
+    env_f = excenvs.Pendulum(batch_size=B, tau=env.tau / sub, solver="rk4")
+    _, state_f = env_f.vmap_reset(keys)
+    actions_f = jnp.repeat(actions, sub, axis=1)
+    _, last_f = env_f.vmap_rollout(state_f, actions_f, N * sub)
+
+    np.testing.assert_allclose(
+        np.asarray(last.physical_state.theta), np.asarray(last_f.physical_state.theta), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(last.physical_state.omega), np.asarray(last_f.physical_state.omega), atol=1e-5
+    )
+    assert obs.shape == (B, 2)
+    assert int(jnp.min(stats.accepted)) > 0
+
+
+def test_adaptive_rollout_resolves_stiff_heterogeneous_batch():
+    """Per-batch stiffness (MSD spring constants spanning 1..1e6) is resolved
+    per instance: the fixed-step path diverges for the stiff entries at this
+    tau while the adaptive path stays accurate, taking more steps there."""
+    ks = jnp.array([1.0, 100.0, 1e4, 1e6])
+    B = 4
+    env = excenvs.MassSpringDamper(
+        batch_size=B, tau=2e-2, static_params={"k": ks, "d": 0.0, "m": 1.0}
+    )
+    _, state = env.vmap_reset()
+    from exciting_environments_tpu.core import structures
+
+    state = structures.replace(
+        state,
+        physical_state=env.PhysicalState(
+            deflection=jnp.ones(B), velocity=jnp.zeros(B)
+        ),
+    )
+    actions = jnp.zeros((B, 5, 1))  # free oscillation: x(t) = cos(sqrt(k) t)
+
+    obs, last, stats = adaptive_rollout(env, state, actions, rtol=1e-9, atol=1e-11,
+                                        max_steps_per_interval=10_000)
+    t_end = 5 * env.tau
+    expected = np.cos(np.sqrt(np.asarray(ks)) * t_end)
+    np.testing.assert_allclose(np.asarray(last.physical_state.deflection), expected, atol=1e-4)
+
+    counts = np.asarray(stats.accepted)
+    assert counts[3] > 10 * counts[0], f"stiff instance must take more steps: {counts}"
+
+    # the fixed-step path at this tau is unstable for the stiff entries
+    _, last_fixed = env.vmap_rollout(state, actions, 5)
+    assert not np.all(np.isfinite(np.asarray(last_fixed.physical_state.deflection))) or (
+        np.max(np.abs(np.asarray(last_fixed.physical_state.deflection))) > 10
+    )
+
+
+def test_adaptive_rollout_applies_clip():
+    """FluidTank's h >= 0 clip applies at interval boundaries."""
+    env = excenvs.FluidTank(batch_size=4, tau=5.0)  # long drain intervals
+    _, state = env.vmap_reset()
+    actions = -jnp.ones((4, 3, 1))  # zero inflow
+    obs, last, stats = adaptive_rollout(env, state, actions)
+    h = np.asarray(last.physical_state.height)
+    assert np.all(h >= 0.0) and np.all(np.isfinite(h))

@@ -252,16 +252,18 @@ class CoreEnvironment:
         args = static_params
         t0, t1 = 0.0, self.tau
 
-        def init_fn(_):
-            return self.Additions(
-                solver_state=self._solver.init(f, t0, t1, y0, args),
-                active_solver_state=True,
-            )
-
-        def keep_fn(_):
-            return state.additions
-
-        additions = jax.lax.cond(state.additions.active_solver_state, keep_fn, init_fn, operand=None)
+        # The solver carry is re-initialized against the CURRENT action every
+        # step.  This matches the reference's net behavior: its lax.cond
+        # (pendulum_env.py:178-184) passes the *re-init* branch in the true
+        # position, so active states re-init each step, and the inactive
+        # (post-reset) branch's NaN-dummy carry is rescued by diffrax's
+        # internal first-step flag — i.e. k1 is always a fresh evaluation.
+        # Reusing the previous step's FSAL stage here would evaluate k1 under
+        # the PREVIOUS action — silently wrong dynamics when actions vary.
+        additions = self.Additions(
+            solver_state=self._solver.init(f, t0, t1, y0, args),
+            active_solver_state=True,
+        )
         y1, solver_state_k1 = self._solver.step(f, t0, t1, y0, args, additions.solver_state)
         y1 = self._wrap_angles(y1)
         y1 = self._clip_state(y1)
@@ -416,12 +418,12 @@ class CoreEnvironment:
         obs_len = jax.tree_util.tree_leaves(states)[0].shape[0]
         states_without_init_state = self._index_time(states, slice(1, None))
 
+        # axis=0 keeps (n, A) rows intact — bit-identical to the reference's
+        # flatten-then-expand for A == 1 (core_env.py:519) and correct,
+        # rather than interleaved, for multi-dimensional actions
         reward = jax.vmap(self.generate_reward, in_axes=(0, 0, None))(
             states_without_init_state,
-            jnp.expand_dims(
-                jnp.repeat(actions, int((obs_len - 1) / actions.shape[0])),
-                1,
-            ),
+            jnp.repeat(actions, int((obs_len - 1) / actions.shape[0]), axis=0),
             env_properties,
         )
         truncated = jax.vmap(self.generate_truncated, in_axes=(0, None))(states, env_properties)

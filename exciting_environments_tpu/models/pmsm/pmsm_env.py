@@ -384,16 +384,13 @@ class PMSM(CoreEnvironment):
         y0 = (system_state.i_d, system_state.i_q, system_state.epsilon)
         t0, t1 = 0.0, self.tau
 
-        def init_fn(_):
-            return self.Additions(
-                solver_state=self._solver.init(f, t0, t1, y0, args),
-                active_solver_state=True,
-            )
-
-        def keep_fn(_):
-            return state.additions
-
-        additions = jax.lax.cond(state.additions.active_solver_state, keep_fn, init_fn, operand=None)
+        # fresh per-step carry init under the current action — the
+        # reference's net step-mode semantics (see CoreEnvironment
+        # ._ode_solver_step for the full rationale)
+        additions = self.Additions(
+            solver_state=self._solver.init(f, t0, t1, y0, args),
+            active_solver_state=True,
+        )
         y, solver_state_k1 = self._solver.step(f, t0, t1, y0, args, additions.solver_state)
         i_d_k1, i_q_k1, eps_k1 = y
         eps_k1 = ((eps_k1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
@@ -496,6 +493,10 @@ class PMSM(CoreEnvironment):
                     name,
                     self.repeat_values(getattr(states.physical_state, name), act_len),
                 )
+            # DELIBERATE reference parity (pmsm_env.py:721): the angle
+            # advance hardcodes self.tau, not the action_stepsize actually
+            # integrated, so the hexagon clip runs at off angles whenever
+            # action_stepsize != tau — preserved, not "fixed"
             states.physical_state.epsilon = (
                 states.physical_state.epsilon
                 + jnp.linspace(0, self.tau * (act_len - 1), act_len) * init_state.physical_state.omega_el
@@ -538,6 +539,11 @@ class PMSM(CoreEnvironment):
 
         with structures.copy_and_mutate(states, validate=False) as states:
             acts_m = jnp.vstack([acts_buf, actions])
+            # DELIBERATE reference parity (pmsm_env.py:787): the ratio is
+            # inverted (obs/action instead of action/obs), so with deadtime>0
+            # this path only produces consistent buffer lengths for
+            # obs_stepsize == action_stepsize; finer observation grids break
+            # in the reference the same way and are preserved, not "fixed"
             acts_m = acts_m.repeat(int(obs_stepsize / action_stepsize), axis=0)
             if deadtime == 0:
                 acts_m = jnp.zeros(((actions.shape[0] + 1), 2))

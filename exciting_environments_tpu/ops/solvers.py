@@ -22,12 +22,15 @@ the vector field as a plain function ``f(t, y, args) -> dy`` — on TPU this
 keeps the whole step a single fused XLA/VPU computation with no host
 callbacks and no dynamic shapes.
 
-FSAL ("first same as last") solvers such as Tsit5/Dopri5 carry the last stage
-derivative between steps exactly like diffrax does: the carry returned by
-``step`` holds ``f`` evaluated at ``(t1, y1)`` *with the current vector
-field*, so a later step that closes over a different action reuses the stale
-derivative — this reproduces the reference's step-mode semantics rather than
-"fixing" them (see SURVEY §7 hard part (c)).
+FSAL ("first same as last") solvers such as Tsit5/Dopri5 expose the usual
+``init``/``step`` carry protocol: ``init`` evaluates the first stage, and the
+carry returned by ``step`` holds ``f`` at ``(t1, y1)`` under the *current*
+vector field.  That carry is only valid for a following step with the SAME
+vector field (e.g. inside ``lax.scan`` over a fixed action sequence);
+step-mode environment stepping re-``init``s per step because the action —
+and hence the field — changes between calls (matching the reference's net
+behavior: its cond re-inits active states every step, and diffrax's internal
+first-step flag rescues the post-reset NaN dummy).
 """
 
 from __future__ import annotations

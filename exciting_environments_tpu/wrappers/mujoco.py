@@ -236,9 +236,12 @@ class MujucoWrapper:
         """Fresh ``mjx.Data``; random qpos/qvel when an rng is given."""
         mjx_data = mjx.make_data(self.mjx_model)
         if rng is not None:
+            # independent keys per draw (the reference reuses one subkey,
+            # mujoco_wrapper.py:201-203, making qvel a copy of qpos whenever
+            # nq == nv — fixed here like the wrapper's other reference bugs)
             key, subkey = jax.random.split(rng)
             qpos_norm = jax.random.uniform(subkey, (self.qpos_dim,), minval=-1, maxval=1)
-            qvel_norm = jax.random.uniform(subkey, (self.qvel_dim,), minval=-1, maxval=1)
+            qvel_norm = jax.random.uniform(key, (self.qvel_dim,), minval=-1, maxval=1)
             qpos = self.denormalize_components(qpos_norm, env_properties.physical_normalizations.qpos)
             qvel = self.denormalize_components(qvel_norm, env_properties.physical_normalizations.qvel)
             mjx_data = mjx_data.replace(qpos=qpos)
@@ -271,12 +274,7 @@ class MujucoWrapper:
     @partial(jax.jit, static_argnums=0)
     def denormalize_action(self, action_norm, env_properties):
         """Denormalize a normalized actuator vector component-wise."""
-        normalizations = env_properties.action_normalizations
-        action_denorm = jnp.zeros_like(action_norm)
-        for i, field in enumerate(fields(normalizations)):
-            norms = getattr(normalizations, field.name)
-            action_denorm = action_denorm.at[i].set(norms.denormalize(action_norm[i]))
-        return action_denorm
+        return self.denormalize_components(action_norm, env_properties.action_normalizations)
 
     def reset(self, env_properties, rng=None, initial_qpos_qvel=None, vmap_helper=None):
         """Reset to default, random, or a provided flat qpos+qvel vector."""

@@ -161,3 +161,48 @@ def test_implicit_euler_inside_environment():
         np.asarray(se.physical_state.deflection),
         atol=1e-3,
     )
+
+
+def test_fsal_step_mode_evaluates_current_action():
+    """Step-mode re-initializes the FSAL carry per step, so each step's first
+    stage sees the CURRENT action — equal to manual fresh-init integration.
+    (Reusing the previous step's carry would evaluate k1 under the previous
+    action: silently wrong dynamics under varying actions.)"""
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.solvers import Tsit5
+
+    B, N = 4, 30
+    env = excenvs.Pendulum(batch_size=B, solver="tsit5", tau=1e-2)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, state = env.vmap_reset(keys)
+
+    # alternating full-scale actions: stale-carry reuse diverges immediately
+    actions = [((-1.0) ** i) * jnp.ones((B, 1)) for i in range(N)]
+    st = state
+    for a in actions:
+        _, st = env.vmap_step(st, a)
+
+    # ground truth: manual per-step fresh-init Tsit5 on the physical system
+    solver = Tsit5()
+    params = env.env_properties.static_params
+    theta = np.asarray(state.physical_state.theta).copy()
+    omega = np.asarray(state.physical_state.omega).copy()
+    y = (jnp.asarray(theta), jnp.asarray(omega))
+    norm = env.env_properties.action_normalizations.torque
+    for a in actions:
+        u = a[:, 0] * (norm.max - norm.min) / 2 + (norm.max + norm.min) / 2
+
+        def f(t, yy, args):
+            th, om = yy
+            return (om, (u + args.l * args.m * args.g * jnp.sin(th)) / (args.m * args.l**2))
+
+        carry = solver.init(f, 0.0, env.tau, y, params)
+        y, _ = solver.step(f, 0.0, env.tau, y, params, carry)
+        y = (((y[0] + jnp.pi) % (2 * jnp.pi)) - jnp.pi, y[1])
+
+    np.testing.assert_allclose(
+        np.asarray(st.physical_state.theta), np.asarray(y[0]), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.physical_state.omega), np.asarray(y[1]), rtol=1e-12, atol=1e-12
+    )

@@ -26,14 +26,17 @@ MAGIC = b"EXTPU1\n"
 
 
 class _PyAsyncWriter:
-    """Python-thread fallback mirroring the native writer's semantics."""
+    """Python-thread fallback mirroring the native writer's semantics:
+    bounded in-flight bytes (producer blocks past ``max_queue_bytes``) and
+    drain-thread IO errors re-raised at the next ``write``/``close``."""
 
     def __init__(self, path, max_queue_bytes):
         self._f = open(path, "wb")
         self._q = queue.Queue()
         self._max = max_queue_bytes
         self._pending = 0
-        self._lock = threading.Lock()
+        self._error = None
+        self._cond = threading.Condition()
         self._written = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -43,13 +46,28 @@ class _PyAsyncWriter:
             buf = self._q.get()
             if buf is None:
                 return
-            self._f.write(buf)
-            with self._lock:
+            try:
+                self._f.write(buf)
+            except OSError as exc:
+                with self._cond:
+                    self._error = exc
+                    self._pending = 0
+                    self._cond.notify_all()
+                return
+            with self._cond:
                 self._pending -= len(buf)
                 self._written += len(buf)
+                self._cond.notify_all()
 
     def write(self, data: bytes):
-        with self._lock:
+        with self._cond:
+            # backpressure: block until the disk catches up (or the drain
+            # thread reports an error); a single buffer larger than the
+            # bound is admitted once the queue is drained
+            while self._error is None and self._pending > 0 and self._pending + len(data) > self._max:
+                self._cond.wait()
+            if self._error is not None:
+                raise OSError("shard writer hit an IO error") from self._error
             self._pending += len(data)
         self._q.put(data)
 
@@ -57,10 +75,12 @@ class _PyAsyncWriter:
         self._q.put(None)
         self._thread.join()
         self._f.close()
+        if self._error is not None:
+            raise OSError("shard writer hit an IO error") from self._error
         return self._written
 
     def pending(self) -> int:
-        with self._lock:
+        with self._cond:
             return self._pending
 
 

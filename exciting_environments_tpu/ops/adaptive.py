@@ -38,11 +38,17 @@ from exciting_environments_tpu.core.structures import pytree_dataclass
 
 @pytree_dataclass
 class AdaptiveStats:
-    """Per-instance integration statistics."""
+    """Per-instance integration statistics.
+
+    ``incomplete`` flags instances whose while-loop hit the ``max_steps``
+    bound before reaching the end time — their state is only integrated up
+    to some ``t < t1`` and must not be trusted silently.
+    """
 
     accepted: jax.Array
     rejected: jax.Array
     final_dt: jax.Array
+    incomplete: jax.Array
 
 
 def _error_ratio(y, y_new, err, rtol, atol):
@@ -102,11 +108,13 @@ def adaptive_solve(
     # state leaves are broadcast up front so the while_loop carry is stable
     proto = jnp.zeros(jnp.broadcast_shapes(*[jnp.shape(l) for l in jax.tree_util.tree_leaves(y0)]))
     y0 = jax.tree_util.tree_map(lambda leaf: jnp.broadcast_to(leaf, proto.shape).astype(jnp.result_type(leaf, proto)), y0)
-    y, dt, accepted, rejected = _adaptive_interval(
+    y, dt, t_end, accepted, rejected = _adaptive_interval(
         solver, f, y0, args, proto + t0, proto + t1, proto + dt0,
         rtol, atol, max_steps, safety, min_factor, max_factor,
     )
-    return y, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)
+    return y, AdaptiveStats(
+        accepted=accepted, rejected=rejected, final_dt=dt, incomplete=t_end < t1
+    )
 
 
 def _adaptive_interval(
@@ -115,8 +123,10 @@ def _adaptive_interval(
     """PI-controlled integration of one smooth interval; all of ``t``,
     ``t1``, ``dt`` are per-instance arrays, ``y0`` leaves match their shape.
 
-    Returns ``(y, dt, accepted, rejected)`` with ``dt`` the controller's
-    final step proposal (warm start for a following interval).
+    Returns ``(y, dt, t, accepted, rejected)`` with ``dt`` the controller's
+    final step proposal (warm start for a following interval) and ``t`` the
+    per-instance time actually reached (``< t1`` iff the ``max_steps`` bound
+    was hit first).
     """
     accepted = jnp.zeros_like(t, dtype=jnp.int32)
     rejected = jnp.zeros_like(t, dtype=jnp.int32)
@@ -155,13 +165,20 @@ def _adaptive_interval(
         rejected = rejected + jnp.logical_and(active, ~accept).astype(jnp.int32)
 
         factor = jnp.clip(safety * ratio ** (-inv_order), min_factor, max_factor)
-        dt = jnp.where(active, dt_try * factor, dt)
+        dt_prop = dt_try * factor
+        # a step clipped only by the horizon (dt_try = t1 - t < dt) and then
+        # accepted says nothing against the pre-clip proposal: keep the
+        # larger of the two, or the warm start across ZOH intervals would
+        # collapse to each interval's tiny remainder step
+        clipped = dt_try < dt
+        dt_prop = jnp.where(jnp.logical_and(clipped, accept), jnp.maximum(dt_prop, dt), dt_prop)
+        dt = jnp.where(active, dt_prop, dt)
         return (i + 1, t, dt, y, k0, accepted, rejected)
 
     _, t, dt, y, k0, accepted, rejected = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), t, dt, y0, k0, accepted, rejected)
     )
-    return y, dt, accepted, rejected
+    return y, dt, t, accepted, rejected
 
 
 def adaptive_rollout(
@@ -220,6 +237,13 @@ def adaptive_rollout(
     if dt0 is None:
         dt0 = tau / 10.0
 
+    if len(env._ode_state_fields) != env.physical_state_dim:
+        raise ValueError(
+            f"adaptive_rollout supports environments whose physical state is "
+            f"exactly the integrated ODE state; {type(env).__name__} carries "
+            f"derived fields beyond {env._ode_state_fields}"
+        )
+
     batch, n_intervals, n_action = actions_norm.shape
     acts = jax.vmap(
         jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
@@ -234,20 +258,21 @@ def adaptive_rollout(
     clip = type(env)._clip_state is not CoreEnvironment._clip_state
 
     def interval(carry, a_i):
-        y, dt, t0, accepted, rejected = carry
+        y, dt, t0, accepted, rejected, incomplete = carry
         act = tuple(a_i[:, j] for j in range(n_action))
 
         def f(t, yy, aa):
             return env._ode(t, yy, aa, lambda _t: act)
 
-        y, dt, acc, rej = _adaptive_interval(
+        y, dt, t_end, acc, rej = _adaptive_interval(
             solver, f, y, params, t0, t0 + tau, dt,
             rtol, atol, max_steps_per_interval, safety, min_factor, max_factor,
         )
+        incomplete = jnp.logical_or(incomplete, t_end < t0 + tau)
         y = env._wrap_angles(y)
         if clip:
             y = env._clip_state(y)
-        return (y, dt, t0 + tau, accepted + acc, rejected + rej), None
+        return (y, dt, t0 + tau, accepted + acc, rejected + rej, incomplete), None
 
     carry0 = (
         y,
@@ -255,8 +280,9 @@ def adaptive_rollout(
         proto,
         jnp.zeros(batch, jnp.int32),
         jnp.zeros(batch, jnp.int32),
+        jnp.zeros(batch, bool),
     )
-    (y, dt, _, accepted, rejected), _ = jax.lax.scan(interval, carry0, acts_tm)
+    (y, dt, _, accepted, rejected, incomplete), _ = jax.lax.scan(interval, carry0, acts_tm)
 
     final_state = structures.replace(
         init_state,
@@ -269,4 +295,6 @@ def adaptive_rollout(
     obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
         final_state, env.env_properties
     )
-    return obs, final_state, AdaptiveStats(accepted=accepted, rejected=rejected, final_dt=dt)
+    return obs, final_state, AdaptiveStats(
+        accepted=accepted, rejected=rejected, final_dt=dt, incomplete=incomplete
+    )

@@ -50,6 +50,35 @@ def pad_edges(grid: np.ndarray) -> np.ndarray:
     return np.hstack([a[:, :1], a, a[:, -1:]])
 
 
+def bilinear_gather(values, x0, dx, y0, dy, nx, ny, px, py):
+    """Stacked bilinear gather of all ``C`` channels at point(s) ``(px, py)``.
+
+    ``values`` has shape ``(C, nx, ny)``; ``px``/``py`` may be scalars or
+    batched arrays (the gather broadcasts).  Indices clamp to the grid so
+    out-of-range points extrapolate linearly from the edge cell — the
+    semantics of ``jax.scipy`` ``RegularGridInterpolator`` on padded grids.
+    This single implementation backs both the exact LUT path
+    (:meth:`StackedBilinearLUT.interpolate_all`) and the trig-free PMSM fast
+    rollout (:mod:`exciting_environments_tpu.ops.pmsm_fast`).
+    """
+    fx = (px - x0) / dx
+    fy = (py - y0) / dy
+    ix = jnp.clip(jnp.floor(fx), 0, nx - 2).astype(int)
+    iy = jnp.clip(jnp.floor(fy), 0, ny - 2).astype(int)
+    wx = fx - ix
+    wy = fy - iy
+    v00 = values[:, ix, iy]
+    v01 = values[:, ix, iy + 1]
+    v10 = values[:, ix + 1, iy]
+    v11 = values[:, ix + 1, iy + 1]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * (1 - wx) * wy
+        + v10 * wx * (1 - wy)
+        + v11 * wx * wy
+    )
+
+
 class StackedBilinearLUT:
     """Bilinear interpolation of ``C`` channels sharing one uniform 2-D grid.
 
@@ -74,21 +103,8 @@ class StackedBilinearLUT:
     def interpolate_all(self, point):
         """Interpolate every channel at ``point`` (shape ``(2,)``); returns
         shape ``(C,)``.  One gather of 4 corners serves all channels."""
-        fx = (point[0] - self.x0) / self.dx
-        fy = (point[1] - self.y0) / self.dy
-        ix = jnp.clip(jnp.floor(fx), 0, self.nx - 2).astype(int)
-        iy = jnp.clip(jnp.floor(fy), 0, self.ny - 2).astype(int)
-        wx = fx - ix
-        wy = fy - iy
-        v00 = self.values[:, ix, iy]
-        v01 = self.values[:, ix, iy + 1]
-        v10 = self.values[:, ix + 1, iy]
-        v11 = self.values[:, ix + 1, iy + 1]
-        return (
-            v00 * (1 - wx) * (1 - wy)
-            + v01 * (1 - wx) * wy
-            + v10 * wx * (1 - wy)
-            + v11 * wx * wy
+        return bilinear_gather(
+            self.values, self.x0, self.dx, self.y0, self.dy, self.nx, self.ny, point[0], point[1]
         )
 
     def channel(self, name: str):

@@ -78,23 +78,11 @@ def hex_clip_fast(alpha, beta):
 
 def _lut_gather(lut_values, x0, dx, y0, dy, nx, ny, i_d, i_q):
     """Stacked bilinear gather of all 6 magnetics channels at batched points
-    (the batched counterpart of ``StackedBilinearLUT.interpolate_all``)."""
-    fx = (i_d - x0) / dx
-    fy = (i_q - y0) / dy
-    ix = jnp.clip(jnp.floor(fx), 0, nx - 2).astype(int)
-    iy = jnp.clip(jnp.floor(fy), 0, ny - 2).astype(int)
-    wx = fx - ix
-    wy = fy - iy
-    v00 = lut_values[:, ix, iy]
-    v01 = lut_values[:, ix, iy + 1]
-    v10 = lut_values[:, ix + 1, iy]
-    v11 = lut_values[:, ix + 1, iy + 1]
-    return (
-        v00 * (1 - wx) * (1 - wy)
-        + v01 * (1 - wx) * wy
-        + v10 * wx * (1 - wy)
-        + v11 * wx * wy
-    )
+    (shared implementation: :func:`exciting_environments_tpu.ops.lut
+    .bilinear_gather`, also behind the exact LUT path)."""
+    from exciting_environments_tpu.ops.lut import bilinear_gather
+
+    return bilinear_gather(lut_values, x0, dx, y0, dy, nx, ny, i_d, i_q)
 
 
 @functools.partial(jax.jit, static_argnames=("tau", "p", "r_s", "l_d", "l_q", "psi_p", "u_dc",

@@ -91,11 +91,18 @@ class ShardedEnv:
             raise ValueError(
                 f"batch_size {env.batch_size} must be divisible by the mesh size {mesh.size}"
             )
-        self.env = env
         self.mesh = mesh
         self.axis_name = axis_name
-        # re-place heterogeneous per-batch properties alongside their batch entries
-        env.env_properties = shard_batched_tree(env.env_properties, env.batch_size, mesh, axis_name)
+        # the facade works on a shallow copy so the caller's env object is
+        # truly unmodified (same class, same jitted programs); only the
+        # copy's heterogeneous per-batch properties are re-placed alongside
+        # their batch entries
+        self.env = object.__new__(type(env))
+        self.env.__dict__.update(env.__dict__)
+        self.env.env_properties = shard_batched_tree(
+            env.env_properties, env.batch_size, mesh, axis_name
+        )
+        self._fused_shadow = None  # lazily built per-shard env (fused_rollout)
 
     # -- placement helpers -------------------------------------------------
 
@@ -155,10 +162,16 @@ class ShardedEnv:
             obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
             return (obs if obs_stride is not None else obs[:, -1]), last
 
-        # a shadow env with the per-shard batch size drives the local kernel
-        shadow = object.__new__(type(env))
-        shadow.__dict__.update(env.__dict__)
-        shadow.batch_size = local_batch
+        # a shadow env with the per-shard batch size drives the local kernel;
+        # cached on the facade so the jitted kernel's static arguments (the
+        # tile-ODE closure, the clip bound method) stay identical across
+        # calls — a fresh shadow per call would retrace + recompile every time
+        shadow = self._fused_shadow
+        if shadow is None:
+            shadow = object.__new__(type(env))
+            shadow.__dict__.update(env.__dict__)
+            shadow.batch_size = local_batch
+            self._fused_shadow = shadow
 
         spec = P(self.axis_name)
         a_spec = P(None, self.axis_name) if time_major else spec  # batch axis position

@@ -96,13 +96,24 @@ def load_state(like, path: str, use_orbax: bool = None):
 
     data = np.load(_npz_path(path), allow_pickle=False)
     n = int(data["n"])
-    expected_paths = [jax.tree_util.keystr(kp) for kp, _ in jax.tree_util.tree_leaves_with_path(like)]
-    assert n == len(expected_paths), f"checkpoint has {n} leaves, target structure has {len(expected_paths)}"
+    expected = list(jax.tree_util.tree_leaves_with_path(like))
+    assert n == len(expected), f"checkpoint has {n} leaves, target structure has {len(expected)}"
     leaves = []
-    for i in range(n):
+    for i, (kp, like_leaf) in enumerate(expected):
         stored_path = str(data[f"path_{i}"])
-        assert stored_path == expected_paths[i], (
-            f"leaf {i} path mismatch: checkpoint {stored_path!r} vs target {expected_paths[i]!r}"
+        expected_path = jax.tree_util.keystr(kp)
+        assert stored_path == expected_path, (
+            f"leaf {i} path mismatch: checkpoint {stored_path!r} vs target {expected_path!r}"
         )
-        leaves.append(data[f"leaf_{i}"])
+        leaf = data[f"leaf_{i}"]
+        # catch batch-size/dtype mismatches at load time instead of as an
+        # opaque vmap axis error later
+        like_arr = np.asarray(like_leaf)
+        assert leaf.shape == like_arr.shape, (
+            f"leaf {stored_path!r} shape mismatch: checkpoint {leaf.shape} vs target {like_arr.shape}"
+        )
+        assert leaf.dtype == like_arr.dtype, (
+            f"leaf {stored_path!r} dtype mismatch: checkpoint {leaf.dtype} vs target {like_arr.dtype}"
+        )
+        leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, leaves)

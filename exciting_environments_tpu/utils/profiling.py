@@ -58,18 +58,47 @@ def checked(tree, name: str = "value"):
     return tree
 
 
+class _MeasureHandle:
+    """Collects the value(s) produced inside a :meth:`Timer.measure` block so
+    the timer can ``block_until_ready`` on them at exit."""
+
+    def __init__(self):
+        self._pending = []
+
+    def block(self, value):
+        """Register ``value`` (any pytree of arrays) to be synchronized when
+        the measure block exits; returns it unchanged for inline use."""
+        self._pending.append(value)
+        return value
+
+
 @dataclass
 class Timer:
-    """Wall-clock timer that synchronizes the device before reading."""
+    """Wall-clock timer that synchronizes the device before reading.
+
+    The context manager yields a handle whose ``block(value)`` registers the
+    work produced *inside* the block for synchronization at exit (a value
+    cannot be passed in up front — it does not exist yet)::
+
+        timer = Timer()
+        with timer.measure() as m:
+            m.block(step_fn(state, actions))
+
+    ``result_to_block`` may alternatively be a ZERO-ARG CALLABLE evaluated at
+    exit (e.g. ``lambda: out`` closing over a variable assigned in the block).
+    """
 
     times: list = field(default_factory=list)
 
     @contextlib.contextmanager
-    def measure(self, result_to_block=None):
+    def measure(self, result_to_block: Callable = None):
+        handle = _MeasureHandle()
         t0 = time.perf_counter()
-        yield
+        yield handle
+        if handle._pending:
+            jax.block_until_ready(handle._pending)
         if result_to_block is not None:
-            jax.block_until_ready(result_to_block)
+            jax.block_until_ready(result_to_block())
         self.times.append(time.perf_counter() - t0)
 
     @property

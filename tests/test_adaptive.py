@@ -165,3 +165,35 @@ def test_adaptive_rollout_applies_clip():
     obs, last, stats = adaptive_rollout(env, state, actions)
     h = np.asarray(last.physical_state.height)
     assert np.all(h >= 0.0) and np.all(np.isfinite(h))
+
+
+def test_incomplete_flag_on_step_budget_exhaustion():
+    """Hitting max_steps flags the instance instead of silently returning a
+    partially integrated state."""
+    y, stats = adaptive_solve(
+        Tsit5(), _oscillator, (1.0, 0.0), (), 0.0, 100.0, rtol=1e-10, atol=1e-12, max_steps=5
+    )
+    assert bool(stats.incomplete)
+    y2, stats2 = adaptive_solve(Tsit5(), _decay, (1.0,), (1.0,), 0.0, 1.0)
+    assert not bool(stats2.incomplete)
+
+
+def test_adaptive_rollout_rejects_derived_state_envs():
+    env = excenvs.PMSM(batch_size=4)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    with pytest.raises(ValueError, match="derived fields"):
+        adaptive_rollout(env, state, jnp.zeros((4, 3, 2)))
+
+
+def test_warm_start_survives_interval_clipping():
+    """The proposal carried across ZOH intervals must not collapse to each
+    interval's tiny remainder step: interval step counts stay flat instead of
+    regrowing from near zero every interval."""
+    env = excenvs.Pendulum(batch_size=2, tau=2e-2)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 2))
+    actions = 0.3 * jnp.ones((2, 40, 1))
+    _, _, stats = adaptive_rollout(env, state, actions, rtol=1e-6, atol=1e-8)
+    # smooth non-stiff dynamics at loose tolerance: a healthy warm start needs
+    # only a handful of steps per interval on average
+    assert float(jnp.max(stats.accepted)) / 40 < 6, np.asarray(stats.accepted)
+    assert not bool(jnp.any(stats.incomplete))

@@ -57,3 +57,18 @@ def test_trajectory_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.physical_state.height), np.asarray(states.physical_state.height)
     )
+
+
+def test_load_state_rejects_shape_mismatch(tmp_path):
+    import jax.numpy as jnp
+    from exciting_environments_tpu.utils.checkpoint import load_state, save_state
+
+    tree = {"a": jnp.ones((8, 2)), "b": jnp.zeros(3)}
+    path = save_state(tree, str(tmp_path / "ck.npz"))
+    like_bad = {"a": jnp.ones((16, 2)), "b": jnp.zeros(3)}
+    with pytest.raises(AssertionError, match="shape mismatch"):
+        load_state(like_bad, path)
+    like_bad_dtype = {"a": jnp.ones((8, 2), jnp.float32), "b": jnp.zeros(3)}
+    if jnp.ones(()).dtype != jnp.float32:  # x64 tests: stored f64 vs f32 template
+        with pytest.raises(AssertionError, match="dtype mismatch"):
+            load_state(like_bad_dtype, path)

@@ -66,3 +66,59 @@ def test_corrupt_file_rejected(tmp_path):
     p.write_bytes(b"not a shard at all")
     with pytest.raises(ValueError, match="EXTPU1"):
         read_shard(p)
+
+
+def test_python_writer_surfaces_io_errors(tmp_path):
+    """A drain-thread disk error must raise at the producer, not silently
+    truncate the shard."""
+    from exciting_environments_tpu.io.dataset import _PyAsyncWriter
+
+    w = _PyAsyncWriter(tmp_path / "x.bin", max_queue_bytes=1 << 20)
+
+    class _FailingFile:
+        def write(self, buf):
+            raise OSError("disk full")
+
+        def close(self):
+            pass
+
+    w._f.close()
+    w._f = _FailingFile()
+    with pytest.raises(OSError, match="IO error"):
+        for _ in range(100):
+            w.write(b"x" * 1024)
+            import time
+            time.sleep(0.01)
+    with pytest.raises(OSError, match="IO error"):
+        w.close()
+
+
+def test_python_writer_backpressure_bounded(tmp_path):
+    """pending() stays within max_queue_bytes (plus one in-flight buffer)."""
+    from exciting_environments_tpu.io.dataset import _PyAsyncWriter
+    import time
+
+    class _SlowFile:
+        def __init__(self, f):
+            self._f = f
+
+        def write(self, buf):
+            time.sleep(0.002)
+            return self._f.write(buf)
+
+        def close(self):
+            self._f.close()
+
+    w = _PyAsyncWriter(tmp_path / "slow.bin", max_queue_bytes=4096)
+    w._f = _SlowFile(w._f)
+    maxima = 0
+    for _ in range(30):
+        w.write(b"x" * 1024)
+        maxima = max(maxima, w.pending())
+    assert maxima <= 4096 + 1024, f"backpressure bound violated: {maxima}"
+    assert w.close() == 30 * 1024
+
+    # a single oversized buffer is admitted rather than deadlocking
+    w2 = _PyAsyncWriter(tmp_path / "big.bin", max_queue_bytes=16)
+    w2.write(b"y" * 4096)
+    assert w2.close() == 4096

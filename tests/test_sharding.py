@@ -73,9 +73,10 @@ def test_heterogeneous_properties_shard_with_batch(mesh):
 
     env2 = excenvs.Pendulum(batch_size=batch, static_params={"l": lengths, "g": 9.81, "m": 1})
     senv = ShardedEnv(env2, mesh)
-    # the per-batch `l` leaf must now be split over the mesh
-    l_sharding = env2.env_properties.static_params.l.sharding
-    assert not l_sharding.is_fully_replicated
+    # the facade's per-batch `l` leaf must be split over the mesh...
+    assert not senv.env.env_properties.static_params.l.sharding.is_fully_replicated
+    # ...while the wrapped env object stays unmodified (docstring contract)
+    assert env2.env_properties.static_params.l.sharding.is_fully_replicated
     obs_s, state_s = senv.vmap_reset()
     obs_s, _ = senv.vmap_step(senv.shard(state_s), 0.5 * jnp.ones((batch, 1)))
     np.testing.assert_array_equal(np.asarray(obs_s), np.asarray(ref_obs))

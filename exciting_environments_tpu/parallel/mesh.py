@@ -196,5 +196,46 @@ class ShardedEnv:
             actions_sharded = self.shard(actions_norm)
         return sharded(self.shard(init_state), actions_sharded)
 
+    def adaptive_rollout(self, init_state, actions_norm, **kwargs):
+        """Per-instance adaptive rollout, sharded over the mesh.
+
+        The controller is elementwise over the batch, so each chip runs its
+        local shard's ``lax.while_loop`` independently — chips converge at
+        their own pace with no collectives (a stiff shard does not stall the
+        others between intervals).
+        """
+        from exciting_environments_tpu.ops.adaptive import adaptive_rollout
+
+        env = self.env
+        # env properties are closed over (not shard_map args): per-batch
+        # (B,) property leaves would arrive whole inside a (B/n)-sized shard
+        prop_leaves = jax.tree_util.tree_leaves(env.env_properties)
+        if not all(np.isscalar(leaf) for leaf in prop_leaves):
+            raise ValueError(
+                "sharded adaptive_rollout requires scalar env properties; "
+                "per-batch property arrays cannot ride the mesh through the "
+                "controller's closure"
+            )
+        shadow = self._fused_shadow
+        if shadow is None or shadow.batch_size != env.batch_size // self.mesh.size:
+            shadow = object.__new__(type(env))
+            shadow.__dict__.update(env.__dict__)
+            shadow.batch_size = env.batch_size // self.mesh.size
+            self._fused_shadow = shadow
+
+        spec = P(self.axis_name)
+
+        def local(state, actions):
+            return adaptive_rollout(shadow, state, actions, **kwargs)
+
+        sharded = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(spec, spec),
+            out_specs=(spec, spec, spec),
+            check_vma=False,
+        )
+        return sharded(self.shard(init_state), self.shard(actions_norm))
+
     def __getattr__(self, name):
         return getattr(self.env, name)

@@ -194,3 +194,33 @@ def test_sharded_fused_rollout_time_major(mesh):
         np.asarray(last_tm.physical_state.theta), np.asarray(last.physical_state.theta)
     )
     assert not last_tm.physical_state.theta.sharding.is_fully_replicated
+
+
+def test_sharded_adaptive_rollout(mesh):
+    """Per-instance adaptive integration composes with the mesh: each shard's
+    while_loop converges independently and results match single-device."""
+    from exciting_environments_tpu.ops.adaptive import adaptive_rollout
+
+    batch = 16
+    env = excenvs.Pendulum(batch_size=batch, tau=2e-2)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, 8, 1), minval=-0.8, maxval=0.8)
+
+    obs_s, last_s, stats_s = senv.adaptive_rollout(state, actions, rtol=1e-7, atol=1e-9)
+    obs_r, last_r, stats_r = adaptive_rollout(env, state, actions, rtol=1e-7, atol=1e-9)
+
+    assert not obs_s.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_r), rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(stats_s.accepted), np.asarray(stats_r.accepted))
+    assert not bool(jnp.any(stats_s.incomplete))
+
+
+def test_sharded_adaptive_rollout_rejects_per_batch_props(mesh):
+    batch = 16
+    lengths = jnp.linspace(1.0, 2.0, batch)
+    env = excenvs.Pendulum(batch_size=batch, static_params={"l": lengths, "g": 9.81, "m": 1})
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset()
+    with pytest.raises(ValueError, match="scalar env properties"):
+        senv.adaptive_rollout(state, jnp.zeros((batch, 4, 1)))

@@ -16,8 +16,12 @@ execution completes, errors surface only at fetch, and identical
 (executable, args) executions are served from a cache; the chained
 data dependency plus the closing fetch defeat all three failure modes.
 
-The reported value is the fastest validated path; all path values and the
-measured deviations are included in the JSON line.
+The reported ``value`` is the fastest path with *exact* step arithmetic
+(scan, or a fused kernel that agrees bit-for-bit with the scan) — the
+BASELINE.json budget demands trajectory error <=1e-6 vs the f64 reference,
+which only the exact-op paths satisfy.  The fast-math paths (polynomial
+sin, fast wrap; observed ~3e-3 rad over 24k steps) are reported as
+secondary fields and never crowned.
 """
 
 from __future__ import annotations
@@ -118,7 +122,8 @@ def run():
 
     on_tpu = jax.default_backend() != "cpu"
     fused_value = None
-    sustained_value = None
+    fused_sustained_value = None
+    fast_sustained_value = None
     fused_dev = None
     if on_tpu:
         # path 2: exact-op fused Pallas kernel; the whole chain must agree
@@ -134,7 +139,9 @@ def run():
             value = fused_value
             path = "pallas_fused_exact"
 
-        # path 3: fast-math Pallas kernel, tolerance-gated against path 1
+        # path 3: fast-math Pallas kernel, tolerance-gated against path 1.
+        # NEVER the headline — its arithmetic (polynomial sin, fast wrap) does
+        # not meet the <=1e-6 trajectory budget; reported for reference only.
         def fast_step(st, a):
             th, om = pendulum_fast_rollout(env, st, a)
             return structures.replace(
@@ -146,26 +153,33 @@ def run():
             jnp.max(jnp.abs(((last_fast.physical_state.theta - theta_exact) + jnp.pi) % (2 * jnp.pi) - jnp.pi))
         )
         fast_value = BATCH * STEPS / t_fast
-        if max_dev < ATOL_FAST and fast_value > value:
-            value = fast_value
-            path = "pallas_fast_math"
 
-        # path 4: sustained long-horizon throughput of the fast kernel.
-        # Correctness is gated by path 3's 24,576-step deviation check above
-        # (longer horizons only measure chaos amplifying float32 op-ordering
-        # noise, not kernel error).  One 4.3 GB action slab; links are
-        # cache-distinct because each consumes the previous state.
-        if max_dev < ATOL_FAST:
-            del action_sets, last, last_fused, last_fast  # free HBM for the slab
-            t_long = 16384
-            # time-major slab: the kernel streams actions time-major, so this
-            # layout skips a 4.3 GB transposed copy per link (~3x total time)
-            a_long = jax.random.uniform(
-                jax.random.PRNGKey(99), (t_long, BATCH, 1), minval=-1.0, maxval=1.0
+        # path 4: sustained long-horizon throughput, time-major action slab
+        # (the kernels stream actions time-major; this layout skips a 4.3 GB
+        # transposed copy per link).  4a times the EXACT fused kernel — the
+        # same arithmetic path 2 just proved bit-identical to the scan over
+        # 24,576 chained steps, so it is headline-eligible.  4b times the
+        # fast-math kernel (secondary field only).
+        del action_sets, last, last_fused, last_fast  # free HBM for the slab
+        t_long = 16384
+        a_long = jax.random.uniform(
+            jax.random.PRNGKey(99), (t_long, BATCH, 1), minval=-1.0, maxval=1.0
+        )
+        _, state_c = env.vmap_reset(jax.random.split(jax.random.PRNGKey(11), BATCH))
+        sustained_passes = [state_c] + passes  # extra draw vs slow-worker routing
+
+        if fused_dev == 0.0:
+            fused_step_tm = jax.jit(lambda st, a: env_fused_rollout(env, st, a, time_major=True)[1])
+            t_link, _ = _time_chained(
+                fused_step_tm, state_w, sustained_passes, [a_long], theta_leaf
             )
+            fused_sustained_value = BATCH * t_long / t_link
+            if fused_sustained_value > value:
+                value = fused_sustained_value
+                path = "pallas_fused_exact_sustained"
 
-            # the outer jit fuses the (bitcast) time-major reshape and state
-            # re-wrap into the kernel executable: one dispatch, zero copies
+        if max_dev < ATOL_FAST:
+
             @jax.jit
             def fast_step_tm(st, a):
                 th, om = pendulum_fast_rollout(env, st, a, time_major=True)
@@ -173,17 +187,10 @@ def run():
                     st, physical_state=structures.replace(st.physical_state, theta=th, omega=om)
                 )
 
-            # an extra pass here: this is the headline path and per-pass cost
-            # is small, so buy another draw against slow-worker routing
-            _, state_c = env.vmap_reset(jax.random.split(jax.random.PRNGKey(11), BATCH))
             t_link, _ = _time_chained(
-                lambda st, a: fast_step_tm(st, a), state_w, [state_c] + passes, [a_long], theta_leaf
+                lambda st, a: fast_step_tm(st, a), state_w, sustained_passes, [a_long], theta_leaf
             )
-            # _time_chained runs CHAIN links; normalize to this path's horizon
-            sustained_value = BATCH * t_long / t_link
-            if sustained_value > value:
-                value = sustained_value
-                path = "pallas_fast_math_sustained"
+            fast_sustained_value = BATCH * t_long / t_link
 
     print(
         json.dumps(
@@ -195,9 +202,10 @@ def run():
                 "path": path,
                 "exact_path_value": exact_value,
                 "fused_exact_path_value": fused_value,
+                "fused_exact_sustained_value": fused_sustained_value,
                 "fused_vs_scan_max_abs_dev": fused_dev,  # must be 0.0 (bit-exact)
                 "fast_path_value": fast_value,
-                "fast_sustained_value": sustained_value,
+                "fast_sustained_value": fast_sustained_value,
                 "fast_vs_exact_max_abs_dtheta_rad": max_dev,
             }
         )

@@ -55,11 +55,17 @@ struct ShardWriter {
         queued_bytes -= buf.size();
         cv_push.notify_all();
       }
-      if (!buf.empty() && !io_error) {
+      bool skip;
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        skip = buf.empty() || io_error;
+      }
+      if (!skip) {
         size_t n = std::fwrite(buf.data(), 1, buf.size(), file);
         std::lock_guard<std::mutex> lock(mu);
         if (n != buf.size()) {
           io_error = true;
+          cv_push.notify_all();  // wake producers blocked on backpressure
         } else {
           written_bytes += n;
         }
@@ -93,7 +99,12 @@ int shard_writer_write(void* handle, const void* data, uint64_t nbytes) {
   std::memcpy(buf.data(), data, nbytes);
   std::unique_lock<std::mutex> lock(w->mu);
   if (w->closing || w->io_error) return 1;
-  w->cv_push.wait(lock, [&] { return w->queued_bytes <= w->max_queue; });
+  w->cv_push.wait(lock, [&] {
+    return w->queued_bytes <= w->max_queue || w->io_error || w->closing;
+  });
+  // An IO error (or close) may have happened while we were blocked on
+  // backpressure — report it instead of enqueueing into a dead writer.
+  if (w->closing || w->io_error) return 1;
   w->queued_bytes += nbytes;
   w->queue.push_back(std::move(buf));
   w->cv_pop.notify_one();
@@ -108,9 +119,19 @@ uint64_t shard_writer_close(void* handle) {
     std::lock_guard<std::mutex> lock(w->mu);
     w->closing = true;
     w->cv_pop.notify_all();
+    w->cv_push.notify_all();
   }
   w->worker.join();
-  uint64_t written = w->io_error ? UINT64_MAX : w->written_bytes;
+  // The final stdio flush can itself fail (ENOSPC/EIO on the buffered shard
+  // tail); fold its result into the status so close never reports a short
+  // shard as success.  Null the handle so the destructor does not re-close.
+  bool flush_failed = false;
+  if (w->file != nullptr) {
+    flush_failed = std::fflush(w->file) != 0 || std::ferror(w->file) != 0;
+    if (std::fclose(w->file) != 0) flush_failed = true;
+    w->file = nullptr;
+  }
+  uint64_t written = (w->io_error || flush_failed) ? UINT64_MAX : w->written_bytes;
   delete w;
   return written;
 }

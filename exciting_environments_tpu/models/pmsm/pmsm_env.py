@@ -472,9 +472,9 @@ class PMSM(CoreEnvironment):
         u_dq_norm = u_dq * (1 / (env_properties.static_params.u_dc / 2))
         advanced_angle = step_eps(
             system_state.physical_state.epsilon,
-            env_properties.static_params.deadtime + 0.5,
-            self.tau,
             system_state.physical_state.omega_el,
+            self.tau,
+            env_properties.static_params.deadtime + 0.5,
         )
         u_albet_norm = dq2albet(u_dq_norm, advanced_angle)
         u_albet_norm_clip = apply_hex_constraint(u_albet_norm)

@@ -116,7 +116,10 @@ class ShardedEnv:
         if rng is not None:
             rng = self.shard(rng)
         obs, state = self.env.vmap_reset(rng, initial_state)
-        return obs, state
+        # For scalar-property envs nothing in the reset program carries a
+        # batch sharding, so without this the state comes back replicated and
+        # every downstream step would silently run single-device.
+        return self.shard(obs), self.shard(state)
 
     def vmap_step(self, state, action):
         return self.env.vmap_step(state, self.shard(action))

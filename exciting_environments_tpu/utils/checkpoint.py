@@ -14,7 +14,7 @@ This module makes it explicit and production-grade:
   the JSON round-trip used by the golden-fixture tests.
 
 State trees restored with :func:`load_state` are structurally identical to
-the saved ones (asserted), so ``vmap_step``/``vmap_sim_ahead`` can resume
+the saved ones (validated), so ``vmap_step``/``vmap_sim_ahead`` can resume
 directly.
 """
 
@@ -91,29 +91,34 @@ def load_state(like, path: str, use_orbax: bool = None):
     if use_orbax:
         with ocp.PyTreeCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(like))
-        assert jax.tree_util.tree_structure(restored) == treedef, "restored structure mismatch"
+        if jax.tree_util.tree_structure(restored) != treedef:
+            raise ValueError("restored structure mismatch")
         return restored
 
     data = np.load(_npz_path(path), allow_pickle=False)
     n = int(data["n"])
     expected = list(jax.tree_util.tree_leaves_with_path(like))
-    assert n == len(expected), f"checkpoint has {n} leaves, target structure has {len(expected)}"
+    if n != len(expected):
+        raise ValueError(f"checkpoint has {n} leaves, target structure has {len(expected)}")
     leaves = []
     for i, (kp, like_leaf) in enumerate(expected):
         stored_path = str(data[f"path_{i}"])
         expected_path = jax.tree_util.keystr(kp)
-        assert stored_path == expected_path, (
-            f"leaf {i} path mismatch: checkpoint {stored_path!r} vs target {expected_path!r}"
-        )
+        if stored_path != expected_path:
+            raise ValueError(
+                f"leaf {i} path mismatch: checkpoint {stored_path!r} vs target {expected_path!r}"
+            )
         leaf = data[f"leaf_{i}"]
         # catch batch-size/dtype mismatches at load time instead of as an
         # opaque vmap axis error later
         like_arr = np.asarray(like_leaf)
-        assert leaf.shape == like_arr.shape, (
-            f"leaf {stored_path!r} shape mismatch: checkpoint {leaf.shape} vs target {like_arr.shape}"
-        )
-        assert leaf.dtype == like_arr.dtype, (
-            f"leaf {stored_path!r} dtype mismatch: checkpoint {leaf.dtype} vs target {like_arr.dtype}"
-        )
+        if leaf.shape != like_arr.shape:
+            raise ValueError(
+                f"leaf {stored_path!r} shape mismatch: checkpoint {leaf.shape} vs target {like_arr.shape}"
+            )
+        if leaf.dtype != like_arr.dtype:
+            raise ValueError(
+                f"leaf {stored_path!r} dtype mismatch: checkpoint {leaf.dtype} vs target {like_arr.dtype}"
+            )
         leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, leaves)

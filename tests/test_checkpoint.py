@@ -42,7 +42,7 @@ def test_structure_mismatch_rejected(tmp_path):
     other = excenvs.MassSpringDamper(batch_size=8)
     _, state = env.vmap_reset()
     path = save_state(state, str(tmp_path / "state.npz"))
-    with pytest.raises(AssertionError, match="path mismatch|leaves"):
+    with pytest.raises(ValueError, match="path mismatch|leaves"):
         load_state(other.vmap_init_state(), path)
 
 
@@ -66,9 +66,9 @@ def test_load_state_rejects_shape_mismatch(tmp_path):
     tree = {"a": jnp.ones((8, 2)), "b": jnp.zeros(3)}
     path = save_state(tree, str(tmp_path / "ck.npz"))
     like_bad = {"a": jnp.ones((16, 2)), "b": jnp.zeros(3)}
-    with pytest.raises(AssertionError, match="shape mismatch"):
+    with pytest.raises(ValueError, match="shape mismatch"):
         load_state(like_bad, path)
     like_bad_dtype = {"a": jnp.ones((8, 2), jnp.float32), "b": jnp.zeros(3)}
     if jnp.ones(()).dtype != jnp.float32:  # x64 tests: stored f64 vs f32 template
-        with pytest.raises(AssertionError, match="dtype mismatch"):
+        with pytest.raises(ValueError, match="dtype mismatch"):
             load_state(like_bad_dtype, path)

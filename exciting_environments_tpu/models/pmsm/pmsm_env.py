@@ -461,6 +461,142 @@ class PMSM(CoreEnvironment):
             reference=ref,
         )
 
+    def _adaptive_rollout(
+        self,
+        init_state,
+        actions_norm,
+        rtol: float = 1e-6,
+        atol: float = 1e-8,
+        solver=None,
+        dt0: float = None,
+        max_steps_per_interval: int = 1_000,
+        safety: float = 0.9,
+        min_factor: float = 0.2,
+        max_factor: float = 5.0,
+        env_properties=None,
+    ):
+        """Per-instance adaptive integration of the electrical subsystem
+        across a ZOH action sequence (dispatched to by
+        :func:`exciting_environments_tpu.ops.adaptive.adaptive_rollout`).
+
+        The stiff saturated drive is the prime adaptive use case: the LUT
+        inductances make the current dynamics' time constants state- and
+        parameter-dependent, so fixed-step integration at ``tau`` silently
+        under-resolves aggressive operating points.  Each control interval
+        reproduces the ``step`` semantics exactly — hexagon constraint at the
+        deadtime-advanced angle, deadtime buffer swap, integration of
+        ``(i_d, i_q, epsilon)`` with frozen ``omega_el``, angle wrap and
+        torque recomputation — but the interval integral itself is
+        PI-controlled with a warm-started per-instance step size.
+
+        Supports per-batch heterogeneous parameters: ``env_properties`` may
+        carry ``(B,)`` leaves (e.g. per-instance ``r_s``), and the mesh-
+        sharded wrapper passes each shard its local property slice here.
+        """
+        from exciting_environments_tpu.ops.adaptive import AdaptiveStats, _adaptive_interval
+        from exciting_environments_tpu.ops.solvers import Tsit5
+
+        solver = solver if solver is not None else Tsit5()
+        if getattr(solver, "b_err", None) is None:
+            raise ValueError(f"{type(solver).__name__} has no embedded error estimate")
+        props = env_properties if env_properties is not None else self.env_properties
+        tau = float(self.tau)
+        if dt0 is None:
+            dt0 = tau / 10.0
+        saturated = bool(props.saturated)
+        deadtime = int(props.static_params.deadtime)
+
+        batch, n_intervals, _ = actions_norm.shape
+        phys = init_state.physical_state
+        proto = jnp.zeros(batch, dtype=jnp.asarray(phys.i_d).dtype)
+        y0 = tuple(
+            jnp.broadcast_to(jnp.asarray(v), proto.shape)
+            for v in (phys.i_d, phys.i_q, phys.epsilon)
+        )
+        bufs0 = tuple(
+            jnp.broadcast_to(jnp.asarray(v), proto.shape)
+            for v in (phys.u_d_buffer, phys.u_q_buffer)
+        )
+        omega_el = jnp.broadcast_to(jnp.asarray(phys.omega_el), proto.shape)
+        acts_tm = jnp.moveaxis(actions_norm, 1, 0)  # (n_intervals, B, 2)
+        in_ax = self.in_axes_env_properties
+
+        def interval(carry, a_norm_i):
+            y, bufs, dt, t0, accepted, rejected, incomplete = carry
+            i_d, i_q, eps = y
+            # the hexagon clip runs at the CURRENT state's advanced angle —
+            # same as step() (reference pmsm_env.py:851-883 semantics)
+            state_like = structures.replace(
+                init_state,
+                physical_state=self.PhysicalState(
+                    u_d_buffer=bufs[0],
+                    u_q_buffer=bufs[1],
+                    epsilon=eps,
+                    i_d=i_d,
+                    i_q=i_q,
+                    torque=jnp.zeros_like(i_d),
+                    omega_el=omega_el,
+                ),
+            )
+            u_con = jax.vmap(self.constraint_denormalization, in_axes=(0, 0, in_ax))(
+                a_norm_i, state_like, props
+            )
+            if deadtime > 0:
+                u_dq = (bufs[0], bufs[1])  # buffered voltage drives the plant
+                new_bufs = (u_con[:, 0], u_con[:, 1])
+            else:
+                u_dq = (u_con[:, 0], u_con[:, 1])
+                new_bufs = bufs
+
+            f = self._pmsm_vector_field(saturated, lambda t: u_dq)
+            args = (props.static_params, omega_el)
+            y_new, dt_new, t_end, acc, rej = _adaptive_interval(
+                solver, f, y, args, t0, t0 + tau, dt,
+                rtol, atol, max_steps_per_interval, safety, min_factor, max_factor,
+            )
+            incomplete = jnp.logical_or(incomplete, t_end < t0 + tau)
+            i_d, i_q, eps = y_new
+            eps = ((eps + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+            return (
+                (i_d, i_q, eps), new_bufs, dt_new, t0 + tau,
+                accepted + acc, rejected + rej, incomplete,
+            ), None
+
+        carry0 = (
+            y0, bufs0, proto + dt0, proto,
+            jnp.zeros(batch, jnp.int32), jnp.zeros(batch, jnp.int32),
+            jnp.zeros(batch, bool),
+        )
+        (y, bufs, dt, _, accepted, rejected, incomplete), _ = jax.lax.scan(
+            interval, carry0, acts_tm
+        )
+        i_d, i_q, eps = y
+        if saturated:
+            torque = self.currents_to_torque_saturated(i_d, i_q, props)
+        else:
+            torque = self.currents_to_torque(i_d, i_q, props)
+
+        final_state = structures.replace(
+            init_state,
+            physical_state=self.PhysicalState(
+                u_d_buffer=bufs[0],
+                u_q_buffer=bufs[1],
+                epsilon=eps,
+                i_d=i_d,
+                i_q=i_q,
+                torque=torque,
+                omega_el=omega_el,
+            ),
+            additions=self.Additions(
+                solver_state=None,
+                active_solver_state=jnp.full(batch, True),
+            ),
+        )
+        obs = jax.vmap(self.generate_observation, in_axes=(0, in_ax))(final_state, props)
+        return obs, final_state, AdaptiveStats(
+            accepted=accepted, rejected=rejected, final_dt=dt, incomplete=incomplete
+        )
+
     # ------------------------------------------------------------------
     # inverter constraint + deadtime
     # ------------------------------------------------------------------

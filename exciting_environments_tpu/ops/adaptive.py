@@ -193,6 +193,7 @@ def adaptive_rollout(
     safety: float = 0.9,
     min_factor: float = 0.2,
     max_factor: float = 5.0,
+    env_properties=None,
 ):
     """Environment-level adaptive rollout: integrate the env dynamics across
     a zero-order-hold action sequence with per-instance adaptive steps.
@@ -219,6 +220,9 @@ def adaptive_rollout(
         dt0: initial step proposal (default ``tau / 10``).
         max_steps_per_interval: while-loop bound per hold interval.
         safety, min_factor, max_factor: controller constants.
+        env_properties: optional override of ``env.env_properties`` — used by
+            the mesh-sharded wrapper to feed each shard its local slice of
+            per-batch heterogeneous parameters.
 
     Returns:
         ``(obs, final_state, stats)`` — observations at the final time,
@@ -229,10 +233,31 @@ def adaptive_rollout(
     from exciting_environments_tpu.core.env import CoreEnvironment
     from exciting_environments_tpu.ops.solvers import Tsit5
 
+    # Environments whose step semantics go beyond "integrate the physical
+    # state" (derived fields, action buffering, state-dependent action
+    # constraints — e.g. the PMSM drive) provide their own interval loop
+    # built on _adaptive_interval.
+    custom = getattr(env, "_adaptive_rollout", None)
+    if custom is not None:
+        return custom(
+            init_state,
+            actions_norm,
+            rtol=rtol,
+            atol=atol,
+            solver=solver,
+            dt0=dt0,
+            max_steps_per_interval=max_steps_per_interval,
+            safety=safety,
+            min_factor=min_factor,
+            max_factor=max_factor,
+            env_properties=env_properties,
+        )
+
     solver = solver if solver is not None else Tsit5()
     if getattr(solver, "b_err", None) is None:
         raise ValueError(f"{type(solver).__name__} has no embedded error estimate")
-    params = env.env_properties.static_params
+    props = env_properties if env_properties is not None else env.env_properties
+    params = props.static_params
     tau = float(env.tau)
     if dt0 is None:
         dt0 = tau / 10.0
@@ -241,13 +266,15 @@ def adaptive_rollout(
         raise ValueError(
             f"adaptive_rollout supports environments whose physical state is "
             f"exactly the integrated ODE state; {type(env).__name__} carries "
-            f"derived fields beyond {env._ode_state_fields}"
+            f"derived fields beyond {env._ode_state_fields} — implement "
+            f"_adaptive_rollout on the environment (see the PMSM drive)"
         )
 
     batch, n_intervals, n_action = actions_norm.shape
     acts = jax.vmap(
-        jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
-    )(actions_norm, env.env_properties)
+        jax.vmap(env.denormalize_action, in_axes=(0, None)),
+        in_axes=(0, env.in_axes_env_properties),
+    )(actions_norm, props)
     acts_tm = jnp.moveaxis(acts, 1, 0)  # (n_intervals, B, A)
 
     phys = init_state.physical_state
@@ -293,7 +320,7 @@ def adaptive_rollout(
         ),
     )
     obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-        final_state, env.env_properties
+        final_state, props
     )
     return obs, final_state, AdaptiveStats(
         accepted=accepted, rejected=rejected, final_dt=dt, incomplete=incomplete

@@ -206,19 +206,15 @@ class ShardedEnv:
         local shard's ``lax.while_loop`` independently — chips converge at
         their own pace with no collectives (a stiff shard does not stall the
         others between intervals).
+
+        Per-batch heterogeneous parameters are supported: ``(B,)`` property
+        leaves ride the mesh as sharded ``shard_map`` operands and each shard
+        integrates with its local parameter slice (scalar leaves and static
+        Python scalars stay in the closure).
         """
         from exciting_environments_tpu.ops.adaptive import adaptive_rollout
 
         env = self.env
-        # env properties are closed over (not shard_map args): per-batch
-        # (B,) property leaves would arrive whole inside a (B/n)-sized shard
-        prop_leaves = jax.tree_util.tree_leaves(env.env_properties)
-        if not all(np.isscalar(leaf) for leaf in prop_leaves):
-            raise ValueError(
-                "sharded adaptive_rollout requires scalar env properties; "
-                "per-batch property arrays cannot ride the mesh through the "
-                "controller's closure"
-            )
         shadow = self._fused_shadow
         if shadow is None or shadow.batch_size != env.batch_size // self.mesh.size:
             shadow = object.__new__(type(env))
@@ -226,19 +222,33 @@ class ShardedEnv:
             shadow.batch_size = env.batch_size // self.mesh.size
             self._fused_shadow = shadow
 
+        # split the property tree: array leaves with a leading batch dim are
+        # shard_map operands (split over the mesh), everything else — scalar
+        # arrays and the static Python scalars jit specializes on — is closed
+        # over and implicitly replicated
+        leaves, treedef = jax.tree_util.tree_flatten(env.env_properties)
+        is_batched = [
+            isinstance(l, jax.Array) and l.ndim >= 1 and l.shape[0] == env.batch_size
+            for l in leaves
+        ]
+        batched_leaves = tuple(l for l, b in zip(leaves, is_batched) if b)
+
         spec = P(self.axis_name)
 
-        def local(state, actions):
-            return adaptive_rollout(shadow, state, actions, **kwargs)
+        def local(state, actions, local_prop_leaves):
+            it = iter(local_prop_leaves)
+            merged = [next(it) if b else l for l, b in zip(leaves, is_batched)]
+            props = jax.tree_util.tree_unflatten(treedef, merged)
+            return adaptive_rollout(shadow, state, actions, env_properties=props, **kwargs)
 
         sharded = jax.shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(spec, spec),
+            in_specs=(spec, spec, spec),
             out_specs=(spec, spec, spec),
             check_vma=False,
         )
-        return sharded(self.shard(init_state), self.shard(actions_norm))
+        return sharded(self.shard(init_state), self.shard(actions_norm), batched_leaves)
 
     def __getattr__(self, name):
         return getattr(self.env, name)

@@ -178,11 +178,94 @@ def test_incomplete_flag_on_step_budget_exhaustion():
     assert not bool(stats2.incomplete)
 
 
-def test_adaptive_rollout_rejects_derived_state_envs():
-    env = excenvs.PMSM(batch_size=4)
-    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+def test_adaptive_rollout_rejects_derived_state_envs_without_hook():
+    """A derived-field env without its own _adaptive_rollout still gets the
+    explicit guard instead of silently mis-integrating."""
+
+    class PendulumWithDerived(excenvs.Pendulum):
+        _ode_state_fields = ("theta",)  # pretend omega is a derived field
+
+    env = PendulumWithDerived(batch_size=4)
+    _, state = env.vmap_reset()
     with pytest.raises(ValueError, match="derived fields"):
-        adaptive_rollout(env, state, jnp.zeros((4, 3, 2)))
+        adaptive_rollout(env, state, jnp.zeros((4, 3, 1)))
+
+
+def test_pmsm_adaptive_matches_fixed_tsit5_nonstiff():
+    """At a benign operating point one Tsit5 step per tau is already accurate,
+    so the adaptive path (which reproduces step()'s hexagon/deadtime/torque
+    semantics) must agree closely with the fixed-step Tsit5 rollout."""
+    B, N = 8, 12
+    env = excenvs.PMSM(batch_size=B, tau=1e-4, solver="tsit5")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, state = env.vmap_reset(keys)
+    actions = 0.25 * jnp.ones((B, N, 2))
+
+    obs_a, last_a, stats = adaptive_rollout(env, state, actions, rtol=1e-10, atol=1e-12)
+    obs_f, last_f = env.vmap_rollout(state, actions, N)
+
+    assert not bool(jnp.any(stats.incomplete))
+    np.testing.assert_allclose(
+        np.asarray(last_a.physical_state.i_d), np.asarray(last_f.physical_state.i_d),
+        rtol=1e-6, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_a.physical_state.i_q), np.asarray(last_f.physical_state.i_q),
+        rtol=1e-6, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_a.physical_state.epsilon), np.asarray(last_f.physical_state.epsilon),
+        rtol=1e-6, atol=1e-6,
+    )
+    # buffer bookkeeping (deadtime swap) is discrete; the constrained voltage
+    # itself may differ by rounding between the two vmap contexts
+    np.testing.assert_allclose(
+        np.asarray(last_a.physical_state.u_d_buffer),
+        np.asarray(last_f.physical_state.u_d_buffer), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_a.physical_state.u_q_buffer),
+        np.asarray(last_f.physical_state.u_q_buffer), rtol=1e-12,
+    )
+    assert obs_a.shape == obs_f[:, -1].shape
+
+
+def test_pmsm_adaptive_saturated_lut():
+    """Saturated-LUT magnetics integrate adaptively; the final torque is the
+    consistent LUT torque of the final currents."""
+    B = 6
+    env = excenvs.PMSM(batch_size=B, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    _, state = env.vmap_reset(keys)
+    actions = 0.3 * jnp.ones((B, 5, 2))
+
+    obs, last, stats = adaptive_rollout(env, state, actions, rtol=1e-8, atol=1e-10)
+    assert bool(jnp.isfinite(obs).all())
+    assert not bool(jnp.any(stats.incomplete))
+    expected_torque = env.currents_to_torque_saturated(
+        last.physical_state.i_d, last.physical_state.i_q, env.env_properties
+    )
+    np.testing.assert_allclose(
+        np.asarray(last.physical_state.torque), np.asarray(expected_torque), rtol=1e-12
+    )
+
+
+def test_pmsm_adaptive_per_batch_params():
+    """Per-batch r_s: heterogeneous electrical parameters integrate per
+    instance (the sharded wrapper rides these same leaves over the mesh)."""
+    B = 8
+    r_s = jnp.linspace(5e-3, 50e-3, B)
+    params = {"p": 3, "r_s": r_s, "l_d": 0.37e-3, "l_q": 1.2e-3,
+              "psi_p": 65.6e-3, "u_dc": 400, "deadtime": 1}
+    env = excenvs.PMSM(batch_size=B, tau=1e-4, static_params=params)
+    _, state = env.vmap_reset()
+    actions = 0.3 * jnp.ones((B, 6, 2))
+
+    obs, last, stats = adaptive_rollout(env, state, actions, rtol=1e-9, atol=1e-11)
+    assert bool(jnp.isfinite(obs).all())
+    assert not bool(jnp.any(stats.incomplete))
+    # identical initial states + actions, different r_s -> different currents
+    assert float(jnp.std(last.physical_state.i_d)) > 1e-6
 
 
 def test_warm_start_survives_interval_clipping():

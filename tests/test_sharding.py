@@ -216,11 +216,83 @@ def test_sharded_adaptive_rollout(mesh):
     assert not bool(jnp.any(stats_s.incomplete))
 
 
-def test_sharded_adaptive_rollout_rejects_per_batch_props(mesh):
+def test_sharded_adaptive_rollout_per_batch_props(mesh):
+    """Per-batch heterogeneous parameters ride the mesh through the adaptive
+    controller: each shard integrates with its local parameter slice and the
+    result matches the single-device run."""
+    from exciting_environments_tpu.ops.adaptive import adaptive_rollout
+
     batch = 16
     lengths = jnp.linspace(1.0, 2.0, batch)
     env = excenvs.Pendulum(batch_size=batch, static_params={"l": lengths, "g": 9.81, "m": 1})
     senv = ShardedEnv(env, mesh)
-    _, state = senv.vmap_reset()
-    with pytest.raises(ValueError, match="scalar env properties"):
-        senv.adaptive_rollout(state, jnp.zeros((batch, 4, 1)))
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(3), batch))
+    actions = jax.random.uniform(jax.random.PRNGKey(4), (batch, 6, 1), minval=-0.5, maxval=0.5)
+
+    obs_s, last_s, stats_s = senv.adaptive_rollout(state, actions, rtol=1e-7, atol=1e-9)
+    obs_r, last_r, stats_r = adaptive_rollout(env, state, actions, rtol=1e-7, atol=1e-9)
+
+    assert not obs_s.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_r), rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(stats_s.accepted), np.asarray(stats_r.accepted))
+    assert not bool(jnp.any(stats_s.incomplete))
+    # heterogeneous lengths must actually produce heterogeneous trajectories
+    assert float(jnp.std(last_s.physical_state.theta)) > 1e-3
+
+
+def test_sharded_adaptive_rollout_pmsm(mesh):
+    """The stiff PMSM drive (derived fields + per-batch r_s) integrates
+    adaptively under the mesh — SURVEY hard part (e)."""
+    from exciting_environments_tpu.ops.adaptive import adaptive_rollout
+
+    batch = 16
+    r_s = jnp.linspace(10e-3, 40e-3, batch)
+    params = {"p": 3, "r_s": r_s, "l_d": 0.37e-3, "l_q": 1.2e-3,
+              "psi_p": 65.6e-3, "u_dc": 400, "deadtime": 1}
+    env = excenvs.PMSM(batch_size=batch, tau=1e-4, static_params=params)
+    senv = ShardedEnv(env, mesh)
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    _, state = senv.vmap_reset(keys)
+    actions = 0.3 * jnp.ones((batch, 5, 2))
+
+    obs_s, last_s, stats_s = senv.adaptive_rollout(state, actions, rtol=1e-8, atol=1e-10)
+    obs_r, last_r, stats_r = adaptive_rollout(env, state, actions, rtol=1e-8, atol=1e-10)
+
+    assert not obs_s.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_r), rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(stats_s.accepted), np.asarray(stats_r.accepted))
+    assert not bool(jnp.any(stats_s.incomplete))
+
+
+def test_sharded_saturated_pmsm_step_and_rollout(mesh):
+    """LUT constants replicate cleanly under GSPMD: the saturated-BRUSA PMSM
+    steps and rolls out identically (to rounding) to the single-device run."""
+    batch = 16
+    env = excenvs.PMSM(batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+    _, state_ref = env.vmap_reset(keys)
+    action = 0.2 * jnp.ones((batch, 2))
+    obs_ref, state_ref1 = env.vmap_step(state_ref, action)
+    actions = 0.15 * jnp.ones((batch, 12, 2))
+    roll_ref, roll_last_ref = env.vmap_rollout(state_ref, actions)
+
+    env2 = excenvs.PMSM(batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    senv = ShardedEnv(env2, mesh)
+    _, state_s = senv.vmap_reset(keys)
+    obs_s, state_s1 = senv.vmap_step(state_s, action)
+    roll_s, roll_last_s = senv.vmap_rollout(state_s, actions)
+
+    assert not obs_s.sharding.is_fully_replicated
+    # near-ULP rather than bit-exact: GSPMD partitioning may reassociate the
+    # FMA chain inside the LUT bilinear blend (observed 1-ULP deltas on 2/128
+    # elements); anything beyond rounding noise would still fail loudly
+    np.testing.assert_allclose(np.asarray(obs_s), np.asarray(obs_ref), rtol=1e-14, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(roll_s), np.asarray(roll_ref), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(roll_last_s.physical_state.i_d),
+        np.asarray(roll_last_ref.physical_state.i_d), rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(roll_last_s.physical_state.torque),
+        np.asarray(roll_last_ref.physical_state.torque), rtol=1e-12,
+    )

@@ -196,6 +196,53 @@ def bench_pmsm(batch=65536, steps=512):
             inputs=action_sets,
         )
 
+        if jax.default_backend() != "cpu":
+            from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+            # exactness gate vs the scan path on-device (saturated: bit-exact;
+            # linear: <= 2 ulp/step division rounding, see pmsm_stepper.py)
+            te = 64
+            a_small = action_sets[0][:, :te]
+            _, last_ref = env.vmap_rollout(state, a_small, te)
+            _, last_fused = pmsm_fused_rollout(env, state, a_small)
+            max_dev = max(
+                float(
+                    jnp.max(
+                        jnp.abs(
+                            jnp.asarray(getattr(last_ref.physical_state, n))
+                            - jnp.asarray(getattr(last_fused.physical_state, n))
+                        )
+                    )
+                )
+                for n in ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer")
+            )
+            if saturated and max_dev != 0.0:
+                raise RuntimeError(
+                    f"saturated fused PMSM kernel deviates from scan path: {max_dev}"
+                )
+            if max_dev > 1e-2:
+                raise RuntimeError(f"fused PMSM kernel deviates from scan path: {max_dev}")
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{name}_b{batch}_pmsm_fused_bitexact",
+                        "value": max_dev,
+                        "unit": "max_abs_state_dev_vs_scan_64steps",
+                        "bitexact": max_dev == 0.0,
+                    }
+                ),
+                flush=True,
+            )
+            step = jax.jit(
+                lambda a, env=env, state=state: pmsm_fused_rollout(env, state, a)[1].physical_state.i_d
+            )
+            timed(
+                f"{name}_b{batch}_pallas_fused_{steps}steps",
+                step,
+                batch * steps,
+                inputs=action_sets,
+            )
+
 
 def bench_pendulum_headline(batch=65536, steps=1024):
     import exciting_environments_tpu as excenvs

@@ -326,3 +326,29 @@ class MujucoWrapper:
             self.env_properties, rng, initial_qpos_qvel, jnp.ones(self.batch_size)
         )
         return obs, state
+
+    @partial(jax.jit, static_argnums=0)
+    def generate_state_from_observation(self, obs, env_properties, key=None):
+        """Rebuild a fresh ``mjx.Data`` whose qpos/qvel reproduce ``obs``.
+
+        The reference declares only the batched variant and vmaps a
+        per-sample method it never defines (``mujoco_wrapper.py:363-377``
+        raises ``AttributeError`` when called); the per-sample reconstruction
+        is implemented here so the batched API actually works.  Round-trips
+        with :meth:`generate_observation` up to angle wrapping.
+        """
+        qpos_norm = obs[: self.qpos_dim]
+        qvel_norm = obs[self.qpos_dim : self.qpos_dim + self.qvel_dim]
+        qpos = self.denormalize_components(qpos_norm, env_properties.physical_normalizations.qpos)
+        qvel = self.denormalize_components(qvel_norm, env_properties.physical_normalizations.qvel)
+        data = mjx.make_data(self.mjx_model)
+        return data.replace(qpos=qpos, qvel=qvel)
+
+    @partial(jax.jit, static_argnums=0)
+    def vmap_generate_state_from_observation(self, obs, key=None):
+        """Batched :meth:`generate_state_from_observation`
+        (reference ``mujoco_wrapper.py:363-377``)."""
+        state = jax.vmap(
+            self.generate_state_from_observation, in_axes=(0, self.in_axes_env_properties, 0)
+        )(obs, self.env_properties, key)
+        return state

@@ -10,6 +10,18 @@ multi-device ``jax.sharding`` layouts without TPU hardware.
 import os
 
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# Detach the axon relay and force the LOCAL CPU backend.  The axon
+# sitecustomize imports jax at interpreter startup with JAX_PLATFORMS=axon, so
+# the env vars alone are too late under pytest — the jax.config.update call is
+# what actually selects the true local CPU client (see CLAUDE.md "TPU
+# runtime" rules).  Note for bit-exactness tests: the XLA *CPU* backend
+# contracts mul+add chains into FMAs context-dependently (LLVM), so two
+# differently-structured programs computing the same math can differ by ~1
+# ulp on CPU; the TPU compiler performs no such contraction.  CPU tests
+# therefore pin tight closeness, and bitwise equivalence is asserted on
+# TPU hardware by the benchmark harness.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 

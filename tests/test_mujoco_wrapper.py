@@ -100,3 +100,13 @@ def test_single_step_matches_vmap_entry(wrapper):
     obs_single, _ = wrapper.step(single, 0.3 * jnp.ones((1,)), wrapper.env_properties)
     obs_batch, _ = wrapper.vmap_step(state, 0.3 * jnp.ones((4, 1)))
     np.testing.assert_allclose(np.asarray(obs_single), np.asarray(obs_batch[0]), rtol=1e-12)
+
+
+def test_generate_state_from_observation_roundtrip(wrapper):
+    """obs -> state -> obs identity (the reference declares the batched API
+    but never defines the per-sample method it vmaps, mujoco_wrapper.py:363-377;
+    this pins the working implementation)."""
+    obs, _ = wrapper.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    state = wrapper.vmap_generate_state_from_observation(obs)
+    obs_rt = jax.vmap(wrapper.generate_observation, in_axes=(0, None))(state, wrapper.env_properties)
+    np.testing.assert_allclose(np.asarray(obs_rt), np.asarray(obs), rtol=1e-12, atol=1e-12)

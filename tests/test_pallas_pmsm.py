@@ -1,0 +1,177 @@
+"""Fused Pallas PMSM kernel tests (interpreter mode on CPU).
+
+The kernel decomposes the PMSM step into an exact XLA angle/constraint
+pre-pass and a VMEM-resident current-integration kernel with an exact
+in-kernel LUT gather.  The full chain must be BIT-exact vs ``vmap_rollout``
+(the scan of :meth:`PMSM.step`) for in-scope configurations.
+
+Bit-exactness is a TPU-hardware property: the XLA *CPU* backend contracts
+mul+add chains into FMAs context-dependently (LLVM), so two differently-
+structured programs computing identical math can differ by ~1 ulp per step
+on CPU — and its dot is inexact even for one-hot operands.  These CPU
+interpreter-mode tests therefore pin tight closeness (float64, rtol 1e-11
+over 16 steps, far below any accumulation of real error), and the bitwise
+equivalence of the compiled kernel vs the scan path is asserted on TPU
+hardware by the benchmark harness (``benchmarks/run_benchmarks.py``,
+``pmsm_fused_bitexact`` metric).  Gather modes: ``"take"`` = direct
+indexing (interpreter only), ``"dot"`` = one-hot MXU contraction (the
+compiled TPU path, bit-exact on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+    TILE,
+    pmsm_fused_rollout,
+    supports_pmsm_fused,
+)
+
+BATCH = TILE  # one tile: 1024 environments
+T = 16
+
+STATE_FIELDS = ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer", "omega_el")
+
+
+def _make(saturated, variant, **static_overrides):
+    kwargs = {}
+    if static_overrides:
+        params = dict(variant.get_params().static_params.__dict__)
+        if saturated:
+            params.update({"l_d": jnp.nan, "l_q": jnp.nan, "psi_p": jnp.nan})
+        params.update(static_overrides)
+        kwargs["static_params"] = params
+    env = excenvs.PMSM(batch_size=BATCH, saturated=saturated, motor_variant=variant, **kwargs)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 2), minval=-0.5, maxval=0.5)
+    return env, state, actions
+
+
+def _assert_state_close(last_ref, last_fused, rtol=1e-11, atol=1e-9):
+    for name in STATE_FIELDS:
+        a = np.asarray(getattr(last_ref.physical_state, name))
+        b = np.asarray(getattr(last_fused.physical_state, name))
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [
+        (False, excenvs.MotorVariant.DEFAULT),
+        (False, excenvs.MotorVariant.BRUSA),
+        (True, excenvs.MotorVariant.BRUSA),
+        (True, excenvs.MotorVariant.SEW),
+    ],
+)
+def test_fused_pmsm_matches_scan(saturated, variant):
+    env, state, actions = _make(saturated, variant)
+    assert supports_pmsm_fused(env)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_f, last_f = pmsm_fused_rollout(env, state, actions, gather="take", interpret=True)
+    _assert_state_close(last_ref, last_f)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=1e-10, atol=1e-10)
+
+
+def test_fused_pmsm_deadtime_zero():
+    env, state, actions = _make(True, excenvs.MotorVariant.BRUSA, deadtime=0)
+    assert supports_pmsm_fused(env)
+    _, last_ref = env.vmap_rollout(state, actions, T)
+    _, last_f = pmsm_fused_rollout(env, state, actions, gather="take", interpret=True)
+    _assert_state_close(last_ref, last_f)
+
+
+def test_fused_pmsm_dot_gather_close():
+    """The compiled TPU gather mode (one-hot contraction); on the CPU backend
+    the dot rounds corners by ~1 ulp, so this is a closeness gate — the TPU
+    bit-exactness of this mode is asserted on-device by the bench harness."""
+
+    env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
+    _, last_ref = env.vmap_rollout(state, actions, T)
+    _, last_f = pmsm_fused_rollout(env, state, actions, gather="dot", interpret=True)
+    for name in STATE_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_f.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+
+def test_fused_pmsm_trajectory_mode():
+    env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
+    stride = 4
+    obs_ref, last_ref = env.vmap_rollout(state, actions, stride)
+    obs_f, last_f = pmsm_fused_rollout(env, state, actions, obs_stride=stride, gather="take", interpret=True)
+    _assert_state_close(last_ref, last_f)
+    assert obs_f.shape == obs_ref.shape
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+
+
+def test_fused_pmsm_time_major():
+    env, state, actions = _make(False, excenvs.MotorVariant.DEFAULT)
+    _, last_ref = env.vmap_rollout(state, actions, T)
+    _, last_f = pmsm_fused_rollout(
+        env, state, jnp.transpose(actions, (1, 0, 2)), time_major=True, gather="take", interpret=True
+    )
+    _assert_state_close(last_ref, last_f)
+
+
+def test_fused_pmsm_fallback_out_of_scope():
+    """Per-batch heterogeneous r_s falls back to the scan path."""
+    params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
+    params["r_s"] = jnp.full(BATCH, params["r_s"])
+    env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, static_params=params)
+    assert not supports_pmsm_fused(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 2), minval=-0.5, maxval=0.5)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_f, last_f = pmsm_fused_rollout(env, state, actions)
+    _assert_state_close(last_ref, last_f)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=0, atol=0)
+
+
+def test_fused_pmsm_fallback_non_euler():
+    env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, solver="tsit5")
+    assert not supports_pmsm_fused(env)
+
+
+def test_fused_pmsm_rejects_bad_batch():
+    env = excenvs.PMSM(batch_size=8, motor_variant=excenvs.MotorVariant.DEFAULT)
+    assert not supports_pmsm_fused(env)
+
+
+def test_constraint_prepass_matches_method():
+    """The vectorized constraint pre-pass must match the env's own
+    ``constraint_denormalization`` (vmapped per step) to ~1 ulp per step —
+    bitwise on TPU, closeness-gated here (CPU FMA contraction, see module
+    docstring)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        _constrained_voltages,
+        _eps_trajectory,
+    )
+
+    env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
+    props = env.env_properties
+    acts_tm = jnp.moveaxis(actions, 0, 1)
+    u_con, eps_final, omega = _constrained_voltages(env, state, acts_tm, props)
+
+    phys = state.physical_state
+    eps_seq, eps_last = _eps_trajectory(
+        jnp.asarray(phys.epsilon), jnp.asarray(phys.omega_el), env.tau, T
+    )
+    assert np.array_equal(np.asarray(eps_final), np.asarray(eps_last))
+    for k in range(0, T, 5):
+        st = structures.replace(
+            state, physical_state=structures.replace(phys, epsilon=eps_seq[k])
+        )
+        u_ref = jax.vmap(
+            env.constraint_denormalization, in_axes=(0, 0, env.in_axes_env_properties)
+        )(acts_tm[k], st, props)
+        np.testing.assert_allclose(
+            np.asarray(u_con[k]), np.asarray(u_ref), rtol=1e-12, atol=1e-10,
+            err_msg=f"step {k}",
+        )

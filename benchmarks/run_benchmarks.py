@@ -149,6 +149,53 @@ def bench_tsit5_sim_ahead():
             inputs=action_sets,
         )
 
+    if jax.default_backend() == "cpu":
+        return
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead
+
+    for cls, name in [(excenvs.CartPole, "cartpole"), (excenvs.Acrobot, "acrobot")]:
+        B, T = 65536, 256
+        env = cls(batch_size=B, solver="tsit5")
+        _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), B))
+        action_sets = [
+            jax.random.uniform(jax.random.PRNGKey(20 + i), (B, T, env.action_dim), minval=-0.5, maxval=0.5)
+            for i in range(4)
+        ]
+        # agreement gate vs the scan path (divisions in the mechanics RHS
+        # round differently between the XLA and Mosaic lowerings, ~1 ulp/step
+        # -> <= 1e-5 absolute over 32 steps; see ops/pallas/stepper.py)
+        te = 32
+        a_small = action_sets[0][:, :te]
+        obs_r, _, last_r = env.vmap_sim_ahead(state, a_small, env.tau, env.tau)
+        obs_f, last_f = env_fused_sim_ahead(env, state, a_small, env.tau, env.tau)
+        max_dev = max(
+            float(jnp.max(jnp.abs(jnp.asarray(getattr(last_r.physical_state, n)) - jnp.asarray(getattr(last_f.physical_state, n)))))
+            for n in env._ode_state_fields
+        )
+        if max_dev > 1e-3:
+            raise RuntimeError(f"fused tsit5 sim_ahead deviates from scan path: {max_dev}")
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_b{B}_tsit5_fused_agreement",
+                    "value": max_dev,
+                    "unit": "max_abs_state_dev_vs_scan_32steps",
+                }
+            ),
+            flush=True,
+        )
+        step = jax.jit(
+            lambda a, env=env, state=state: env_fused_sim_ahead(
+                env, state, a, env.tau, env.tau, obs_stride=T
+            )[1].physical_state
+        )
+        timed(
+            f"{name}_b{B}_tsit5_pallas_fused_sim_ahead",
+            step,
+            B * T,
+            inputs=action_sets,
+        )
+
 
 def bench_fluid_tank_long_horizon():
     import exciting_environments_tpu as excenvs

@@ -11,11 +11,29 @@ the state carried in the revisited output block.  The horizon length is
 therefore unbounded by VMEM, and for small-state environments (pendulum:
 2 floats/env) the only unavoidable HBM traffic is streaming the actions.
 
-Scope: the classic ODE environments (elementwise vector fields, scalar
-static parameters) with carry-free explicit solvers (Euler, Heun, Midpoint,
-RK4) — step semantics are then identical to repeated ``vmap_step`` calls.
-FSAL solvers, per-batch heterogeneous parameters and the PMSM (LUT gathers,
-deadtime buffers) transparently fall back to the XLA scan path.
+Scope: the classic ODE environments (elementwise vector fields) with any
+explicit Runge-Kutta solver — including FSAL methods (Tsit5/Dopri5) — and
+scalar OR per-batch ``(batch,)`` heterogeneous static parameters (streamed
+as per-tile operands).  Two execution semantics:
+
+* **step mode** (:func:`env_fused_rollout`): identical to repeated
+  ``vmap_step`` calls.  FSAL methods re-initialize their carry against the
+  current action every step (the reference's net behavior, see
+  ``solvers.py``), so the last FSAL stage never feeds the update and the
+  kernel simply evaluates stages 1..s-1; the final state's solver carry is
+  reconstructed afterwards.
+* **sim-ahead mode** (:func:`env_fused_sim_ahead`): identical to
+  ``vmap_sim_ahead`` for ``obs_stepsize == action_stepsize``.  The carry is
+  NOT angle-wrapped/clipped between steps (the reference wraps only the
+  saved trajectory, ``core/env.py::_ode_solver_simulate_ahead``), and
+  stages at ``c == 1.0`` read the NEXT action — the documented
+  future-action ZOH semantics of multistage solvers (reference
+  ``core_env.py:435-439``), realized by streaming a one-slot-shifted copy
+  of the action slab.
+
+The PMSM (LUT gathers, deadtime buffers) has its own fused kernel
+(:mod:`~exciting_environments_tpu.ops.pallas.pmsm_stepper`); unsupported
+configurations transparently fall back to the XLA scan path.
 """
 
 from __future__ import annotations
@@ -49,12 +67,28 @@ class _IndexableAction:
         return self._leaves[i]
 
 
-def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
+def _stage_rows(solver: ExplicitRungeKutta):
+    """Stage matrix rows and output weights actually needed for ``y1``.
+
+    For FSAL methods the last stage equals ``f(t1, y1)`` and carries zero
+    output weight — it only seeds the *next* step's first stage, and both
+    step mode (per-step re-init) and sim-ahead mode recompute it, so the
+    kernel skips it entirely.
+    """
+    if solver.fsal:
+        return solver.a[:-1], solver.b[:-1]
+    return solver.a, solver.b
+
+
+def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t, action_next=None):
     """One explicit RK step on a tuple of (8, 128) tiles.
 
     Coefficient handling mirrors ``solvers._weighted_increment`` (skip zero
     terms, no multiply for unit coefficients) so Euler is exactly
-    ``y + tau * f`` — bit-identical to the XLA step path.
+    ``y + tau * f`` — bit-identical to the XLA step path.  With
+    ``action_next`` given (sim-ahead mode), stages at ``c == 1.0`` evaluate
+    under the next action — the ZOH lookup of ``ops.rollout.zoh_action``
+    lands on the following interval there (guarded floor division).
     """
 
     def lincomb(yl, ks_for_leaf, coeffs):
@@ -66,18 +100,31 @@ def _rk_step(ode, solver: ExplicitRungeKutta, y, action, tau, t):
             acc = term if acc is None else acc + term
         return yl if acc is None else yl + tau * acc
 
+    a_rows, b = _stage_rows(solver)
     ks = [ode(t, y, action)]
-    for row, c in zip(solver.a, solver.c[1:]):
+    for row, c in zip(a_rows, solver.c[1:]):
         ti = t if c == 0.0 else t + c * tau
+        act_i = action_next if (action_next is not None and c == 1.0) else action
         yi = tuple(
             lincomb(yl, [k[j] for k in ks], row) for j, yl in enumerate(y)
         )
-        ks.append(ode(ti, yi, action))
-    return tuple(lincomb(yl, [k[j] for k in ks], solver.b) for j, yl in enumerate(y))
+        ks.append(ode(ti, yi, act_i))
+    return tuple(lincomb(yl, [k[j] for k in ks], b) for j, yl in enumerate(y))
 
 
-def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride, fast_wrap):
-    """Kernel body over refs ``(actions, *state_in, *state_out[, *traj_out])``.
+def _needs_next_action(solver: ExplicitRungeKutta) -> bool:
+    """Whether any update-relevant stage sits at ``c == 1.0`` (sim-ahead
+    future-action access)."""
+    a_rows, _ = _stage_rows(solver)
+    return any(c == 1.0 for c in solver.c[1 : len(a_rows) + 1])
+
+
+def _make_kernel(
+    ode, solver, chunk, n_state, n_action, n_params, tau, wrap_flags, clip_fn,
+    traj_stride, fast_wrap, has_next, carry_postprocess,
+):
+    """Kernel body over refs ``(actions[, actions_next], *params, *state_in,
+    *state_out[, *traj_out])``.
 
     The grid is ``(batch_tiles, time_chunks)`` with time innermost: the state
     output block (constant over the time axis) doubles as the carried state —
@@ -85,10 +132,19 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
     by every later chunk of the same batch tile, while Pallas double-buffers
     the per-chunk action DMA.  With ``traj_stride`` set, every
     ``traj_stride``-th post-step state is also written to per-leaf trajectory
-    blocks of ``chunk // traj_stride`` rows.
+    blocks of ``chunk // traj_stride`` rows.  ``carry_postprocess`` applies
+    wrap/clip to the carried state each step (step mode); sim-ahead mode
+    disables it and saves raw values (the caller wraps the saves).
     """
 
     def kernel(actions_ref, *refs):
+        if has_next:
+            actions_next_ref = refs[0]
+            refs = refs[1:]
+        else:
+            actions_next_ref = None
+        param_refs = refs[:n_params]
+        refs = refs[n_params:]
         in_refs = refs[:n_state]
         state_refs = refs[n_state : 2 * n_state]
         traj_refs = refs[2 * n_state :]
@@ -99,25 +155,44 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
             for ref, src in zip(state_refs, in_refs):
                 ref[:] = src[:]
 
+        params = tuple(ref[:] for ref in param_refs)
+
         def body(i, y):
             action = _IndexableAction(tuple(actions_ref[i, a] for a in range(n_action)))
+            action_next = (
+                _IndexableAction(tuple(actions_next_ref[i, a] for a in range(n_action)))
+                if has_next
+                else None
+            )
             step = k * chunk + i
-            y1 = _rk_step(ode, solver, y, action, tau, step * tau)
-            wrap_op = wrap_angle_fast if fast_wrap else (
-                lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+            y1 = _rk_step(
+                lambda t, yy, act: ode(t, yy, act, params),
+                solver, y, action, tau, step * tau, action_next=action_next,
             )
-            y1 = tuple(
-                wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
-            )
-            if clip_fn is not None:
-                y1 = clip_fn(y1)
+            if carry_postprocess:
+                wrap_op = wrap_angle_fast if fast_wrap else (
+                    lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+                )
+                y1 = tuple(
+                    wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+                )
+                if clip_fn is not None:
+                    y1 = clip_fn(y1)
             if traj_stride is not None:
-
-                @pl.when((i + 1) % traj_stride == 0)
-                def _():
-                    slot = (i + 1) // traj_stride - 1
-                    for ref, leaf in zip(traj_refs, y1):
-                        ref[slot] = leaf
+                if traj_stride <= chunk:
+                    # >= 1 save per chunk: slot indexed within the block
+                    @pl.when((i + 1) % traj_stride == 0)
+                    def _():
+                        slot = (i + 1) // traj_stride - 1
+                        for ref, leaf in zip(traj_refs, y1):
+                            ref[slot] = leaf
+                else:
+                    # one save every traj_stride // chunk chunks: the block
+                    # holds a single slot, revisited until its save step
+                    @pl.when((step + 1) % traj_stride == 0)
+                    def _():
+                        for ref, leaf in zip(traj_refs, y1):
+                            ref[0] = leaf
 
             return y1
 
@@ -131,7 +206,10 @@ def _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride", "fast_wrap", "time_major", "interpret"),
+    static_argnames=(
+        "ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride",
+        "fast_wrap", "time_major", "sim_ahead", "interpret",
+    ),
 )
 def fused_rollout(
     ode,
@@ -145,15 +223,19 @@ def fused_rollout(
     traj_stride: int = None,
     fast_wrap: bool = False,
     time_major: bool = False,
+    param_leaves: tuple = (),
+    sim_ahead: bool = False,
     interpret: bool = False,
 ):
     """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
 
     Args:
-        ode: ``ode(t, y_tuple, indexable_action) -> dy_tuple``, elementwise on
-            (8, 128) tiles; static parameters closed over as Python scalars.
-        solver: carry-free :class:`ExplicitRungeKutta` (tableau baked into
-            the kernel).
+        ode: ``ode(t, y_tuple, indexable_action, param_tiles) -> dy_tuple``,
+            elementwise on (8, 128) tiles; scalar parameters closed over as
+            Python scalars, per-batch parameters arriving as ``param_tiles``.
+        solver: :class:`ExplicitRungeKutta` (tableau baked into the kernel;
+            FSAL methods supported — their final stage is carry-only and
+            skipped, see :func:`_stage_rows`).
         y0: tuple of ``(B,)`` state arrays, ``B % 1024 == 0``.
         actions: physical (denormalized) actions, shape ``(B, n_steps, A)``
             — or ``(n_steps, B, A)`` with ``time_major=True``, which is the
@@ -170,6 +252,11 @@ def fused_rollout(
         fast_wrap: wrap angles with the FMA+floor floored-modulo identity
             instead of ``rem`` (fast-math environments; last-ulp rounding
             differences).
+        param_leaves: per-batch heterogeneous parameters, tuple of ``(B,)``
+            arrays forwarded to ``ode`` as (rows, 128) tiles.
+        sim_ahead: trajectory-solve semantics — the carry is not
+            wrapped/clipped between steps (saves are raw; the caller wraps),
+            and ``c == 1.0`` stages read the next action.
         interpret: Pallas interpreter mode (for CPU testing).
 
     Returns:
@@ -180,11 +267,10 @@ def fused_rollout(
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
-    if solver.fsal:
-        raise ValueError("fused_rollout supports carry-free solvers only")
     if traj_stride is not None and n_steps % traj_stride != 0:
         raise ValueError("n_steps must be divisible by traj_stride")
     n_state = len(y0)
+    n_params = len(param_leaves)
     n_action = actions.shape[-1]
     if time_major and actions.shape[:2] != (n_steps, batch):
         raise ValueError(f"time_major actions must be (n_steps, B, A), got {actions.shape}")
@@ -196,14 +282,20 @@ def fused_rollout(
         rows *= 2
     n_batch_tiles = total_rows // rows
 
+    has_next = sim_ahead and _needs_next_action(solver)
+
     # time chunk: largest divisor of n_steps keeping the action block <= ~2 MB
     # (Pallas double-buffers it) and compatible with the trajectory stride
     max_chunk = max(1, (2 * 1024 * 1024) // (n_action * rows * LANES * 4))
     chunk = 1
     for c in range(1, n_steps + 1):
-        if n_steps % c == 0 and c <= max_chunk and (traj_stride is None or c % traj_stride == 0):
+        if (
+            n_steps % c == 0
+            and c <= max_chunk
+            and (traj_stride is None or c % traj_stride == 0 or traj_stride % c == 0)
+        ):
             chunk = c
-    if traj_stride is not None and chunk % traj_stride != 0:
+    if traj_stride is not None and chunk % traj_stride != 0 and traj_stride % chunk != 0:
         raise ValueError("no time chunk compatible with traj_stride; use a smaller stride")
     n_time_chunks = n_steps // chunk
 
@@ -220,22 +312,50 @@ def fused_rollout(
     else:
         actions_tiled = jnp.transpose(actions, (1, 2, 0)).reshape(n_steps, n_action, total_rows, LANES)
 
-    kernel = _make_kernel(ode, solver, chunk, n_state, n_action, tau, wrap_flags, clip_fn, traj_stride, fast_wrap)
+    kernel = _make_kernel(
+        ode, solver, chunk, n_state, n_action, n_params, tau, wrap_flags, clip_fn,
+        traj_stride, fast_wrap, has_next, carry_postprocess=not sim_ahead,
+    )
 
     def state_block():
         # constant over the time axis: the output block carries the state
         # across time chunks of the same batch tile
         return pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
 
+    def action_block():
+        return pl.BlockSpec(
+            (chunk, n_action, rows, LANES), lambda b, k: (k, 0, b, 0), memory_space=pltpu.VMEM
+        )
+
     dtype = y0_tiled[0].dtype
+    in_specs = [action_block()]
+    operands = [actions_tiled]
+    if has_next:
+        # one-slot-shifted action stream for c == 1.0 stages; the final step
+        # repeats the last action (the ZOH gather clamps at the end)
+        in_specs.append(action_block())
+        operands.append(jnp.concatenate([actions_tiled[1:], actions_tiled[-1:]], axis=0))
+    for leaf in param_leaves:
+        in_specs.append(state_block())
+        operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
+    in_specs += [state_block() for _ in range(n_state)]
+    operands += list(y0_tiled)
+
     out_specs = [state_block() for _ in range(n_state)]
     out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_state)]
     if traj_stride is not None:
-        saves_per_chunk = chunk // traj_stride
         n_saves = n_steps // traj_stride
+        if traj_stride <= chunk:
+            saves_per_chunk = chunk // traj_stride
+            traj_index = lambda b, k: (k, b, 0)
+        else:
+            # the single-slot block is revisited until the chunk containing
+            # its save step writes it (same revisiting idea as the state carry)
+            saves_per_chunk = 1
+            traj_index = lambda b, k: ((k * chunk) // traj_stride, b, 0)
         out_specs += [
             pl.BlockSpec(
-                (saves_per_chunk, rows, LANES), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM
+                (saves_per_chunk, rows, LANES), traj_index, memory_space=pltpu.VMEM
             )
             for _ in range(n_state)
         ]
@@ -246,18 +366,11 @@ def fused_rollout(
     out = pl.pallas_call(
         kernel,
         grid=(n_batch_tiles, n_time_chunks),  # time innermost: state accumulates per tile
-        in_specs=[
-            pl.BlockSpec(
-                (chunk, n_action, rows, LANES),
-                lambda b, k: (k, 0, b, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        + [state_block() for _ in range(n_state)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(actions_tiled, *y0_tiled)
+    )(*operands)
 
     final = tuple(o.reshape(batch) for o in out[:n_state])
     if traj_stride is None:
@@ -268,16 +381,76 @@ def fused_rollout(
 
 
 def supports_fused_rollout(env) -> bool:
-    """Whether ``env`` is inside the fused kernel's scope."""
+    """Whether ``env`` is inside the fused kernel's scope.
+
+    Scalar parameters are closed over; ``(batch,)``-shaped heterogeneous
+    parameter/normalization leaves are streamed as per-tile operands.
+    """
     param_leaves = jax.tree_util.tree_leaves(env.env_properties.static_params) + jax.tree_util.tree_leaves(
         env.env_properties.action_normalizations
     )
     return (
-        all(np.isscalar(leaf) for leaf in param_leaves)
+        all(
+            np.isscalar(leaf) or np.shape(leaf) == (env.batch_size,)
+            for leaf in param_leaves
+        )
         and len(env._ode_state_fields) == env.physical_state_dim
         and env.batch_size % TILE == 0
         and isinstance(env._solver, ExplicitRungeKutta)
-        and not env._solver.fsal
+    )
+
+
+def _batched_param_closure(env):
+    """Split ``static_params`` into scalar and per-batch leaves and build a
+    tile ODE ``ode(t, y, action, param_tiles)`` reconstructing the params
+    pytree with the streamed tiles in place of the batched leaves."""
+    params = env.env_properties.static_params
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    batched_idx = tuple(i for i, leaf in enumerate(leaves) if not np.isscalar(leaf))
+    batched_leaves = tuple(jnp.asarray(leaves[i]) for i in batched_idx)
+
+    def tile_ode(t, y, action, param_tiles):
+        new_leaves = list(leaves)
+        for i, tile in zip(batched_idx, param_tiles):
+            new_leaves[i] = tile
+        p = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return env._ode(t, y, p, lambda _t: action)
+
+    return tile_ode, batched_leaves
+
+
+def _denormalize_action_slab(env, actions_norm, time_major):
+    """Denormalize a whole (B, T, A) / (T, B, A) action slab, vmapping the
+    per-batch axis over heterogeneous action normalizations."""
+    in_ax = env.in_axes_env_properties
+    denorm_b = jax.vmap(env.denormalize_action, in_axes=(0, in_ax))
+    if time_major:
+        return jax.vmap(denorm_b, in_axes=(0, None))(actions_norm, env.env_properties)
+    denorm_bt = jax.vmap(
+        lambda a, p: jax.vmap(env.denormalize_action, in_axes=(0, None))(a, p),
+        in_axes=(0, in_ax),
+    )
+    return denorm_bt(actions_norm, env.env_properties)
+
+
+def _final_solver_state(env, y_final, last_action_phys):
+    """Reconstruct the scan path's final solver carry.
+
+    Step mode stores ``f(t1, y1)`` under the final action for FSAL methods
+    (``solvers.ExplicitRungeKutta.step``) and ``None`` otherwise.
+    """
+    if not env._solver.fsal:
+        return None
+    in_ax_p = jax.tree_util.tree_map(
+        lambda leaf: 0 if not np.isscalar(leaf) else None, env.env_properties.static_params
+    )
+
+    def k_end(y, action, params):
+        f = env._vector_field(lambda t: action)
+        return f(env.tau, y, params)
+
+    return jax.vmap(k_end, in_axes=(0, 0, in_ax_p))(
+        y_final, last_action_phys, env.env_properties.static_params
     )
 
 
@@ -290,10 +463,10 @@ def env_fused_rollout(
     interpret: bool = False,
 ):
     """Environment-level fused rollout: normalized actions in, ``(obs, state)``
-    out — numerically identical to the scan path for in-scope envs (final
-    physical states bit-exact; observations may differ by 1 ulp in float32
-    because the normalization fuses into a different XLA program);
-    transparently falls back to the XLA scan path otherwise.
+    out — numerically identical to the scan path for in-scope envs on TPU
+    hardware (the XLA CPU backend's context-dependent FMA contraction limits
+    cross-program agreement to ~1 ulp/step there); transparently falls back
+    to the XLA scan path otherwise.
 
     With ``obs_stride`` set, every ``obs_stride``-th observation is returned,
     shape ``(B, n_steps // obs_stride, obs_dim)``; otherwise only the final
@@ -313,27 +486,20 @@ def env_fused_rollout(
             obs = obs[:, -1]
         return obs, last_state
 
-    params = env.env_properties.static_params
-
-    # denormalize once — a cheap XLA pre-pass over the action slab (the
-    # leading two axes are (B, T) or (T, B); the double vmap peels both)
-    actions = jax.vmap(
-        jax.vmap(env.denormalize_action, in_axes=(0, None)), in_axes=(0, None)
-    )(actions_norm, env.env_properties)
+    # denormalize once — a cheap XLA pre-pass over the action slab
+    actions = _denormalize_action_slab(env, actions_norm, time_major)
 
     # the tile ODE is cached on the env so the jitted kernel is reused across
     # calls (a fresh closure per call would miss the jit cache every time)
-    tile_ode = env.__dict__.get("_fused_tile_ode")
-    if tile_ode is None:
-
-        def tile_ode(t, y, action):
-            return env._ode(t, y, params, lambda _t: action)
-
-        env.__dict__["_fused_tile_ode"] = tile_ode
+    cached = env.__dict__.get("_fused_tile_ode")
+    if cached is None:
+        cached = _batched_param_closure(env)
+        env.__dict__["_fused_tile_ode"] = cached
+    tile_ode, param_leaves = cached
 
     y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
     wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
-    clip_fn = env._clip_state if type(env)._clip_state is not CoreEnvironment._clip_state else None
+    clip_fn_raw = env._clip_state if type(env)._clip_state is not CoreEnvironment._clip_state else None
 
     result = fused_rollout(
         tile_ode,
@@ -343,21 +509,23 @@ def env_fused_rollout(
         n_steps,
         env.tau,
         wrap_flags,
-        clip_fn=clip_fn,
+        clip_fn=clip_fn_raw,
         traj_stride=obs_stride,
         fast_wrap=getattr(env, "fast_math", False),
         time_major=time_major,
+        param_leaves=param_leaves,
         interpret=interpret,
     )
     y_final, y_traj = result if obs_stride is not None else (result, None)
 
     from exciting_environments_tpu.core import structures
 
+    last_action = actions[-1] if time_major else actions[:, -1]
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
         additions=env.Additions(
-            solver_state=None,  # carry-free solvers only (checked above)
+            solver_state=_final_solver_state(env, y_final, last_action),
             active_solver_state=jnp.full(env.batch_size, True),
         ),
     )
@@ -391,3 +559,124 @@ def env_fused_rollout(
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, env.env_properties)
     return obs, final_state
+
+
+def env_fused_sim_ahead(
+    env,
+    init_state,
+    actions_norm,
+    obs_stepsize: float,
+    action_stepsize: float,
+    obs_stride: int = 1,
+    time_major: bool = False,
+    interpret: bool = False,
+):
+    """Fused trajectory solve matching :meth:`CoreEnvironment.vmap_sim_ahead`
+    semantics for ``obs_stepsize == action_stepsize`` (one solver step per
+    action interval): the integration carry is never wrapped/clipped and
+    ``c == 1.0`` stages read the next action.  Other stepsize combinations
+    fall back to ``vmap_sim_ahead``.
+
+    Returns ``(observations, last_state)`` with observations of shape
+    ``(B, 1 + n_steps // obs_stride, obs_dim)`` (initial observation
+    included, like the reference's ``SaveAt`` grid).  The full time-major
+    ``states`` pytree of ``vmap_sim_ahead`` is intentionally not
+    materialized — it is the memory-dominant output; use the scan path when
+    it is needed.
+    """
+    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    if obs_stepsize != action_stepsize or not supports_fused_rollout(env):
+        if time_major:
+            actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+        obs, states, last_state = env.vmap_sim_ahead(
+            init_state, actions_norm, obs_stepsize, action_stepsize
+        )
+        return obs[:, ::obs_stride if obs_stride == 1 else obs_stride], last_state
+
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.core.env import CoreEnvironment as _Core
+
+    actions = _denormalize_action_slab(env, actions_norm, time_major)
+
+    cached = env.__dict__.get("_fused_tile_ode")
+    if cached is None:
+        cached = _batched_param_closure(env)
+        env.__dict__["_fused_tile_ode"] = cached
+    tile_ode, param_leaves = cached
+
+    y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
+    wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
+    clip_fn_raw = env._clip_state if type(env)._clip_state is not _Core._clip_state else None
+
+    y_final_raw, y_traj_raw = fused_rollout(
+        tile_ode,
+        env._solver,
+        y0,
+        actions,
+        n_steps,
+        float(obs_stepsize),
+        wrap_flags,
+        clip_fn=None,  # sim-ahead never clips the carry; saves post-processed below
+        traj_stride=obs_stride,
+        fast_wrap=getattr(env, "fast_math", False),
+        time_major=time_major,
+        param_leaves=param_leaves,
+        sim_ahead=True,
+        interpret=interpret,
+    )
+
+    def postprocess(y_tuple):
+        # the reference wraps/clips the SAVED trajectory only
+        # (_ode_solver_simulate_ahead); replicate on the saved values
+        y_tuple = tuple(
+            ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi if wrap else leaf
+            for leaf, wrap in zip(y_tuple, wrap_flags)
+        )
+        if clip_fn_raw is not None:
+            y_tuple = clip_fn_raw(y_tuple)
+        return y_tuple
+
+    y_final = postprocess(y_final_raw)
+    y_traj = postprocess(y_traj_raw)
+
+    n_saves = n_steps // obs_stride
+    batch = env.batch_size
+
+    last_action = actions[-1] if time_major else actions[:, -1]
+    last_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
+        additions=env.Additions(
+            solver_state=_final_solver_state(env, y_final, last_action),
+            active_solver_state=jnp.full(batch, True),
+        ),
+        # sim_ahead rebuilds a NaN reference (reference pendulum_env.py:243-258)
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.full(batch, jnp.nan), init_state.reference
+        ),
+    )
+
+    # trajectory observations incl. the initial state's observation
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        init_state, env.env_properties
+    )
+    traj_state = structures.replace(
+        last_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_traj))),
+        PRNGKey=(
+            lambda key: jnp.broadcast_to(key[:, None, ...], (batch, n_saves) + key.shape[1:])
+        )(jnp.asarray(init_state.PRNGKey)),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full((batch, n_saves), True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.full((batch, n_saves), jnp.nan), init_state.reference
+        ),
+    )
+    obs_traj = jax.vmap(
+        jax.vmap(env.generate_observation, in_axes=(0, None)),
+        in_axes=(0, env.in_axes_env_properties),
+    )(traj_state, env.env_properties)
+    observations = jnp.concatenate([obs0[:, None, :], obs_traj], axis=1)
+    return observations, last_state

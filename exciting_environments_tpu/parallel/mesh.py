@@ -154,12 +154,22 @@ class ShardedEnv:
         the kernel streams; batch-major input costs a full transposed copy
         of each chip's slab per call (see the single-chip wrapper).
         """
+        import numpy as _np
+
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
 
         env = self.env
         n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
         local_batch = env.batch_size // self.mesh.size
-        if not (supports_fused_rollout(env) and local_batch % 1024 == 0):
+        # per-batch heterogeneous property leaves would need slicing into the
+        # shadow env per shard (they are closure constants to the kernel, not
+        # shard_map operands); those configurations ride the sharded scan path
+        all_scalar = all(
+            _np.isscalar(leaf)
+            for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
+            + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
+        )
+        if not (supports_fused_rollout(env) and all_scalar and local_batch % 1024 == 0):
             if time_major:
                 actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
             obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)

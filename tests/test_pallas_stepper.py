@@ -14,6 +14,7 @@ import exciting_environments_tpu as excenvs
 from exciting_environments_tpu.ops.pallas.stepper import (
     TILE,
     env_fused_rollout,
+    env_fused_sim_ahead,
     fused_rollout,
     supports_fused_rollout,
 )
@@ -66,22 +67,103 @@ def test_fused_clip_fluid_tank():
     assert float(jnp.min(last_fused.physical_state.height)) >= 0.0
 
 
-def test_fallback_fsal_solver():
-    """Tsit5 (FSAL) is out of kernel scope -> falls back to the scan path."""
-    env = excenvs.Pendulum(batch_size=BATCH, solver=Tsit5())
-    assert not supports_fused_rollout(env)
+@pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.CartPole])
+def test_fused_tsit5_step_mode(env_cls):
+    """FSAL solvers run in the kernel: the carry-only last stage is skipped
+    (step mode re-inits it anyway) and the final solver carry is
+    reconstructed — matching vmap_rollout incl. the Additions pytree."""
+    env, obs_ref, last_ref, obs_fused, last_fused = _rollout_pair(env_cls, Tsit5())
+    assert supports_fused_rollout(env)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-11, atol=1e-11)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_fused.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-11,
+            atol=1e-11,
+        )
+    # FSAL carry: f(t1, y1) under the final action
+    for k_f, k_r in zip(last_fused.additions.solver_state, last_ref.additions.solver_state):
+        np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_r), rtol=1e-9, atol=1e-9)
+
+
+def test_fused_per_batch_params():
+    """(batch,)-shaped heterogeneous parameter leaves stream as tile operands."""
+    lengths = 1.0 + jnp.arange(BATCH) / BATCH
+    env = excenvs.Pendulum(
+        batch_size=BATCH, static_params={"l": lengths, "g": 9.81, "m": 1}
+    )
+    assert supports_fused_rollout(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(5), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(6), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_fused, last_fused = env_fused_rollout(env, state, actions, interpret=True)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref[:, -1]), rtol=1e-11, atol=1e-11)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_fused.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-11,
+            atol=1e-11,
+        )
+
+
+def test_fused_per_batch_action_normalization():
+    """Per-batch action normalizations ride the vmapped denorm pre-pass."""
+    from exciting_environments_tpu.utils import MinMaxNormalization
+
+    env = excenvs.Pendulum(
+        batch_size=BATCH,
+        action_normalizations={
+            "torque": MinMaxNormalization(min=-(10.0 + 10 * jnp.arange(BATCH) / BATCH), max=20.0)
+        },
+    )
+    assert supports_fused_rollout(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(7), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(8), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
+    obs_fused, last_fused = env_fused_rollout(env, state, actions, interpret=True)
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref[:, -1]), rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("env_cls,solver", [
+    (excenvs.CartPole, "tsit5"),
+    (excenvs.Acrobot, "tsit5"),
+    (excenvs.Pendulum, "rk4"),
+    (excenvs.Pendulum, "euler"),
+])
+def test_fused_sim_ahead_matches_scan(env_cls, solver):
+    """Fused sim-ahead == vmap_sim_ahead for obs_stepsize == action_stepsize:
+    unwrapped carry, c == 1.0 stages reading the next action, trajectory
+    observations including the initial one."""
+    env = env_cls(batch_size=BATCH, solver=solver)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(9), BATCH))
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(10), (BATCH, T, env.action_dim), minval=-0.7, maxval=0.7
+    )
+    obs_ref, _, last_ref = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    obs_fused, last_fused = env_fused_sim_ahead(
+        env, state, actions, env.tau, env.tau, interpret=True
+    )
+    assert obs_fused.shape == obs_ref.shape
+    np.testing.assert_allclose(np.asarray(obs_fused), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_fused.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+
+def test_fused_sim_ahead_fallback_stepsizes():
+    """obs_stepsize != action_stepsize falls back to the scan path."""
+    env = excenvs.Pendulum(batch_size=BATCH)
     _, state = env.vmap_reset()
     actions = 0.2 * jnp.ones((BATCH, T, 1))
-    obs, last = env_fused_rollout(env, state, actions, interpret=True)
-    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
-    np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref[:, -1]))
-
-
-def test_fallback_heterogeneous_params():
-    env = excenvs.Pendulum(
-        batch_size=BATCH, static_params={"l": jnp.ones(BATCH) * 2, "g": 9.81, "m": 1}
-    )
-    assert not supports_fused_rollout(env)
+    obs_ref, _, _ = env.vmap_sim_ahead(state, actions, env.tau / 2, env.tau)
+    obs, _ = env_fused_sim_ahead(env, state, actions, env.tau / 2, env.tau, interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref))
 
 
 def test_fused_trajectory_output():
@@ -177,7 +259,9 @@ def test_fused_time_major_with_obs_stride():
 
 def test_fused_time_major_fallback_matches():
     """Out-of-scope envs transpose back and use the scan path."""
-    env = excenvs.Pendulum(batch_size=BATCH, solver=Tsit5())  # FSAL -> fallback
+    from exciting_environments_tpu.ops.solvers import ImplicitEuler
+
+    env = excenvs.Pendulum(batch_size=BATCH, solver=ImplicitEuler())  # not explicit RK -> fallback
     assert not supports_fused_rollout(env)
     _, state = env.vmap_reset()
     actions = 0.2 * jnp.ones((BATCH, T, 1))
@@ -188,14 +272,11 @@ def test_fused_time_major_fallback_matches():
     np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
 
 
-def test_fallback_per_batch_action_normalization():
-    """Per-batch action normalizations are outside the fused denorm pre-pass."""
-    from exciting_environments_tpu.utils import MinMaxNormalization
+def test_fallback_non_explicit_solver():
+    """Implicit solvers are outside the kernel's scope."""
+    from exciting_environments_tpu.ops.solvers import ImplicitEuler
 
-    env = excenvs.Pendulum(
-        batch_size=BATCH,
-        action_normalizations={"torque": MinMaxNormalization(min=-jnp.ones(BATCH) * 20, max=20.0)},
-    )
+    env = excenvs.Pendulum(batch_size=BATCH, solver=ImplicitEuler())
     assert not supports_fused_rollout(env)
 
 

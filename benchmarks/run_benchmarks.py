@@ -81,6 +81,73 @@ def timed(name, fn, n_env_steps, inputs=None, repeats=3, validate=None):
     return n_env_steps / best
 
 
+def timed_chain(name, step_fn, state0, action_sets, n_per_link, k_chain=4):
+    """Chained, marginal-cost timing: the trustworthy methodology on the relay.
+
+    Single-shot timings here carry ~35-40 ms of relay round-trip latency, and
+    the relay's device->host fetch has been observed to return BEFORE
+    execution completes for some programs (reporting "throughput" above the
+    HBM bandwidth bound).  Chaining K sequentially *data-dependent* links of
+    ``step_fn(state, actions_k) -> state`` inside one jitted program defeats
+    both: elision is impossible (each link consumes the previous state) and
+    the marginal cost ``(t_K - t_1) / (K - 1)`` cancels the constant latency.
+    Inputs are perturbed per repeat (the relay caches identical
+    (executable, args) executions).
+
+    Reports ``value`` = sustained marginal throughput plus the conservative
+    single-shot figure (latency included).
+    """
+
+    def make(K):
+        @jax.jit
+        def chain(state, acts):
+            for k in range(K):
+                state = step_fn(state, acts[k])
+            return state
+
+        return chain
+
+    acts = jnp.stack(action_sets[:k_chain])
+
+    def run(chain, a):
+        out = chain(state0, a)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for rep in (1, 2):
+            scaled = a * (1.0 + 1e-3 * rep)
+            t0 = time.perf_counter()
+            out = chain(state0, scaled)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            if not jnp.isfinite(float(jnp.mean(jnp.asarray(leaf)))):
+                raise RuntimeError(f"{name}: non-finite chained result")
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = run(make(1), acts[:1])
+    t_k = run(make(k_chain), acts)
+    marginal = (t_k - t1) / (k_chain - 1)
+    if marginal > 0:
+        value = n_per_link / marginal
+    else:  # noise floor: fall back to the whole-chain average
+        value = n_per_link * k_chain / t_k
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": value,
+                "unit": "env-steps/s",
+                "methodology": "chained_marginal",
+                "seconds_single": t1,
+                "seconds_chain": t_k,
+                "k_chain": k_chain,
+                "single_shot_value": n_per_link / t1,
+            }
+        ),
+        flush=True,
+    )
+    return value
+
+
 def bench_pendulum_readme_loop():
     import exciting_environments_tpu as excenvs
 
@@ -116,18 +183,20 @@ def bench_msd_stepper():
         jax.random.uniform(jax.random.PRNGKey(10 + i), (B, T, 1), minval=-1, maxval=1)
         for i in range(4)
     ]
-    timed(
+    timed_chain(
         "msd_b16384_vmap_rollout",
-        lambda a: env.vmap_rollout(state, a, T)[1],
+        lambda st, a: env.vmap_rollout(st, a, T)[1],
+        state,
+        action_sets,
         B * T,
-        inputs=action_sets,
     )
     if supports_fused_rollout(env) and jax.default_backend() != "cpu":
-        timed(
+        timed_chain(
             "msd_b16384_pallas_fused",
-            lambda a: env_fused_rollout(env, state, a)[1],
+            lambda st, a: env_fused_rollout(env, st, a)[1],
+            state,
+            action_sets,
             B * T,
-            inputs=action_sets,
         )
 
 
@@ -142,11 +211,12 @@ def bench_tsit5_sim_ahead():
             jax.random.uniform(jax.random.PRNGKey(20 + i), (B, T, env.action_dim), minval=-0.5, maxval=0.5)
             for i in range(4)
         ]
-        timed(
+        timed_chain(
             f"{name}_b4096_tsit5_sim_ahead",
-            lambda a, env=env, state=state: env.vmap_sim_ahead(state, a, env.tau, env.tau)[2],
+            lambda st, a, env=env: env.vmap_sim_ahead(st, a, env.tau, env.tau)[2],
+            state,
+            action_sets,
             B * T,
-            inputs=action_sets,
         )
 
     if jax.default_backend() == "cpu":
@@ -184,16 +254,14 @@ def bench_tsit5_sim_ahead():
             ),
             flush=True,
         )
-        step = jax.jit(
-            lambda a, env=env, state=state: env_fused_sim_ahead(
-                env, state, a, env.tau, env.tau, obs_stride=T
-            )[1].physical_state
-        )
-        timed(
+        timed_chain(
             f"{name}_b{B}_tsit5_pallas_fused_sim_ahead",
-            step,
+            lambda st, a, env=env: env_fused_sim_ahead(
+                env, st, a, env.tau, env.tau, obs_stride=T
+            )[1],
+            state,
+            action_sets,
             B * T,
-            inputs=action_sets,
         )
 
 
@@ -207,11 +275,13 @@ def bench_fluid_tank_long_horizon():
         jax.random.uniform(jax.random.PRNGKey(30 + i), (B, T, 1), minval=0.3, maxval=1.0)
         for i in range(4)
     ]
-    timed(
+    timed_chain(
         "fluid_tank_b65536_rollout_2048steps",
-        lambda a: env.vmap_rollout(state, a, T)[1],
+        lambda st, a: env.vmap_rollout(st, a, T)[1],
+        state,
+        action_sets,
         B * T,
-        inputs=action_sets,
+        k_chain=3,
     )
 
 
@@ -228,19 +298,22 @@ def bench_pmsm(batch=65536, steps=512):
             jax.random.uniform(jax.random.PRNGKey(40 + i), (batch, steps, 2), minval=-0.3, maxval=0.3)
             for i in range(4)
         ]
-        timed(
+        timed_chain(
             f"{name}_b{batch}_rollout_{steps}steps",
-            lambda a, env=env, state=state: env.vmap_rollout(state, a, steps)[1],
+            lambda st, a, env=env: env.vmap_rollout(st, a, steps)[1],
+            state,
+            action_sets,
             batch * steps,
-            inputs=action_sets,
+            k_chain=2 if saturated else 4,  # the saturated scan is slow
         )
         from exciting_environments_tpu.ops.pmsm_fast import pmsm_fast_rollout
 
-        timed(
+        timed_chain(
             f"{name}_b{batch}_fast_math_{steps}steps",
-            lambda a, env=env, state=state: pmsm_fast_rollout(env, state, a),
+            lambda st, a, env=env: pmsm_fast_rollout(env, st, a),
+            state,
+            action_sets,
             batch * steps,
-            inputs=action_sets,
         )
 
         if jax.default_backend() != "cpu":
@@ -252,42 +325,40 @@ def bench_pmsm(batch=65536, steps=512):
             a_small = action_sets[0][:, :te]
             _, last_ref = env.vmap_rollout(state, a_small, te)
             _, last_fused = pmsm_fused_rollout(env, state, a_small)
+            def rel_dev(n):
+                a = jnp.asarray(getattr(last_ref.physical_state, n))
+                b = jnp.asarray(getattr(last_fused.physical_state, n))
+                scale = jnp.maximum(jnp.max(jnp.abs(a)), 1.0)
+                return float(jnp.max(jnp.abs(a - b)) / scale)
+
             max_dev = max(
-                float(
-                    jnp.max(
-                        jnp.abs(
-                            jnp.asarray(getattr(last_ref.physical_state, n))
-                            - jnp.asarray(getattr(last_fused.physical_state, n))
-                        )
-                    )
-                )
+                rel_dev(n)
                 for n in ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer")
             )
             if saturated and max_dev != 0.0:
                 raise RuntimeError(
                     f"saturated fused PMSM kernel deviates from scan path: {max_dev}"
                 )
-            if max_dev > 1e-2:
+            # linear: <= 2 ulp/step division-lowering drift (pmsm_stepper.py)
+            if max_dev > 1e-3:
                 raise RuntimeError(f"fused PMSM kernel deviates from scan path: {max_dev}")
             print(
                 json.dumps(
                     {
                         "metric": f"{name}_b{batch}_pmsm_fused_bitexact",
                         "value": max_dev,
-                        "unit": "max_abs_state_dev_vs_scan_64steps",
+                        "unit": "max_rel_state_dev_vs_scan_64steps",
                         "bitexact": max_dev == 0.0,
                     }
                 ),
                 flush=True,
             )
-            step = jax.jit(
-                lambda a, env=env, state=state: pmsm_fused_rollout(env, state, a)[1].physical_state.i_d
-            )
-            timed(
+            timed_chain(
                 f"{name}_b{batch}_pallas_fused_{steps}steps",
-                step,
+                lambda st, a, env=env: pmsm_fused_rollout(env, st, a)[1],
+                state,
+                action_sets,
                 batch * steps,
-                inputs=action_sets,
             )
 
 
@@ -301,26 +372,34 @@ def bench_pendulum_headline(batch=65536, steps=1024):
         jax.random.uniform(jax.random.PRNGKey(50 + i), (batch, steps, 1), minval=-1, maxval=1)
         for i in range(4)
     ]
-    timed(
+    timed_chain(
         "pendulum_b65536_vmap_rollout",
-        lambda a: env.vmap_rollout(state, a, steps)[1],
+        lambda st, a: env.vmap_rollout(st, a, steps)[1],
+        state,
+        action_sets,
         batch * steps,
-        inputs=action_sets,
     )
     if jax.default_backend() != "cpu":  # compiled Pallas needs real TPU
-        timed(
+        timed_chain(
             "pendulum_b65536_pallas_fused",
-            lambda a: env_fused_rollout(env, state, a)[1],
+            lambda st, a: env_fused_rollout(env, st, a)[1],
+            state,
+            action_sets,
             batch * steps,
-            inputs=action_sets,
         )
+        from exciting_environments_tpu.core import structures
         from exciting_environments_tpu.ops.pallas.pendulum_fast import pendulum_fast_rollout
 
-        timed(
+        def fast_link(st, a):
+            th, om = pendulum_fast_rollout(env, st, a)
+            return structures.replace(st, physical_state=env.PhysicalState(theta=th, omega=om))
+
+        timed_chain(
             "pendulum_b65536_pallas_fast_math",
-            lambda a: pendulum_fast_rollout(env, state, a),
+            fast_link,
+            state,
+            action_sets,
             batch * steps,
-            inputs=action_sets,
         )
 
 
@@ -343,16 +422,12 @@ def bench_fast_mechanics(batch=65536, steps=1024):
         for fast in (False, True):
             env = cls(batch_size=batch, tau=1e-4, fast_math=fast)
             _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), batch))
-            step = jax.jit(
-                lambda a, env=env, state=state: env_fused_rollout(
-                    env, state, a, time_major=True
-                )[1]
-            )
-            timed(
+            timed_chain(
                 f"{name}_b{batch}_pallas_fused{'_fast_math' if fast else ''}",
-                step,
+                lambda st, a, env=env: env_fused_rollout(env, st, a, time_major=True)[1],
+                state,
+                action_sets,
                 batch * steps,
-                inputs=action_sets,
             )
 
 

@@ -156,11 +156,56 @@ class ShardedEnv:
         """
         import numpy as _np
 
+        from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+            pmsm_fused_rollout,
+            supports_pmsm_fused,
+        )
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
 
         env = self.env
         n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
         local_batch = env.batch_size // self.mesh.size
+
+        if isinstance(env, PMSM):
+            # the PMSM has its own fused kernel (constraint pre-pass +
+            # VMEM-resident current integration); run it per shard
+            if not (supports_pmsm_fused(env) and local_batch % 1024 == 0):
+                if time_major:
+                    actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+                obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
+                return (obs if obs_stride is not None else obs[:, -1]), last
+            shadow = self._fused_shadow
+            if shadow is None:
+                shadow = object.__new__(type(env))
+                shadow.__dict__.update(env.__dict__)
+                shadow.batch_size = local_batch
+                shadow.__dict__.pop("_pmsm_fused_impl", None)
+                self._fused_shadow = shadow
+            spec = P(self.axis_name)
+            a_spec = P(None, self.axis_name) if time_major else spec
+
+            def local(state, actions):
+                # the "take" gather only lowers in interpreter mode (CPU
+                # testing); compiled runs use the exact one-hot MXU gather
+                return pmsm_fused_rollout(
+                    shadow, state, actions,
+                    obs_stride=obs_stride, time_major=time_major,
+                    gather="take" if interpret else "dot", interpret=interpret,
+                )
+
+            sharded = jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(spec, a_spec),
+                out_specs=(spec, spec),
+                check_vma=False,
+            )
+            if time_major:
+                actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+            else:
+                actions_sharded = self.shard(actions_norm)
+            return sharded(self.shard(init_state), actions_sharded)
         # per-batch heterogeneous property leaves would need slicing into the
         # shadow env per shard (they are closure constants to the kernel, not
         # shard_map operands); those configurations ride the sharded scan path

@@ -296,3 +296,28 @@ def test_sharded_saturated_pmsm_step_and_rollout(mesh):
         np.asarray(roll_last_s.physical_state.torque),
         np.asarray(roll_last_ref.physical_state.torque), rtol=1e-12,
     )
+
+
+def test_sharded_fused_pmsm_rollout(mesh):
+    """The fused PMSM kernel (constraint pre-pass + current-integration
+    kernel) runs per shard under shard_map and matches the single-device
+    scan path at CPU closeness (see tests/test_pallas_pmsm.py docstring)."""
+    batch, T = 8192, 8  # 1024 envs per shard on the 8-device mesh
+    env = excenvs.PMSM(batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 2), minval=-0.4, maxval=0.4)
+
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-9)
+    for name in ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_f.physical_state, name)),
+            np.asarray(getattr(last_s.physical_state, name)),
+            rtol=1e-9,
+            atol=1e-9,
+            err_msg=name,
+        )
+    assert not last_f.physical_state.i_d.sharding.is_fully_replicated

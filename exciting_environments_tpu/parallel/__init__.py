@@ -19,3 +19,17 @@ from exciting_environments_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batched_tree,
 )
+from exciting_environments_tpu.parallel.metrics import (
+    RunningStats,
+    Window,
+    across_mesh,
+    merge,
+    running_init,
+    running_summary,
+    running_update,
+    window_init,
+    window_max,
+    window_mean,
+    window_min,
+    window_push,
+)

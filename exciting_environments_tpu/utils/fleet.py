@@ -1,0 +1,204 @@
+"""Production fleet loop: chunked fused rollouts with streaming metrics,
+dataset sinking, and periodic checkpointing.
+
+The reference stops at single calls (`vmap_step` in a user-side Python loop);
+a production excitation/data-generation deployment needs the loop itself:
+pick the fastest execution path for the environment, stream the horizon in
+chunks so the host stays ahead of the device, fold per-chunk statistics into
+O(1)-state accumulators (no per-step host traffic), spill trajectories to
+disk through the asynchronous shard writer, and checkpoint the simulation
+state so multi-hour sweeps resume after preemption.  This module composes
+those subsystems — every one individually tested — into one loop:
+
+* execution: :func:`...pallas.pmsm_stepper.pmsm_fused_rollout` /
+  :func:`...pallas.stepper.env_fused_rollout` / ``vmap_rollout`` /
+  ``ShardedEnv.fused_rollout`` (mesh), chosen automatically;
+* metrics: :mod:`exciting_environments_tpu.parallel.metrics` running
+  statistics over the observation channels plus a wall-time window;
+* sink: :class:`exciting_environments_tpu.io.ShardWriter` (optional);
+* checkpoints: :mod:`exciting_environments_tpu.utils.checkpoint` (optional).
+
+No reference counterpart (SURVEY §5 lists every one of these subsystems as
+absent upstream).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from exciting_environments_tpu.parallel.metrics import (
+    running_init,
+    running_summary,
+    running_update,
+    window_init,
+    window_mean,
+    window_push,
+)
+
+
+def _select_rollout(env_or_sharded, interpret: bool):
+    """The fastest supported rollout path for this environment, as a callable
+    ``(state, actions_norm) -> (final_obs, final_state)``."""
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    if isinstance(env_or_sharded, ShardedEnv):
+        senv = env_or_sharded
+
+        def run(state, actions):
+            return senv.fused_rollout(state, actions, interpret=interpret)
+
+        return run, senv.env
+
+    env = env_or_sharded
+    from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_rollout,
+        supports_pmsm_fused,
+    )
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        env_fused_rollout,
+        supports_fused_rollout,
+    )
+
+    if isinstance(env, PMSM) and supports_pmsm_fused(env):
+
+        def run(state, actions):
+            return pmsm_fused_rollout(
+                env, state, actions,
+                gather="take" if interpret else "dot", interpret=interpret,
+            )
+
+        return run, env
+    if supports_fused_rollout(env) and (interpret or jax.default_backend() != "cpu"):
+
+        def run(state, actions):
+            return env_fused_rollout(env, state, actions, interpret=interpret)
+
+        return run, env
+
+    def run(state, actions):
+        obs, last = env.vmap_rollout(state, actions, actions.shape[1])
+        return obs[:, -1], last
+
+    return run, env
+
+
+class FleetRunner:
+    """Chunked fleet data-generation loop.
+
+    Args:
+        env: a :class:`CoreEnvironment` or
+            :class:`~exciting_environments_tpu.parallel.mesh.ShardedEnv`.
+        writer: optional :class:`~exciting_environments_tpu.io.ShardWriter`;
+            each chunk's ``(final_obs, actions?)`` record is appended.
+        write_actions: also sink each chunk's action slab (large!).
+        checkpoint_dir: when set, the simulation state is checkpointed every
+            ``checkpoint_every`` chunks (resume with
+            :func:`utils.checkpoint.load_state`).
+        checkpoint_every: checkpoint period in chunks (0 disables).
+        window: wall-time window length for the throughput readout.
+        interpret: run Pallas kernels in interpreter mode (CPU testing).
+    """
+
+    def __init__(
+        self,
+        env,
+        writer=None,
+        write_actions: bool = False,
+        checkpoint_dir: str = None,
+        checkpoint_every: int = 0,
+        window: int = 32,
+        interpret: bool = False,
+    ):
+        self._rollout, self._base_env = _select_rollout(env, interpret)
+        self.env = env
+        self.writer = writer
+        self.write_actions = write_actions
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = int(checkpoint_every)
+        self.obs_stats = running_init(
+            shape=(len(self._base_env.obs_description),), dtype=jnp.float32
+        )
+        self.time_window = window_init(window, dtype=jnp.float32)
+        self.chunks_run = 0
+        self.env_steps = 0
+
+    def run(
+        self,
+        state,
+        action_source: Callable,
+        n_chunks: int,
+        chunk_steps: int,
+        metric_hook: Callable = None,
+    ):
+        """Run ``n_chunks`` rollout chunks of ``chunk_steps`` steps each.
+
+        Args:
+            state: batched (possibly sharded) initial state.
+            action_source: ``action_source(chunk_index) -> (B, chunk_steps,
+                action_dim)`` normalized actions (e.g. a closure over
+                :mod:`ops.signals` generators).
+            metric_hook: optional ``hook(chunk_index, final_obs, state)``
+                called after each chunk (e.g. to feed external telemetry).
+
+        Returns:
+            the final state.
+        """
+        batch = self._base_env.batch_size
+        for k in range(n_chunks):
+            actions = action_source(k)
+            t0 = time.perf_counter()
+            obs, state = self._rollout(state, actions)
+            # fence: fold the chunk's observations into the running stats and
+            # read back one scalar — the only host<->device traffic per chunk
+            self.obs_stats = running_update(self.obs_stats, obs, axis=(0,))
+            if not bool(jnp.isfinite(self.obs_stats.mean).all()):
+                raise FloatingPointError(
+                    f"fleet chunk {k}: non-finite observation statistics "
+                    "(enable utils.profiling.debug_nans to localize)"
+                )
+            self.time_window = window_push(self.time_window, time.perf_counter() - t0)
+            self.chunks_run += 1
+            self.env_steps += batch * chunk_steps
+
+            if self.writer is not None:
+                record = {"final_obs": obs}
+                if self.write_actions:
+                    record["actions"] = actions
+                self.writer.append(record, name=f"chunk_{self.chunks_run:06d}")
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every
+                and (k + 1) % self.checkpoint_every == 0
+            ):
+                from exciting_environments_tpu.utils.checkpoint import save_state
+
+                save_state(
+                    state, os.path.join(self.checkpoint_dir, f"fleet_{self.chunks_run:06d}")
+                )
+            if metric_hook is not None:
+                metric_hook(k, obs, state)
+        return state
+
+    def summary(self) -> dict:
+        """Loop readout: per-channel observation statistics plus throughput."""
+        s = running_summary(self.obs_stats)
+        mean_chunk_seconds = float(window_mean(self.time_window))
+        steps_per_chunk = self.env_steps / max(self.chunks_run, 1)
+        return {
+            "chunks": self.chunks_run,
+            "env_steps": self.env_steps,
+            "obs_mean": s["mean"],
+            "obs_std": s["std"],
+            "obs_min": s["min"],
+            "obs_max": s["max"],
+            "mean_chunk_seconds": mean_chunk_seconds,
+            "env_steps_per_sec": (
+                steps_per_chunk / mean_chunk_seconds if mean_chunk_seconds > 0 else float("nan")
+            ),
+        }

@@ -254,6 +254,77 @@ class ShardedEnv:
             actions_sharded = self.shard(actions_norm)
         return sharded(self.shard(init_state), actions_sharded)
 
+    def fused_sim_ahead(
+        self,
+        init_state,
+        actions_norm,
+        obs_stepsize: float,
+        action_stepsize: float,
+        obs_stride: int = 1,
+        time_major: bool = False,
+        interpret: bool = False,
+    ):
+        """Fused trajectory solve per shard (``env_fused_sim_ahead`` under
+        ``shard_map``): ``vmap_sim_ahead`` semantics for ``obs_stepsize ==
+        action_stepsize``, returning ``(observations, last_state)`` with
+        batch-sharded leaves.  Out-of-scope configurations ride the sharded
+        ``vmap_sim_ahead`` path."""
+        import numpy as _np
+
+        from exciting_environments_tpu.ops.pallas.stepper import (
+            env_fused_sim_ahead,
+            supports_fused_rollout,
+        )
+
+        env = self.env
+        local_batch = env.batch_size // self.mesh.size
+        all_scalar = all(
+            _np.isscalar(leaf)
+            for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
+            + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
+        )
+        if not (
+            supports_fused_rollout(env)
+            and all_scalar
+            and local_batch % 1024 == 0
+            and obs_stepsize == action_stepsize
+        ):
+            if time_major:
+                actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+            obs, _, last = self.vmap_sim_ahead(
+                init_state, actions_norm, obs_stepsize, action_stepsize
+            )
+            return obs[:, ::obs_stride], last
+
+        shadow = self._fused_shadow
+        if shadow is None:
+            shadow = object.__new__(type(env))
+            shadow.__dict__.update(env.__dict__)
+            shadow.batch_size = local_batch
+            self._fused_shadow = shadow
+
+        spec = P(self.axis_name)
+        a_spec = P(None, self.axis_name) if time_major else spec
+
+        def local(state, actions):
+            return env_fused_sim_ahead(
+                shadow, state, actions, obs_stepsize, action_stepsize,
+                obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+            )
+
+        sharded = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(spec, a_spec),
+            out_specs=(spec, spec),
+            check_vma=False,
+        )
+        if time_major:
+            actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+        else:
+            actions_sharded = self.shard(actions_norm)
+        return sharded(self.shard(init_state), actions_sharded)
+
     def adaptive_rollout(self, init_state, actions_norm, **kwargs):
         """Per-instance adaptive rollout, sharded over the mesh.
 

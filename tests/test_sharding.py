@@ -321,3 +321,41 @@ def test_sharded_fused_pmsm_rollout(mesh):
             err_msg=name,
         )
     assert not last_f.physical_state.i_d.sharding.is_fully_replicated
+
+
+def test_sharded_fused_sim_ahead(mesh):
+    """Tsit5 trajectory solves run per shard in the fused kernel and match
+    the single-device scan path."""
+    batch, T = 8192, 8
+    env = excenvs.CartPole(batch_size=batch, solver="tsit5")
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 1), minval=-0.7, maxval=0.7)
+
+    obs_f, last_f = senv.fused_sim_ahead(state, actions, env.tau, env.tau, interpret=True)
+    obs_s, _, last_s = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    assert obs_f.shape == obs_s.shape
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_f.physical_state, name)),
+            np.asarray(getattr(last_s.physical_state, name)),
+            rtol=1e-10,
+            atol=1e-10,
+            err_msg=name,
+        )
+    assert not last_f.physical_state.theta.sharding.is_fully_replicated
+
+
+def test_sharded_fused_sim_ahead_fallback(mesh):
+    """obs_stepsize != action_stepsize rides the sharded scan path."""
+    batch, T = 64, 4
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset()
+    state = senv.shard(state)
+    actions = 0.2 * jnp.ones((batch, T, 1))
+    obs, last = senv.fused_sim_ahead(state, actions, env.tau / 2, env.tau)
+    obs_ref, _, _ = env.vmap_sim_ahead(state, actions, env.tau / 2, env.tau)
+    np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref))

@@ -42,7 +42,6 @@ from exciting_environments_tpu.ops.fastmath import wrap_angle_fast
 from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
     LANES,
     SUBLANES,
-    TILE,
     _blend_channels,
     _gather_corners,
     _lut_operand,

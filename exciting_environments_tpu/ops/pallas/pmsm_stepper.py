@@ -157,7 +157,6 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
     # (exact: 0/1 values move, never wrap — ix+1 <= nx-1 < nx_pad)
     width = rows * LANES
     xiota = jax.lax.broadcasted_iota(ix.dtype, (nx_pad, width), 0)
-    yiota = jax.lax.broadcasted_iota(iy.dtype, (ny_pad, LANES), 0)
     dims = (((1,), (0,)), ((), ()))
     bix = jnp.concatenate(
         [jnp.broadcast_to(ix[r : r + 1, :], (nx_pad, LANES)) for r in range(rows)], axis=1
@@ -186,22 +185,27 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
                 preferred_element_type=dtype,
             )
 
-    row_vals = []  # per row: dict (a, b) -> (6, LANES)
-    for r in range(rows):
-        biy = jnp.broadcast_to(iy[r : r + 1, :], (ny_pad, LANES))
-        oh_y0 = (yiota == biy).astype(dtype)[None]
-        oh_y1 = pltpu.roll(oh_y0, 1, 1)
-        vals = {}
-        for a in (0, 1):
-            g = g_wide[a][:, r * LANES : (r + 1) * LANES].reshape(_N_CHANNELS, ny_pad, LANES)
-            vals[(a, 0)] = jnp.sum(g * oh_y0, axis=1)
-            vals[(a, 1)] = jnp.sum(g * oh_y1, axis=1)
-        row_vals.append(vals)
+    # y-select over the full width at once: one wide mask-reduce per corner
+    # column instead of a per-row loop with per-(corner, channel) concats
+    yiota_w = jax.lax.broadcasted_iota(iy.dtype, (ny_pad, width), 0)
+    biy = jnp.concatenate(
+        [jnp.broadcast_to(iy[r : r + 1, :], (ny_pad, LANES)) for r in range(rows)], axis=1
+    )
+    oh_y0 = (yiota_w == biy).astype(dtype)[None]
+    oh_y1 = pltpu.roll(oh_y0, 1, 1)
+    wide_vals = {}
+    for a in (0, 1):
+        g = g_wide[a].reshape(_N_CHANNELS, ny_pad, width)
+        wide_vals[(a, 0)] = jnp.sum(g * oh_y0, axis=1)  # (6, width)
+        wide_vals[(a, 1)] = jnp.sum(g * oh_y1, axis=1)
 
     corners = {}
     for key in ((0, 0), (0, 1), (1, 0), (1, 1)):
         corners[key] = [
-            jnp.concatenate([row_vals[r][key][c : c + 1, :] for r in range(rows)], axis=0)
+            jnp.concatenate(
+                [wide_vals[key][c : c + 1, r * LANES : (r + 1) * LANES] for r in range(rows)],
+                axis=0,
+            )
             for c in range(_N_CHANNELS)
         ]
     return corners, wx, wy

@@ -597,6 +597,36 @@ class PMSM(CoreEnvironment):
             accepted=accepted, rejected=rejected, final_dt=dt, incomplete=incomplete
         )
 
+    def fused_rollout(self, init_state, actions, obs_stride: int = None,
+                      time_major: bool = False, interpret: bool = False,
+                      gather: str = "dot"):
+        """:meth:`vmap_rollout` through the fused PMSM drive kernel
+        (constraint pre-pass + VMEM-resident current integration; bit-exact
+        on TPU for saturated magnetics — see
+        :mod:`exciting_environments_tpu.ops.pallas.pmsm_stepper`), with a
+        transparent scan fallback out of kernel scope."""
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+        return pmsm_fused_rollout(
+            self, init_state, actions,
+            obs_stride=obs_stride, time_major=time_major,
+            gather=gather, interpret=interpret,
+        )
+
+    def fast_rollout(self, init_state, actions, time_major: bool = False,
+                     interpret: bool = False, gather: str = "dot"):
+        """Trig-free fast-math rollout (rotation-carry semantics) through the
+        fully-fused kernel when Pallas is available
+        (:mod:`...ops.pallas.pmsm_fast_kernel`); returns the final ``State``."""
+        from exciting_environments_tpu.ops.pallas.pmsm_fast_kernel import (
+            pmsm_fast_fused_rollout,
+        )
+
+        return pmsm_fast_fused_rollout(
+            self, init_state, actions,
+            time_major=time_major, gather=gather, interpret=interpret,
+        )
+
     # ------------------------------------------------------------------
     # inverter constraint + deadtime
     # ------------------------------------------------------------------

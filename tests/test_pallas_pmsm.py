@@ -175,3 +175,15 @@ def test_constraint_prepass_matches_method():
             np.asarray(u_con[k]), np.asarray(u_ref), rtol=1e-12, atol=1e-10,
             err_msg=f"step {k}",
         )
+
+
+def test_env_method_delegation():
+    """PMSM.fused_rollout / fast_rollout expose the drive kernels."""
+    env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
+    obs_m, last_m = env.fused_rollout(state, actions, gather="take", interpret=True)
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+    obs_f, last_f = pmsm_fused_rollout(env, state, actions, gather="take", interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs_m), np.asarray(obs_f))
+    last_fast = env.fast_rollout(state, actions, gather="take", interpret=True)
+    assert np.isfinite(np.asarray(last_fast.physical_state.i_d)).all()

@@ -341,3 +341,16 @@ def test_env_fast_math_flag(env_cls):
         else:
             d = np.abs(a - b)
         assert d.max() < 1e-2, f"{name}: {d.max()}"
+
+
+def test_env_method_delegation():
+    """CoreEnvironment.fused_rollout / fused_sim_ahead delegate to the kernels."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(11), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(12), (BATCH, T, 1), minval=-0.9, maxval=0.9)
+    obs_m, last_m = env.fused_rollout(state, actions, interpret=True)
+    obs_f, last_f = env_fused_rollout(env, state, actions, interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs_m), np.asarray(obs_f))
+    obs_sa_m, _ = env.fused_sim_ahead(state, actions, env.tau, env.tau, interpret=True)
+    obs_sa_f, _ = env_fused_sim_ahead(env, state, actions, env.tau, env.tau, interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs_sa_m), np.asarray(obs_sa_f))

@@ -613,6 +613,24 @@ class PMSM(CoreEnvironment):
             gather=gather, interpret=interpret,
         )
 
+    def fused_sim_ahead(self, init_state, actions, obs_stepsize, action_stepsize,
+                        obs_stride: int = 1, time_major: bool = False,
+                        interpret: bool = False, gather: str = "dot"):
+        """:meth:`vmap_sim_ahead` semantics through the fused drive kernel for
+        ``obs_stepsize == action_stepsize`` — the overridden PMSM trajectory
+        path (constraint at tau-extrapolated angles, deadtime shift, unwrapped
+        angle accumulation, patched buffer columns); scan fallback otherwise.
+        Returns ``(observations, last_state)``."""
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
+
+        obs, last = pmsm_fused_sim_ahead(
+            self, init_state, actions, obs_stepsize, action_stepsize,
+            time_major=time_major, gather=gather, interpret=interpret,
+        )
+        if obs_stride != 1:
+            obs = obs[:, ::obs_stride]
+        return obs, last
+
     def fast_rollout(self, init_state, actions, time_major: bool = False,
                      interpret: bool = False, gather: str = "dot"):
         """Trig-free fast-math rollout (rotation-carry semantics) through the

@@ -747,3 +747,206 @@ def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, props)
+
+
+def pmsm_fused_sim_ahead(
+    env,
+    init_state,
+    actions_norm,
+    obs_stepsize: float,
+    action_stepsize: float,
+    time_major: bool = False,
+    gather: str = "dot",
+    interpret: bool = False,
+):
+    """Fused trajectory solve matching :meth:`PMSM.vmap_sim_ahead` for
+    ``obs_stepsize == action_stepsize`` (one Euler step per action interval).
+
+    Reproduces the reference's overridden ``sim_ahead`` semantics
+    (``pmsm_env.py:746-801``): the hexagon constraint runs at angles
+    extrapolated with the env ``tau`` (the documented hardcoded-``tau``
+    quirk), the constrained sequence shifts by the deadtime, the electrical
+    angle accumulates UNWRAPPED through the solver (only saves are wrapped),
+    the buffer columns of the returned trajectory are patched from the
+    constrained action sequence (zeroed for deadtime 0 — reference parity),
+    and torque is recomputed at every save.  Returns
+    ``(observations (B, n_steps+1, obs_dim), last_state)`` — the full
+    time-major ``states`` pytree of ``vmap_sim_ahead`` is intentionally not
+    materialized.  Out-of-scope configurations fall back to the scan path.
+    """
+    from exciting_environments_tpu.core import structures
+
+    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    if obs_stepsize != action_stepsize or not supports_pmsm_fused(env):
+        if time_major:
+            actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+        obs, _, last = env.vmap_sim_ahead(init_state, actions_norm, obs_stepsize, action_stepsize)
+        return obs, last
+
+    impl = env.__dict__.get("_pmsm_fused_sim_ahead_impl")
+    if impl is None:
+        impl = jax.jit(
+            functools.partial(_fused_sim_ahead_impl, env),
+            static_argnames=("obs_stepsize", "time_major", "gather", "interpret"),
+        )
+        env.__dict__["_pmsm_fused_sim_ahead_impl"] = impl
+    return impl(
+        init_state,
+        actions_norm,
+        obs_stepsize=float(obs_stepsize),
+        time_major=time_major,
+        gather=gather,
+        interpret=interpret,
+    )
+
+
+def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_major, gather, interpret):
+    from exciting_environments_tpu.core import structures
+
+    props = env.env_properties
+    params = props.static_params
+    deadtime = int(params.deadtime)
+    saturated = bool(props.saturated)
+    phys = init_state.physical_state
+    dtype = jnp.asarray(phys.i_d).dtype
+    batch = env.batch_size
+    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    dt = obs_stepsize
+
+    f = lambda v: float(np.asarray(v, dtype=dtype))
+    r_s = f(params.r_s)
+    p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
+    if saturated:
+        lin = (1.0, 1.0, 0.0, 0.0)
+        lut = env._lut
+        if gather == "dot" and dtype == jnp.float32:
+            vflat = jnp.asarray(_split_bf16x3(_lut_operand(lut, np.float32)))
+        else:
+            vflat = jnp.asarray(_lut_operand(lut, dtype))
+        geom = (
+            f(lut.x0), f(lut.dx), f(lut.y0), f(lut.dy),
+            int(lut.nx), int(lut.ny),
+            _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
+        )
+    else:
+        l_d, l_q, psi_p = f(params.l_d), f(params.l_q), f(params.psi_p)
+        dl = float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype))
+        lin = (l_d, l_q, psi_p, dl)
+        vflat = None
+        geom = None
+
+    acts_tm = jnp.asarray(actions_norm)
+    if not time_major:
+        acts_tm = jnp.moveaxis(acts_tm, 0, 1)  # (T, B, 2)
+
+    proto = jnp.zeros(batch, dtype=dtype)
+    eps0 = jnp.broadcast_to(jnp.asarray(phys.epsilon), proto.shape)
+    omega = jnp.broadcast_to(jnp.asarray(phys.omega_el), proto.shape)
+
+    # hexagon constraint at angles extrapolated with the env tau — the
+    # reference's hardcoded-tau quirk (constraint_denormalization_ahead)
+    eps_ext = (
+        eps0[None, :]
+        + jnp.linspace(0, env.tau * (n_steps - 1), n_steps)[:, None] * omega[None, :]
+    ).astype(dtype)
+    u_con = _constraint_denorm_batched(env, props, acts_tm, eps_ext, omega[None, :])
+
+    buf0_d = jnp.broadcast_to(jnp.asarray(phys.u_d_buffer), proto.shape)
+    buf0_q = jnp.broadcast_to(jnp.asarray(phys.u_q_buffer), proto.shape)
+    if deadtime > 0:
+        buf0 = jnp.stack([buf0_d, buf0_q], axis=1)
+        u_app = jnp.concatenate([buf0[None], u_con[:-deadtime]], axis=0)
+    else:
+        u_app = u_con
+
+    i_d0 = jnp.broadcast_to(jnp.asarray(phys.i_d), proto.shape)
+    i_q0 = jnp.broadcast_to(jnp.asarray(phys.i_q), proto.shape)
+
+    (i_d_f, i_q_f, torque_f), traj = _pmsm_fused_core(
+        u_app, i_d0, i_q0, omega, vflat,
+        n_steps=n_steps, tau=float(dt), saturated=saturated,
+        r_s=r_s, lin=lin, p15=p15, geom=geom,
+        traj_stride=1, gather=gather, interpret=interpret,
+    )
+    i_d_t = jnp.concatenate([i_d0[:, None], traj[0]], axis=1)  # (B, T+1)
+    i_q_t = jnp.concatenate([i_q0[:, None], traj[1]], axis=1)
+
+    # unwrapped solver accumulation of the electrical angle; saves wrapped
+    def eps_body(e, _):
+        e1 = e + dt * omega
+        return e1, e1
+
+    _, eps_tail = jax.lax.scan(eps_body, eps0, None, length=n_steps, unroll=32)
+    eps_t = jnp.concatenate([eps0[:, None], jnp.moveaxis(eps_tail, 0, 1)], axis=1)
+    eps_t = ((eps_t + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+
+    # torque at every save; the initial row recomputes at the initial
+    # currents with the env's own interpolator (same bilinear arithmetic)
+    in_ax = env.in_axes_env_properties
+    if saturated:
+        torque0 = jax.vmap(env.currents_to_torque_saturated, in_axes=(0, 0, in_ax))(
+            i_d0, i_q0, props
+        )
+    else:
+        torque0 = jax.vmap(env.currents_to_torque, in_axes=(0, 0, in_ax))(i_d0, i_q0, props)
+    torque_t = jnp.concatenate([torque0[:, None], traj[2]], axis=1)
+
+    # buffer columns patched from the constrained sequence (deadtime > 0) or
+    # zeroed (deadtime == 0) — reference parity, pmsm_env.py:785-791
+    obs_len = n_steps + 1
+    if deadtime > 0:
+        acts_m = jnp.concatenate([buf0[None], u_con], axis=0)  # (T+1, B, 2)
+        buf_d_t = jnp.moveaxis(acts_m[..., 0], 0, 1)
+        buf_q_t = jnp.moveaxis(acts_m[..., 1], 0, 1)
+    else:
+        buf_d_t = jnp.zeros((batch, obs_len), dtype)
+        buf_q_t = jnp.zeros((batch, obs_len), dtype)
+
+    omega_t = jnp.broadcast_to(omega[:, None], (batch, obs_len))
+    traj_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(
+            u_d_buffer=buf_d_t,
+            u_q_buffer=buf_q_t,
+            epsilon=eps_t,
+            i_d=i_d_t,
+            i_q=i_q_t,
+            torque=torque_t,
+            omega_el=omega_t,
+        ),
+        PRNGKey=(
+            lambda key: jnp.broadcast_to(key[:, None, ...], (batch, obs_len) + key.shape[1:])
+        )(jnp.asarray(init_state.PRNGKey)),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full((batch, obs_len), True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.full((batch, obs_len), jnp.nan, dtype), init_state.reference
+        ),
+    )
+    observations = jax.vmap(
+        jax.vmap(env.generate_observation, in_axes=(0, None)),
+        in_axes=(0, in_ax),
+    )(traj_state, props)
+
+    last_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(
+            u_d_buffer=buf_d_t[:, -1],
+            u_q_buffer=buf_q_t[:, -1],
+            epsilon=eps_t[:, -1],
+            i_d=i_d_t[:, -1],
+            i_q=i_q_t[:, -1],
+            torque=torque_t[:, -1],
+            omega_el=omega,
+        ),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full(batch, True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.full(batch, jnp.nan, dtype), init_state.reference
+        ),
+    )
+    return observations, last_state

@@ -187,3 +187,38 @@ def test_env_method_delegation():
     np.testing.assert_array_equal(np.asarray(obs_m), np.asarray(obs_f))
     last_fast = env.fast_rollout(state, actions, gather="take", interpret=True)
     assert np.isfinite(np.asarray(last_fast.physical_state.i_d)).all()
+
+
+@pytest.mark.parametrize(
+    "saturated,deadtime",
+    [(True, None), (False, None), (True, 0)],
+)
+def test_fused_sim_ahead_matches_scan(saturated, deadtime):
+    """The fused PMSM trajectory solve reproduces the overridden sim_ahead:
+    constraint at tau-extrapolated angles, deadtime shift, unwrapped angle
+    accumulation with wrapped saves, patched (or zeroed) buffer columns."""
+    variant = excenvs.MotorVariant.BRUSA if saturated else excenvs.MotorVariant.DEFAULT
+    overrides = {} if deadtime is None else {"deadtime": deadtime}
+    env, state, actions = _make(saturated, variant, **overrides)
+    obs_r, _, last_r = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    obs_f, last_f = env.fused_sim_ahead(state, actions, env.tau, env.tau, gather="take", interpret=True)
+    assert obs_f.shape == obs_r.shape
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_r), rtol=1e-9, atol=1e-9)
+    _assert_state_close(last_r, last_f)
+
+
+def test_fused_sim_ahead_fallback_out_of_scope():
+    """Out-of-kernel-scope configurations (per-batch params) fall back to the
+    scan path.  (Unequal obs/action stepsizes are untestable here: the
+    reference's own PMSM sim_ahead breaks for them — the documented
+    buffer-length quirk this port preserves.)"""
+    params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
+    params["r_s"] = jnp.full(BATCH, params["r_s"])
+    env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, static_params=params)
+    assert not supports_pmsm_fused(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 2), minval=-0.5, maxval=0.5)
+    obs_r, _, last_r = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    obs_f, last_f = env.fused_sim_ahead(state, actions, env.tau, env.tau)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_r))
+    _assert_state_close(last_r, last_f, rtol=0, atol=0)

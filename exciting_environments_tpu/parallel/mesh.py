@@ -180,7 +180,10 @@ class ShardedEnv:
                 shadow = object.__new__(type(env))
                 shadow.__dict__.update(env.__dict__)
                 shadow.batch_size = local_batch
+                # drop jitted impls inherited from the full-batch env — they
+                # close over the original object and its batch size
                 shadow.__dict__.pop("_pmsm_fused_impl", None)
+                shadow.__dict__.pop("_pmsm_fused_sim_ahead_impl", None)
                 self._fused_shadow = shadow
             spec = P(self.axis_name)
             a_spec = P(None, self.axis_name) if time_major else spec
@@ -271,6 +274,11 @@ class ShardedEnv:
         ``vmap_sim_ahead`` path."""
         import numpy as _np
 
+        from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+            pmsm_fused_sim_ahead,
+            supports_pmsm_fused,
+        )
         from exciting_environments_tpu.ops.pallas.stepper import (
             env_fused_sim_ahead,
             supports_fused_rollout,
@@ -278,6 +286,51 @@ class ShardedEnv:
 
         env = self.env
         local_batch = env.batch_size // self.mesh.size
+
+        if isinstance(env, PMSM):
+            if not (
+                supports_pmsm_fused(env)
+                and local_batch % 1024 == 0
+                and obs_stepsize == action_stepsize
+            ):
+                if time_major:
+                    actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+                obs, _, last = self.vmap_sim_ahead(
+                    init_state, actions_norm, obs_stepsize, action_stepsize
+                )
+                return obs[:, ::obs_stride], last
+            shadow = self._fused_shadow
+            if shadow is None:
+                shadow = object.__new__(type(env))
+                shadow.__dict__.update(env.__dict__)
+                shadow.batch_size = local_batch
+                shadow.__dict__.pop("_pmsm_fused_impl", None)
+                shadow.__dict__.pop("_pmsm_fused_sim_ahead_impl", None)
+                self._fused_shadow = shadow
+            spec = P(self.axis_name)
+            a_spec = P(None, self.axis_name) if time_major else spec
+
+            def local(state, actions):
+                obs, last = pmsm_fused_sim_ahead(
+                    shadow, state, actions, obs_stepsize, action_stepsize,
+                    time_major=time_major,
+                    gather="take" if interpret else "dot", interpret=interpret,
+                )
+                return obs[:, ::obs_stride], last
+
+            sharded = jax.shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(spec, a_spec),
+                out_specs=(spec, spec),
+                check_vma=False,
+            )
+            if time_major:
+                actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+            else:
+                actions_sharded = self.shard(actions_norm)
+            return sharded(self.shard(init_state), actions_sharded)
+
         all_scalar = all(
             _np.isscalar(leaf)
             for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)

@@ -359,3 +359,27 @@ def test_sharded_fused_sim_ahead_fallback(mesh):
     obs, last = senv.fused_sim_ahead(state, actions, env.tau / 2, env.tau)
     obs_ref, _, _ = env.vmap_sim_ahead(state, actions, env.tau / 2, env.tau)
     np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref))
+
+
+def test_sharded_fused_pmsm_sim_ahead(mesh):
+    """The fused PMSM trajectory kernel runs per shard and matches the
+    single-device scan path."""
+    batch, T = 8192, 8
+    env = excenvs.PMSM(batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 2), minval=-0.4, maxval=0.4)
+
+    obs_f, last_f = senv.fused_sim_ahead(state, actions, env.tau, env.tau, interpret=True)
+    obs_s, _, last_s = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    assert obs_f.shape == obs_s.shape
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-9, atol=1e-9)
+    for name in ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_f.physical_state, name)),
+            np.asarray(getattr(last_s.physical_state, name)),
+            rtol=1e-9,
+            atol=1e-9,
+            err_msg=name,
+        )

@@ -201,11 +201,10 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
 
     corners = {}
     for key in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        # (1, rows*128) -> (rows, 128): row-major reshape matches the wide
+        # packing (lane r*128+l becomes element (r, l))
         corners[key] = [
-            jnp.concatenate(
-                [wide_vals[key][c : c + 1, r * LANES : (r + 1) * LANES] for r in range(rows)],
-                axis=0,
-            )
+            jnp.reshape(wide_vals[key][c : c + 1, :], (rows, LANES))
             for c in range(_N_CHANNELS)
         ]
     return corners, wx, wy

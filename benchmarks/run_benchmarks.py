@@ -360,6 +360,13 @@ def bench_pmsm(batch=65536, steps=512):
                 action_sets,
                 batch * steps,
             )
+            timed_chain(
+                f"{name}_b{batch}_pallas_fused_sim_ahead_{steps}steps",
+                lambda st, a, env=env: env.fused_sim_ahead(st, a, env.tau, env.tau, obs_stride=steps)[1],
+                state,
+                action_sets,
+                batch * steps,
+            )
 
 
 def bench_pendulum_headline(batch=65536, steps=1024):

@@ -591,7 +591,7 @@ def env_fused_sim_ahead(
         obs, states, last_state = env.vmap_sim_ahead(
             init_state, actions_norm, obs_stepsize, action_stepsize
         )
-        return obs[:, ::obs_stride if obs_stride == 1 else obs_stride], last_state
+        return obs[:, ::obs_stride], last_state
 
     from exciting_environments_tpu.core import structures
     from exciting_environments_tpu.core.env import CoreEnvironment as _Core
@@ -647,7 +647,11 @@ def env_fused_sim_ahead(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
         additions=env.Additions(
-            solver_state=_final_solver_state(env, y_final, last_action),
+            # FSAL carry from the RAW (unwrapped/unclipped) integration state
+            # — the quantity the scan path's solver actually carries; the
+            # stored value is informational-only today (step() re-initializes
+            # the carry via active_solver_state=True) but should match anyway
+            solver_state=_final_solver_state(env, y_final_raw, last_action),
             active_solver_state=jnp.full(batch, True),
         ),
         # sim_ahead rebuilds a NaN reference (reference pendulum_env.py:243-258)

@@ -110,6 +110,54 @@ class ShardedEnv:
         """Shard a batched pytree (state, actions, observations) over the mesh."""
         return shard_batched_tree(tree, self.env.batch_size, self.mesh, self.axis_name)
 
+    def _local_shadow(self):
+        """The per-shard shadow env (``batch_size = B / mesh.size``) driving
+        local kernels inside ``shard_map``.
+
+        Cached on the facade so the jitted kernels' static arguments (tile-ODE
+        closure, clip bound method) stay identical across calls — a fresh
+        shadow per call would retrace + recompile every time.  Jitted impls
+        and tile-ODE closures inherited from the wrapped env's ``__dict__``
+        are ALWAYS dropped: they close over the original object and bake its
+        full batch size into the compiled program, so reusing one inside
+        ``shard_map`` on per-shard slices would fail (or worse, mis-tile).
+        """
+        local_batch = self.env.batch_size // self.mesh.size
+        shadow = self._fused_shadow
+        if shadow is None or shadow.batch_size != local_batch:
+            shadow = object.__new__(type(self.env))
+            shadow.__dict__.update(self.env.__dict__)
+            shadow.batch_size = local_batch
+            for key in ("_pmsm_fused_impl", "_pmsm_fused_sim_ahead_impl", "_fused_tile_ode"):
+                shadow.__dict__.pop(key, None)
+            self._fused_shadow = shadow
+        return shadow
+
+    def _run_sharded(self, local_fn, init_state, actions_norm, time_major):
+        """Run ``local_fn(state, actions) -> (a, b)`` per shard under the mesh.
+
+        ``shard_map`` gives each chip its local batch slice; stepping is
+        embarrassingly parallel, so no collectives are inserted.  With
+        ``time_major`` the action slab is ``(n_steps, B, A)`` — batch axis
+        second — and is placed accordingly.  ``check_vma=False``:
+        ``pallas_call`` outputs carry no varying-mesh-axis metadata; the
+        kernels are purely local per shard, so the check is vacuous here.
+        """
+        spec = P(self.axis_name)
+        a_spec = P(None, self.axis_name) if time_major else spec
+        sharded = jax.shard_map(
+            local_fn,
+            mesh=self.mesh,
+            in_specs=(spec, a_spec),
+            out_specs=(spec, spec),
+            check_vma=False,
+        )
+        if time_major:
+            actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+        else:
+            actions_sharded = self.shard(actions_norm)
+        return sharded(self.shard(init_state), actions_sharded)
+
     # -- forwarded batched API --------------------------------------------
 
     def vmap_reset(self, rng=None, initial_state=None):
@@ -133,82 +181,24 @@ class ShardedEnv:
     def vmap_generate_rew_trunc_term_ahead(self, states, actions):
         return self.env.vmap_generate_rew_trunc_term_ahead(states, self.shard(actions))
 
-    def fused_rollout(
-        self,
-        init_state,
-        actions_norm,
-        obs_stride: int = None,
-        time_major: bool = False,
-        interpret: bool = False,
-    ):
-        """Run the fused Pallas rollout kernel per shard under the mesh.
-
-        ``shard_map`` gives each chip its local batch slice; the kernel then
-        keeps that slice resident in VMEM for the whole horizon.  Stepping is
-        embarrassingly parallel, so no collectives are inserted.  The local
-        batch (``batch_size / mesh.size``) must satisfy the kernel's tiling
-        constraints (multiple of 1024); out-of-scope environments fall back
-        to the sharded scan path like the single-chip wrapper does.
-
-        ``time_major=True`` takes actions ``(n_steps, B, A)`` — the layout
-        the kernel streams; batch-major input costs a full transposed copy
-        of each chip's slab per call (see the single-chip wrapper).
-        """
+    def _fused_in_scope(self, obs_stepsize=None, action_stepsize=None) -> bool:
+        """Whether the fused kernels cover this env *per shard* (kernel scope
+        + local-batch tiling + scalar params for the generic kernel + equal
+        stepsizes for sim-ahead)."""
         import numpy as _np
 
         from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
-        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
-            pmsm_fused_rollout,
-            supports_pmsm_fused,
-        )
-        from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout, supports_fused_rollout
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import supports_pmsm_fused
+        from exciting_environments_tpu.ops.pallas.stepper import supports_fused_rollout
 
         env = self.env
-        n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
         local_batch = env.batch_size // self.mesh.size
-
+        if local_batch % 1024 != 0:
+            return False
+        if obs_stepsize is not None and obs_stepsize != action_stepsize:
+            return False
         if isinstance(env, PMSM):
-            # the PMSM has its own fused kernel (constraint pre-pass +
-            # VMEM-resident current integration); run it per shard
-            if not (supports_pmsm_fused(env) and local_batch % 1024 == 0):
-                if time_major:
-                    actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
-                obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
-                return (obs if obs_stride is not None else obs[:, -1]), last
-            shadow = self._fused_shadow
-            if shadow is None:
-                shadow = object.__new__(type(env))
-                shadow.__dict__.update(env.__dict__)
-                shadow.batch_size = local_batch
-                # drop jitted impls inherited from the full-batch env — they
-                # close over the original object and its batch size
-                shadow.__dict__.pop("_pmsm_fused_impl", None)
-                shadow.__dict__.pop("_pmsm_fused_sim_ahead_impl", None)
-                self._fused_shadow = shadow
-            spec = P(self.axis_name)
-            a_spec = P(None, self.axis_name) if time_major else spec
-
-            def local(state, actions):
-                # the "take" gather only lowers in interpreter mode (CPU
-                # testing); compiled runs use the exact one-hot MXU gather
-                return pmsm_fused_rollout(
-                    shadow, state, actions,
-                    obs_stride=obs_stride, time_major=time_major,
-                    gather="take" if interpret else "dot", interpret=interpret,
-                )
-
-            sharded = jax.shard_map(
-                local,
-                mesh=self.mesh,
-                in_specs=(spec, a_spec),
-                out_specs=(spec, spec),
-                check_vma=False,
-            )
-            if time_major:
-                actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
-            else:
-                actions_sharded = self.shard(actions_norm)
-            return sharded(self.shard(init_state), actions_sharded)
+            return supports_pmsm_fused(env)
         # per-batch heterogeneous property leaves would need slicing into the
         # shadow env per shard (they are closure constants to the kernel, not
         # shard_map operands); those configurations ride the sharded scan path
@@ -217,45 +207,69 @@ class ShardedEnv:
             for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
             + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
         )
-        if not (supports_fused_rollout(env) and all_scalar and local_batch % 1024 == 0):
+        return supports_fused_rollout(env) and all_scalar
+
+    def fused_rollout(
+        self,
+        init_state,
+        actions_norm,
+        obs_stride: int = None,
+        time_major: bool = False,
+        interpret: bool = False,
+        strict: bool = False,
+    ):
+        """Run the fused Pallas rollout kernel per shard under the mesh.
+
+        Each chip keeps its local batch slice resident in VMEM for the whole
+        horizon.  The local batch (``batch_size / mesh.size``) must satisfy
+        the kernel's tiling constraints (multiple of 1024); out-of-scope
+        environments fall back to the sharded scan path like the single-chip
+        wrapper does — 10-100x slower, so pass ``strict=True`` to raise
+        instead (or probe with :func:`...ops.pallas.rollout_path`).
+
+        ``time_major=True`` takes actions ``(n_steps, B, A)`` — the layout
+        the kernel streams; batch-major input costs a full transposed copy
+        of each chip's slab per call (see the single-chip wrapper).
+        """
+        from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+        env = self.env
+        n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+
+        if not self._fused_in_scope():
+            if strict:
+                raise ValueError(
+                    "fused_rollout out of scope for this sharded env (kernel scope, "
+                    "per-shard tiling, or per-batch heterogeneous params); "
+                    "strict=True forbids the sharded scan fallback"
+                )
             if time_major:
                 actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
             obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
             return (obs if obs_stride is not None else obs[:, -1]), last
 
-        # a shadow env with the per-shard batch size drives the local kernel;
-        # cached on the facade so the jitted kernel's static arguments (the
-        # tile-ODE closure, the clip bound method) stay identical across
-        # calls — a fresh shadow per call would retrace + recompile every time
-        shadow = self._fused_shadow
-        if shadow is None:
-            shadow = object.__new__(type(env))
-            shadow.__dict__.update(env.__dict__)
-            shadow.batch_size = local_batch
-            self._fused_shadow = shadow
-
-        spec = P(self.axis_name)
-        a_spec = P(None, self.axis_name) if time_major else spec  # batch axis position
-
-        def local(state, actions):
-            return env_fused_rollout(
-                shadow, state, actions, obs_stride=obs_stride, time_major=time_major, interpret=interpret
-            )
-
-        sharded = jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(spec, a_spec),  # pytree prefixes: every leaf batch-sharded
-            out_specs=(spec, spec),
-            # pallas_call outputs carry no varying-mesh-axis metadata; the
-            # kernel is purely local per shard, so the check is vacuous here
-            check_vma=False,
-        )
-        if time_major:
-            actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+        shadow = self._local_shadow()
+        if isinstance(env, PMSM):
+            # the PMSM has its own fused kernel (constraint pre-pass +
+            # VMEM-resident current integration); the "take" gather only
+            # lowers in interpreter mode (CPU testing); compiled runs use
+            # the exact one-hot MXU gather
+            def local(state, actions):
+                return pmsm_fused_rollout(
+                    shadow, state, actions,
+                    obs_stride=obs_stride, time_major=time_major,
+                    gather="take" if interpret else "dot", interpret=interpret,
+                )
         else:
-            actions_sharded = self.shard(actions_norm)
-        return sharded(self.shard(init_state), actions_sharded)
+            def local(state, actions):
+                return env_fused_rollout(
+                    shadow, state, actions, obs_stride=obs_stride,
+                    time_major=time_major, interpret=interpret,
+                )
+
+        return self._run_sharded(local, init_state, actions_norm, time_major)
 
     def fused_sim_ahead(
         self,
@@ -266,82 +280,25 @@ class ShardedEnv:
         obs_stride: int = 1,
         time_major: bool = False,
         interpret: bool = False,
+        strict: bool = False,
     ):
         """Fused trajectory solve per shard (``env_fused_sim_ahead`` under
-        ``shard_map``): ``vmap_sim_ahead`` semantics for ``obs_stepsize ==
-        action_stepsize``, returning ``(observations, last_state)`` with
-        batch-sharded leaves.  Out-of-scope configurations ride the sharded
-        ``vmap_sim_ahead`` path."""
-        import numpy as _np
-
+        ``shard_map``): ``vmap_sim_ahead`` semantics, returning
+        ``(observations, last_state)`` with batch-sharded leaves.
+        Out-of-scope configurations ride the sharded ``vmap_sim_ahead`` path
+        (``strict=True`` raises instead)."""
         from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
-        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
-            pmsm_fused_sim_ahead,
-            supports_pmsm_fused,
-        )
-        from exciting_environments_tpu.ops.pallas.stepper import (
-            env_fused_sim_ahead,
-            supports_fused_rollout,
-        )
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead
 
         env = self.env
-        local_batch = env.batch_size // self.mesh.size
 
-        if isinstance(env, PMSM):
-            if not (
-                supports_pmsm_fused(env)
-                and local_batch % 1024 == 0
-                and obs_stepsize == action_stepsize
-            ):
-                if time_major:
-                    actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
-                obs, _, last = self.vmap_sim_ahead(
-                    init_state, actions_norm, obs_stepsize, action_stepsize
+        if not self._fused_in_scope(obs_stepsize, action_stepsize):
+            if strict:
+                raise ValueError(
+                    "fused_sim_ahead out of scope for this sharded env; "
+                    "strict=True forbids the sharded scan fallback"
                 )
-                return obs[:, ::obs_stride], last
-            shadow = self._fused_shadow
-            if shadow is None:
-                shadow = object.__new__(type(env))
-                shadow.__dict__.update(env.__dict__)
-                shadow.batch_size = local_batch
-                shadow.__dict__.pop("_pmsm_fused_impl", None)
-                shadow.__dict__.pop("_pmsm_fused_sim_ahead_impl", None)
-                self._fused_shadow = shadow
-            spec = P(self.axis_name)
-            a_spec = P(None, self.axis_name) if time_major else spec
-
-            def local(state, actions):
-                obs, last = pmsm_fused_sim_ahead(
-                    shadow, state, actions, obs_stepsize, action_stepsize,
-                    time_major=time_major,
-                    gather="take" if interpret else "dot", interpret=interpret,
-                )
-                return obs[:, ::obs_stride], last
-
-            sharded = jax.shard_map(
-                local,
-                mesh=self.mesh,
-                in_specs=(spec, a_spec),
-                out_specs=(spec, spec),
-                check_vma=False,
-            )
-            if time_major:
-                actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
-            else:
-                actions_sharded = self.shard(actions_norm)
-            return sharded(self.shard(init_state), actions_sharded)
-
-        all_scalar = all(
-            _np.isscalar(leaf)
-            for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
-            + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
-        )
-        if not (
-            supports_fused_rollout(env)
-            and all_scalar
-            and local_batch % 1024 == 0
-            and obs_stepsize == action_stepsize
-        ):
             if time_major:
                 actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
             obs, _, last = self.vmap_sim_ahead(
@@ -349,34 +306,23 @@ class ShardedEnv:
             )
             return obs[:, ::obs_stride], last
 
-        shadow = self._fused_shadow
-        if shadow is None:
-            shadow = object.__new__(type(env))
-            shadow.__dict__.update(env.__dict__)
-            shadow.batch_size = local_batch
-            self._fused_shadow = shadow
-
-        spec = P(self.axis_name)
-        a_spec = P(None, self.axis_name) if time_major else spec
-
-        def local(state, actions):
-            return env_fused_sim_ahead(
-                shadow, state, actions, obs_stepsize, action_stepsize,
-                obs_stride=obs_stride, time_major=time_major, interpret=interpret,
-            )
-
-        sharded = jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(spec, a_spec),
-            out_specs=(spec, spec),
-            check_vma=False,
-        )
-        if time_major:
-            actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
+        shadow = self._local_shadow()
+        if isinstance(env, PMSM):
+            def local(state, actions):
+                obs, last = pmsm_fused_sim_ahead(
+                    shadow, state, actions, obs_stepsize, action_stepsize,
+                    time_major=time_major,
+                    gather="take" if interpret else "dot", interpret=interpret,
+                )
+                return obs[:, ::obs_stride], last
         else:
-            actions_sharded = self.shard(actions_norm)
-        return sharded(self.shard(init_state), actions_sharded)
+            def local(state, actions):
+                return env_fused_sim_ahead(
+                    shadow, state, actions, obs_stepsize, action_stepsize,
+                    obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+                )
+
+        return self._run_sharded(local, init_state, actions_norm, time_major)
 
     def adaptive_rollout(self, init_state, actions_norm, **kwargs):
         """Per-instance adaptive rollout, sharded over the mesh.
@@ -394,12 +340,7 @@ class ShardedEnv:
         from exciting_environments_tpu.ops.adaptive import adaptive_rollout
 
         env = self.env
-        shadow = self._fused_shadow
-        if shadow is None or shadow.batch_size != env.batch_size // self.mesh.size:
-            shadow = object.__new__(type(env))
-            shadow.__dict__.update(env.__dict__)
-            shadow.batch_size = env.batch_size // self.mesh.size
-            self._fused_shadow = shadow
+        shadow = self._local_shadow()
 
         # split the property tree: array leaves with a leading batch dim are
         # shard_map operands (split over the mesh), everything else — scalar

@@ -65,7 +65,11 @@ def _select_rollout(env_or_sharded, interpret: bool):
         supports_fused_rollout,
     )
 
-    if isinstance(env, PMSM) and supports_pmsm_fused(env):
+    if (
+        isinstance(env, PMSM)
+        and supports_pmsm_fused(env)
+        and (interpret or jax.default_backend() != "cpu")
+    ):
 
         def run(state, actions):
             return pmsm_fused_rollout(

@@ -383,3 +383,49 @@ def test_sharded_fused_pmsm_sim_ahead(mesh):
             atol=1e-9,
             err_msg=name,
         )
+
+def test_shadow_cache_coherent_after_adaptive(mesh):
+    """Regression (round-2 verdict): a full-batch fused call caches
+    ``_pmsm_fused_impl`` on the env; ``ShardedEnv`` copies the env ``__dict__``
+    at construction, and ``adaptive_rollout`` builds the shared per-shard
+    shadow first — the shadow must NOT inherit the stale full-batch jitted
+    impl, or the later ``fused_rollout`` reuses it inside ``shard_map`` on
+    per-shard slices."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+    batch, T = 8192, 4
+    env = excenvs.PMSM(batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 2), minval=-0.4, maxval=0.4)
+
+    # full-batch fused call populates env.__dict__["_pmsm_fused_impl"]
+    pmsm_fused_rollout(env, state0, actions, gather="take", interpret=True)
+    assert "_pmsm_fused_impl" in env.__dict__
+
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+
+    # adaptive_rollout builds the shared shadow first ...
+    senv.adaptive_rollout(state, actions[:, :1], rtol=1e-6, atol=1e-8)
+    assert "_pmsm_fused_impl" not in senv._fused_shadow.__dict__
+
+    # ... and the subsequent fused_rollout must run per-shard, matching scan
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-9)
+    assert not last_f.physical_state.i_d.sharding.is_fully_replicated
+
+
+def test_sharded_fused_strict_raises(mesh):
+    """strict=True forbids the silent sharded-scan fallback."""
+    batch = 64  # local batch 8: far below the kernel's 1024-row tiling
+    env = excenvs.Pendulum(batch_size=batch)
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset()
+    state = senv.shard(state)
+    actions = 0.2 * jnp.ones((batch, 4, 1))
+    with pytest.raises(ValueError, match="strict"):
+        senv.fused_rollout(state, actions, strict=True)
+    with pytest.raises(ValueError, match="strict"):
+        senv.fused_sim_ahead(state, actions, env.tau / 2, env.tau, strict=True)

@@ -126,9 +126,17 @@ def timed_chain(name, step_fn, state0, action_sets, n_per_link, k_chain=4):
     t1 = run(make(1), acts[:1])
     t_k = run(make(k_chain), acts)
     marginal = (t_k - t1) / (k_chain - 1)
-    if marginal > 0:
+    # Scaling gate (round-3): if the K-link chain costs barely more than one
+    # link, the relay's completion signal is suspect for this program (fetch
+    # returned early, or everything sat under the latency floor) — the
+    # marginal is then NOISE and can overstate throughput by 10x+ (the round-2
+    # cartpole fused sim-ahead read 2.5e10 this way while acrobot, whose
+    # chain DID scale, read 1.6e9).  Fall back to the conservative
+    # whole-chain average and say so in the artifact.
+    scaling_ok = (t_k - t1) > 0.3 * t1
+    if marginal > 0 and scaling_ok:
         value = n_per_link / marginal
-    else:  # noise floor: fall back to the whole-chain average
+    else:
         value = n_per_link * k_chain / t_k
     print(
         json.dumps(
@@ -136,7 +144,8 @@ def timed_chain(name, step_fn, state0, action_sets, n_per_link, k_chain=4):
                 "metric": name,
                 "value": value,
                 "unit": "env-steps/s",
-                "methodology": "chained_marginal",
+                "methodology": "chained_marginal" if scaling_ok else "whole_chain_average",
+                "chain_scaling_ok": scaling_ok,
                 "seconds_single": t1,
                 "seconds_chain": t_k,
                 "k_chain": k_chain,
@@ -227,9 +236,13 @@ def bench_tsit5_sim_ahead():
         B, T = 65536, 256
         env = cls(batch_size=B, solver="tsit5")
         _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), B))
+        # 8 action sets for a K=8 chain: long enough that per-link time
+        # dominates the relay latency even for the fast cartpole kernel
+        # (round-2's K=4 chain sat at the latency floor and its marginal
+        # overstated the kernel 10x; see timed_chain's scaling gate)
         action_sets = [
             jax.random.uniform(jax.random.PRNGKey(20 + i), (B, T, env.action_dim), minval=-0.5, maxval=0.5)
-            for i in range(4)
+            for i in range(8)
         ]
         # agreement gate vs the scan path (divisions in the mechanics RHS
         # round differently between the XLA and Mosaic lowerings, ~1 ulp/step
@@ -262,6 +275,7 @@ def bench_tsit5_sim_ahead():
             state,
             action_sets,
             B * T,
+            k_chain=8,
         )
 
 

@@ -542,32 +542,39 @@ class CoreEnvironment:
         return jnp.swapaxes(obs, 0, 1), final_state
 
     def fused_rollout(self, init_state, actions, obs_stride: int = None,
-                      time_major: bool = False, interpret: bool = False):
+                      time_major: bool = False, interpret: bool = False,
+                      strict: bool = False):
         """:meth:`vmap_rollout` through the fused Pallas kernel when the
         environment is in kernel scope (state resident in VMEM for the whole
         horizon; see :mod:`exciting_environments_tpu.ops.pallas.stepper`),
-        transparently falling back to the scan otherwise.  Returns
+        transparently falling back to the scan otherwise (``strict=True``
+        raises instead; probe ahead with
+        :func:`exciting_environments_tpu.ops.pallas.rollout_path`).  Returns
         ``(obs, final_state)`` with ``obs`` of shape ``(B, obs_dim)`` — or
         ``(B, n_steps // obs_stride, obs_dim)`` with ``obs_stride`` set.
-        Environments with their own kernel (PMSM) override this."""
+        Differentiable (checkpointed-recompute VJP).  Environments with
+        their own kernel (PMSM) override this."""
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
 
         return env_fused_rollout(
             self, init_state, actions,
             obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+            strict=strict,
         )
 
     def fused_sim_ahead(self, init_state, actions, obs_stepsize, action_stepsize,
                         obs_stride: int = 1, time_major: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, strict: bool = False):
         """:meth:`vmap_sim_ahead` semantics through the fused trajectory
-        kernel for ``obs_stepsize == action_stepsize`` (scan fallback
-        otherwise); returns ``(observations, last_state)``."""
+        kernel for any integral ``action_stepsize / obs_stepsize`` ratio
+        (scan fallback otherwise, ``strict=True`` raises); returns
+        ``(observations, last_state)``.  Differentiable."""
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead
 
         return env_fused_sim_ahead(
             self, init_state, actions, obs_stepsize, action_stepsize,
             obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+            strict=strict,
         )
 
     @partial(jax.jit, static_argnums=0)

@@ -599,33 +599,36 @@ class PMSM(CoreEnvironment):
 
     def fused_rollout(self, init_state, actions, obs_stride: int = None,
                       time_major: bool = False, interpret: bool = False,
-                      gather: str = "dot"):
+                      gather: str = "dot", strict: bool = False):
         """:meth:`vmap_rollout` through the fused PMSM drive kernel
         (constraint pre-pass + VMEM-resident current integration; bit-exact
         on TPU for saturated magnetics — see
         :mod:`exciting_environments_tpu.ops.pallas.pmsm_stepper`), with a
-        transparent scan fallback out of kernel scope."""
+        transparent scan fallback out of kernel scope (``strict=True``
+        raises instead).  Differentiable (checkpointed-recompute VJP)."""
         from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
 
         return pmsm_fused_rollout(
             self, init_state, actions,
             obs_stride=obs_stride, time_major=time_major,
-            gather=gather, interpret=interpret,
+            gather=gather, interpret=interpret, strict=strict,
         )
 
     def fused_sim_ahead(self, init_state, actions, obs_stepsize, action_stepsize,
                         obs_stride: int = 1, time_major: bool = False,
-                        interpret: bool = False, gather: str = "dot"):
+                        interpret: bool = False, gather: str = "dot",
+                        strict: bool = False):
         """:meth:`vmap_sim_ahead` semantics through the fused drive kernel for
         ``obs_stepsize == action_stepsize`` — the overridden PMSM trajectory
         path (constraint at tau-extrapolated angles, deadtime shift, unwrapped
-        angle accumulation, patched buffer columns); scan fallback otherwise.
-        Returns ``(observations, last_state)``."""
+        angle accumulation, patched buffer columns); scan fallback otherwise
+        (``strict=True`` raises).  Returns ``(observations, last_state)``."""
         from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
 
         obs, last = pmsm_fused_sim_ahead(
             self, init_state, actions, obs_stepsize, action_stepsize,
             time_major=time_major, gather=gather, interpret=interpret,
+            strict=strict,
         )
         if obs_stride != 1:
             obs = obs[:, ::obs_stride]

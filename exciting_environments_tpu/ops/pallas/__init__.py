@@ -1,1 +1,45 @@
 """Fused Pallas TPU rollout kernels (performance layer)."""
+
+from __future__ import annotations
+
+
+def rollout_path(env, obs_stepsize: float = None, action_stepsize: float = None) -> str:
+    """Which execution path a ``fused_rollout`` (or, with stepsizes given, a
+    ``fused_sim_ahead``) call on ``env`` selects.
+
+    Returns one of:
+
+    * ``"pmsm_fused"`` — the dedicated PMSM drive kernel
+      (:mod:`~exciting_environments_tpu.ops.pallas.pmsm_stepper`),
+    * ``"fused"`` — the generic fused rollout kernel
+      (:mod:`~exciting_environments_tpu.ops.pallas.stepper`),
+    * ``"scan"`` — the XLA ``lax.scan`` fallback (10-100x slower; the fused
+      entry points take ``strict=True`` to raise instead of riding it).
+
+    ``env`` may be a :class:`~exciting_environments_tpu.core.env.CoreEnvironment`
+    or a :class:`~exciting_environments_tpu.parallel.mesh.ShardedEnv` (whose
+    per-shard tiling constraints are included in the answer).
+    """
+    from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    from .pmsm_stepper import supports_pmsm_fused
+    from .stepper import sim_ahead_ratio, supports_fused_rollout
+
+    sim_ahead = obs_stepsize is not None
+    if isinstance(env, ShardedEnv):
+        if not env._fused_in_scope(obs_stepsize if sim_ahead else None, action_stepsize):
+            return "scan"
+        return "pmsm_fused" if isinstance(env.env, PMSM) else "fused"
+
+    if isinstance(env, PMSM):
+        if supports_pmsm_fused(env) and (
+            not sim_ahead or obs_stepsize == action_stepsize
+        ):
+            return "pmsm_fused"
+        return "scan"
+    if supports_fused_rollout(env) and (
+        not sim_ahead or sim_ahead_ratio(obs_stepsize, action_stepsize) is not None
+    ):
+        return "fused"
+    return "scan"

@@ -44,8 +44,15 @@ tests pin at rtol 1e-11):
    ``precision=HIGHEST``) — and the bilinear blend then replicates
    :func:`exciting_environments_tpu.ops.lut.bilinear_gather` term-for-term.
 
-Scope: scalar static params, Euler solver, deadtime in {0, 1}, batch a
-multiple of 1024.  Out-of-scope configurations fall back to the XLA scan.
+Scope: scalar static params, any explicit Runge-Kutta solver (Euler through
+FSAL Tsit5/Dopri5 — stage evaluations re-run the LUT gather per stage, and
+sim-ahead ``c == 1.0`` stages read the next applied voltage from a
+one-slot-shifted stream), deadtime in {0, 1}, batch a multiple of 1024.
+``sim_ahead`` additionally requires ``obs_stepsize == action_stepsize``: the
+reference's PMSM ``sim_ahead`` itself *crashes* for finer observation grids
+(the deliberate inverted-ratio buffer-patch quirk, ``pmsm_env.py:785-791`` —
+preserved by the scan path here), so there is no finer-grid semantics to
+match.  Out-of-scope configurations fall back to the XLA scan.
 
 Exactness status (asserted on hardware by ``benchmarks/run_benchmarks.py``):
 
@@ -69,6 +76,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from exciting_environments_tpu.ops.pallas.stepper import _needs_next_action, _rk_step
+from exciting_environments_tpu.ops.solvers import ExplicitRungeKutta
 
 LANES = 128
 SUBLANES = 8
@@ -227,10 +237,16 @@ def _blend_channels(corners, wx, wy):
     return out
 
 
-def _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, gather):
-    """Kernel over refs ``(u_app, omega, i_d0, i_q0[, V], i_d, i_q, torque
-    [, traj_i_d, traj_i_q, traj_torque])``; grid ``(batch_tiles, time_chunks)``
-    with time innermost, state carried in the revisited output blocks."""
+def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride, gather, has_next):
+    """Kernel over refs ``(u_app[, u_next], omega, i_d0, i_q0[, V], i_d, i_q,
+    torque[, traj_i_d, traj_i_q, traj_torque])``; grid ``(batch_tiles,
+    time_chunks)`` with time innermost, state carried in the revisited output
+    blocks.  ``solver`` is any explicit RK method: each stage re-evaluates the
+    electrical vector field (incl. its LUT gathers) via the shared
+    :func:`stepper._rk_step`, whose coefficient handling keeps the one-stage
+    Euler path exactly ``y + tau * f``.  With ``has_next`` (sim-ahead mode,
+    update-relevant stage at ``c == 1.0``) the stage reads the next applied
+    voltage from the one-slot-shifted ``u_next`` stream."""
 
     def lut_channels(V, i_d, i_q):
         corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
@@ -244,7 +260,14 @@ def _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, 
         l_d, l_q, psi_p, dl = lin
         return p15 * (psi_p + dl * i_d) * i_q
 
-    def kernel(u_ref, omega_ref, id_in, iq_in, *refs):
+    def kernel(u_ref, *refs):
+        if has_next:
+            u_next_ref = refs[0]
+            refs = refs[1:]
+        else:
+            u_next_ref = None
+        omega_ref, id_in, iq_in = refs[:3]
+        refs = refs[3:]
         if saturated:
             V = refs[0][:]
             refs = refs[1:]
@@ -269,14 +292,15 @@ def _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, 
 
         omega = omega_ref[:]
 
-        def body(i, y):
+        def ode(t, y, action):
+            # the electrical vector field — the exact expressions of
+            # PMSM.nonlinear_ode / linear_ode (pmsm_env.py:244-283 in this
+            # repo); autonomous, so the stage time is unused
             i_d, i_q = y
-            u = u_ref[i]
-            u_d, u_q = u[0], u[1]
+            u_d, u_q = action[0], action[1]
             if saturated:
                 l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = lut_channels(V, i_d, i_q)
-                # closed-form 2x2 inverse — the exact expressions of
-                # PMSM.nonlinear_ode (pmsm_env.py:244-267 in this repo)
+                # closed-form 2x2 inverse
                 det = l_dd * l_qq - l_dq * l_qd
                 inv_dd, inv_dq = l_qq / det, -l_dq / det
                 inv_qd, inv_qq = -l_qd / det, l_dd / det
@@ -288,9 +312,18 @@ def _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, 
                 psi_p = lin[2]
                 i_d_diff = (u_d + omega * l_q * i_q - r_s * i_d) / l_d
                 i_q_diff = (u_q - omega * (l_d * i_d + psi_p) - r_s * i_q) / l_q
-            # exact Euler increment (solvers._weighted_increment semantics)
-            i_d = i_d + tau * i_d_diff
-            i_q = i_q + tau * i_q_diff
+            return (i_d_diff, i_q_diff)
+
+        def body(i, y):
+            u = u_ref[i]
+            action = (u[0], u[1])
+            action_next = None
+            if has_next:
+                un = u_next_ref[i]
+                action_next = (un[0], un[1])
+            i_d, i_q = _rk_step(
+                ode, solver, y, action, tau, 0.0, action_next=action_next
+            )
             if traj_stride is not None:
 
                 @pl.when((i + 1) % traj_stride == 0)
@@ -315,7 +348,8 @@ def _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_steps", "tau", "saturated", "r_s", "lin", "p15", "geom", "traj_stride", "gather", "interpret",
+        "n_steps", "tau", "saturated", "solver", "r_s", "lin", "p15", "geom",
+        "traj_stride", "gather", "sim_ahead", "interpret",
     ),
 )
 def _pmsm_fused_core(
@@ -327,18 +361,22 @@ def _pmsm_fused_core(
     n_steps: int,
     tau: float,
     saturated: bool,
+    solver,
     r_s: float,
     lin: tuple,
     p15: float,
     geom: tuple,
     traj_stride: int = None,
     gather: str = "dot",
+    sim_ahead: bool = False,
     interpret: bool = False,
 ):
     batch = i_d0.shape[0]
     total_rows = batch // LANES
     rows = SUBLANES
     n_batch_tiles = total_rows // rows
+
+    has_next = sim_ahead and _needs_next_action(solver)
 
     # largest time chunk keeping the double-buffered voltage block <= ~2 MB
     itemsize = jnp.dtype(i_d0.dtype).itemsize
@@ -354,15 +392,24 @@ def _pmsm_fused_core(
     u_tiled = jnp.transpose(u_app_tm, (0, 2, 1)).reshape(n_steps, 2, total_rows, LANES)
     dtype = i_d0.dtype
     state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
+    u_block = lambda: pl.BlockSpec(
+        (chunk, 2, rows, LANES), lambda b, k: (k, 0, b, 0), memory_space=pltpu.VMEM
+    )
 
-    in_specs = [
-        pl.BlockSpec((chunk, 2, rows, LANES), lambda b, k: (k, 0, b, 0), memory_space=pltpu.VMEM),
+    in_specs = [u_block()]
+    operands = [u_tiled]
+    if has_next:
+        # one-slot-shifted applied-voltage stream for c == 1.0 stages; the
+        # final step repeats the last voltage (the scan path's ZOH gather
+        # clamps at the trajectory end the same way)
+        in_specs.append(u_block())
+        operands.append(jnp.concatenate([u_tiled[1:], u_tiled[-1:]], axis=0))
+    in_specs += [
         state_block(),  # omega
         state_block(),  # i_d0
         state_block(),  # i_q0
     ]
-    operands = [
-        u_tiled,
+    operands += [
         omega.reshape(total_rows, LANES),
         i_d0.reshape(total_rows, LANES),
         i_q0.reshape(total_rows, LANES),
@@ -388,7 +435,9 @@ def _pmsm_fused_core(
         ]
         out_shape += [jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype) for _ in range(3)]
 
-    kernel = _make_kernel(chunk, rows, saturated, tau, r_s, lin, p15, geom, traj_stride, gather)
+    kernel = _make_kernel(
+        chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride, gather, has_next
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_batch_tiles, n_time_chunks),
@@ -406,10 +455,191 @@ def _pmsm_fused_core(
     return final, traj
 
 
+# ---------------------------------------------------------------------------
+# Differentiability: custom VJP with checkpointed recompute (same scheme as
+# stepper._fused_core — see the design comment there).  The backward segments
+# re-integrate the electrical subsystem in plain JAX, with the LUT magnetics
+# evaluated through the differentiable ops.lut.bilinear_gather; trajectory
+# torque outputs pull back through the pointwise torque map at the saved
+# (checkpointed) currents.  Gradients flow to the applied voltages, initial
+# currents and omega — the quantities the reference's differentiable scan
+# path exposes; the LUT grid itself is treated as a constant (zero
+# cotangent), matching the scan path where the LUT is a closure constant.
+# ---------------------------------------------------------------------------
+
+
+def _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals):
+    """The kernel's electrical vector field and torque map in plain
+    (differentiable) JAX over ``(B,)`` current arrays."""
+
+    def lut_at(i_d, i_q):
+        x0, dx, y0g, dy, nx, ny, _, _ = geom
+        from exciting_environments_tpu.ops.lut import bilinear_gather
+
+        return bilinear_gather(lut_vals, x0, dx, y0g, dy, nx, ny, i_d, i_q)
+
+    def ode(t, y, action, omega):
+        i_d, i_q = y
+        u_d, u_q = action[0], action[1]
+        if saturated:
+            vals = lut_at(i_d, i_q)
+            l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = (vals[c] for c in range(_N_CHANNELS))
+            det = l_dd * l_qq - l_dq * l_qd
+            inv_dd, inv_dq = l_qq / det, -l_dq / det
+            inv_qd, inv_qq = -l_qd / det, l_dd / det
+            rhs_d = u_d - r_s * i_d + omega * psi_q
+            rhs_q = u_q - r_s * i_q - omega * psi_d
+            return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
+        l_d, l_q, psi_p, _ = lin
+        return (
+            (u_d + omega * l_q * i_q - r_s * i_d) / l_d,
+            (u_q - omega * (l_d * i_d + psi_p) - r_s * i_q) / l_q,
+        )
+
+    def torque(y):
+        i_d, i_q = y
+        if saturated:
+            vals = lut_at(i_d, i_q)
+            return p15 * (vals[4] * i_q - vals[5] * i_d)
+        return p15 * (lin[2] + lin[3] * i_d) * i_q
+
+    return ode, torque
+
+
+_N_PMSM_STATIC = 12
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_STATIC)))
+def _pmsm_core_diff(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    sim_ahead, interpret, u_app_tm, i_d0, i_q0, omega, vflat, lut_vals,
+):
+    return _pmsm_fused_core(
+        u_app_tm, i_d0, i_q0, omega, vflat,
+        n_steps=n_steps, tau=tau, saturated=saturated, solver=solver,
+        r_s=r_s, lin=lin, p15=p15, geom=geom,
+        traj_stride=traj_stride, gather=gather, sim_ahead=sim_ahead,
+        interpret=interpret,
+    )
+
+
+def _pmsm_core_diff_fwd(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    sim_ahead, interpret, u_app_tm, i_d0, i_q0, omega, vflat, lut_vals,
+):
+    from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
+
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    final, saves = _pmsm_fused_core(
+        u_app_tm, i_d0, i_q0, omega, vflat,
+        n_steps=n_steps, tau=tau, saturated=saturated, solver=solver,
+        r_s=r_s, lin=lin, p15=p15, geom=geom,
+        traj_stride=ckpt, gather=gather, sim_ahead=sim_ahead, interpret=interpret,
+    )
+    if traj_stride is None:
+        out = (final, None)
+    else:
+        skip = traj_stride // ckpt
+        out = (final, tuple(s[:, skip - 1 :: skip] for s in saves))
+    return out, (u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, saves[0], saves[1])
+
+
+def _pmsm_core_diff_bwd(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    sim_ahead, interpret, res, g,
+):
+    from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
+
+    u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, save_id, save_iq = res
+    g_final, g_traj = g
+    g_id_f, g_iq_f, g_tq_f = g_final
+    batch = i_d0.shape[0]
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    n_seg = n_steps // ckpt
+    has_next = sim_ahead and _needs_next_action(solver)
+    ode, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
+
+    # final-state cotangent incl. the final torque output's pull-back
+    y_final = (save_id[:, -1], save_iq[:, -1])
+    _, tq_vjp = jax.vjp(torque_fn, y_final)
+    (g_from_tq,) = tq_vjp(g_tq_f)
+    g_y = (g_id_f + g_from_tq[0], g_iq_f + g_from_tq[1])
+
+    starts = tuple(
+        jnp.concatenate([leaf0[None], jnp.moveaxis(s[:, :-1], 1, 0)], axis=0)
+        for leaf0, s in zip((i_d0, i_q0), (save_id, save_iq))
+    )
+    u_seg = u_app_tm.reshape(n_seg, ckpt, batch, 2)
+    u_next_tm = jnp.concatenate([u_app_tm[1:], u_app_tm[-1:]], axis=0)
+    u_next_seg = u_next_tm.reshape(n_seg, ckpt, batch, 2)
+
+    # per-save cotangents scattered onto their segments: the save state IS the
+    # checkpoint at the segment end, so its currents cotangent adds to the
+    # carry and its torque cotangent pulls back through the pointwise map
+    if g_traj is not None:
+        g_id_t, g_iq_t, g_tq_t = g_traj
+        skip = traj_stride // ckpt
+        save_states = tuple(
+            jnp.moveaxis(s, 1, 0)[skip - 1 :: skip] for s in (save_id, save_iq)
+        )
+
+        def tq_pull(y, gt):
+            _, vf = jax.vjp(torque_fn, y)
+            return vf(gt)[0]
+
+        g_tq_pull = jax.vmap(tq_pull)(save_states, jnp.moveaxis(g_tq_t, 1, 0))
+        g_save_seg = tuple(
+            jnp.zeros((n_seg, batch), dtype=i_d0.dtype)
+            .at[skip - 1 :: skip]
+            .set(jnp.moveaxis(gl, 1, 0) + gp)
+            for gl, gp in zip((g_id_t, g_iq_t), g_tq_pull)
+        )
+    else:
+        g_save_seg = tuple(jnp.zeros((n_seg, batch), dtype=i_d0.dtype) for _ in range(2))
+
+    def seg_apply(y_start, u_s, un_s, om):
+        def body(y, xs):
+            u, un = xs
+            action = (u[:, 0], u[:, 1])
+            action_next = (un[:, 0], un[:, 1]) if has_next else None
+            y1 = _rk_step(
+                lambda tt, yy, act: ode(tt, yy, act, om),
+                solver, y, action, tau, 0.0, action_next=action_next,
+            )
+            return y1, None
+
+        y_end, _ = jax.lax.scan(body, y_start, (u_s, un_s))
+        return y_end
+
+    g_omega0 = jnp.zeros_like(omega)
+
+    def bwd_body(carry, xs):
+        g_carry, g_om = carry
+        start_s, u_s, un_s, g_save_s = xs
+        g_carry = tuple(gc + gs for gc, gs in zip(g_carry, g_save_s))
+        _, vjp_fn = jax.vjp(seg_apply, start_s, u_s, un_s, omega)
+        gy_in, gu, gun, gom = vjp_fn(g_carry)
+        return (gy_in, g_om + gom), (gu, gun)
+
+    ((g_id0, g_iq0), g_omega), (gu_seg, gun_seg) = jax.lax.scan(
+        bwd_body,
+        (g_y, g_omega0),
+        (starts, u_seg, u_next_seg, g_save_seg),
+        reverse=True,
+    )
+
+    gu_tm = gu_seg.reshape(n_steps, batch, 2)
+    gun_tm = gun_seg.reshape(n_steps, batch, 2)
+    g_u = gu_tm.at[1:].add(gun_tm[:-1]).at[-1].add(gun_tm[-1])
+    g_vflat = None if vflat is None else jnp.zeros_like(vflat)
+    return (g_u, g_id0, g_iq0, g_omega, g_vflat, jnp.zeros_like(lut_vals))
+
+
+_pmsm_core_diff.defvjp(_pmsm_core_diff_fwd, _pmsm_core_diff_bwd)
+
+
 def supports_pmsm_fused(env) -> bool:
     """Whether ``env`` is inside the fused PMSM kernel's scope."""
-    from exciting_environments_tpu.ops.solvers import Euler
-
     props = env.env_properties
     params = props.static_params
     leaves = jax.tree_util.tree_leaves(params) + jax.tree_util.tree_leaves(
@@ -426,19 +656,36 @@ def supports_pmsm_fused(env) -> bool:
         return False
     return (
         env.batch_size % TILE == 0
-        and type(env._solver) is Euler
+        and isinstance(env._solver, ExplicitRungeKutta)
         and int(params.deadtime) in (0, 1)
     )
 
 
-def _eps_trajectory(eps0, omega, tau, n_steps):
+def _eps_rate(solver, omega):
+    """The per-step epsilon increment rate ``sum_i b_i * k_i`` where every
+    stage derivative is exactly ``omega`` (``eps' = omega_el``, frozen and
+    state-independent) — accumulated with the precise skip-zero /
+    no-unit-multiply term order of ``solvers._weighted_increment`` so the
+    replayed angle arithmetic matches the scan path's solver update
+    bit-for-bit.  For Euler this is ``omega`` itself."""
+    acc = None
+    for cb in solver.b:
+        if cb == 0.0:
+            continue
+        term = omega if cb == 1.0 else cb * omega
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _eps_trajectory(eps0, omega, tau, n_steps, solver):
     """Pre-step electrical angles ``eps_0..eps_{T-1}`` plus the final angle,
-    replaying the exact per-step Euler + wrap arithmetic of
+    replaying the exact per-step solver-update + wrap arithmetic of
     ``_ode_solver_step`` (``omega_el`` is frozen along a rollout, so the angle
     sequence is state- and action-independent)."""
+    rate = _eps_rate(solver, omega)
 
     def body(eps, _):
-        nxt = eps + tau * omega
+        nxt = eps + tau * rate
         nxt = ((nxt + jnp.pi) % (2 * jnp.pi)) - jnp.pi
         return nxt, eps
 
@@ -535,9 +782,26 @@ def _constrained_voltages(env, state, acts_tm, props):
     proto = jnp.zeros(batch, dtype=jnp.asarray(phys.i_d).dtype)
     eps0 = jnp.broadcast_to(jnp.asarray(phys.epsilon), proto.shape)
     omega = jnp.broadcast_to(jnp.asarray(phys.omega_el), proto.shape)
-    eps_seq, eps_final = _eps_trajectory(eps0, omega, env.tau, n_steps)
+    eps_seq, eps_final = _eps_trajectory(eps0, omega, env.tau, n_steps, env._solver)
     u_con = _constraint_denorm_batched(env, props, acts_tm, eps_seq, omega[None, :])
     return u_con, eps_final, omega
+
+
+def _pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_last, omega):
+    """Reconstruct the scan path's final solver carry.
+
+    FSAL methods store ``f(t1, y1)`` under the final *applied* voltage
+    (``PMSM._ode_solver_step``); every other explicit RK carry is ``None``.
+    The stored value is informational-only — step mode re-initializes the
+    carry against the next action (``active_solver_state=True``)."""
+    if not env._solver.fsal:
+        return None
+
+    def k_end(i_d_s, i_q_s, eps_s, u, om):
+        f = env._pmsm_vector_field(saturated, lambda t: u)
+        return f(env.tau, (i_d_s, i_q_s, eps_s), (env.env_properties.static_params, om))
+
+    return jax.vmap(k_end)(i_d, i_q, eps_final, u_last, omega)
 
 
 def pmsm_fused_rollout(
@@ -548,6 +812,8 @@ def pmsm_fused_rollout(
     time_major: bool = False,
     gather: str = "dot",
     interpret: bool = False,
+    strict: bool = False,
+    return_traj_states: bool = False,
 ):
     """Fused Pallas rollout of a PMSM drive — ``(obs, final_state)`` out,
     bit-exact vs :meth:`PMSM.vmap_rollout` on TPU hardware (the whole chain —
@@ -570,7 +836,15 @@ def pmsm_fused_rollout(
         interpret: Pallas interpreter mode (CPU testing).
     """
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    if return_traj_states and obs_stride is None:
+        raise ValueError("return_traj_states requires obs_stride")
     if not supports_pmsm_fused(env):
+        if strict or return_traj_states:
+            raise ValueError(
+                "pmsm_fused_rollout out of kernel scope (per-batch params, LUT "
+                "availability, solver family, deadtime, or batch tiling); "
+                "strict=True forbids the scan fallback"
+            )
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, last_state = env.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
@@ -582,7 +856,9 @@ def pmsm_fused_rollout(
     if impl is None:
         impl = jax.jit(
             functools.partial(_fused_impl, env),
-            static_argnames=("obs_stride", "time_major", "gather", "interpret"),
+            static_argnames=(
+                "obs_stride", "time_major", "gather", "interpret", "return_traj_states",
+            ),
         )
         env.__dict__["_pmsm_fused_impl"] = impl
     return impl(
@@ -592,10 +868,14 @@ def pmsm_fused_rollout(
         time_major=time_major,
         gather=gather,
         interpret=interpret,
+        return_traj_states=return_traj_states,
     )
 
 
-def _fused_impl(env, init_state, actions_norm, obs_stride, time_major, gather, interpret):
+def _fused_impl(
+    env, init_state, actions_norm, obs_stride, time_major, gather, interpret,
+    return_traj_states=False,
+):
     from exciting_environments_tpu.core import structures
 
     props = env.env_properties
@@ -659,11 +939,13 @@ def _fused_impl(env, init_state, actions_norm, obs_stride, time_major, gather, i
     i_d0 = jnp.broadcast_to(jnp.asarray(phys.i_d), omega.shape)
     i_q0 = jnp.broadcast_to(jnp.asarray(phys.i_q), omega.shape)
 
-    (i_d, i_q, torque), traj = _pmsm_fused_core(
-        u_app, i_d0, i_q0, omega, vflat,
-        n_steps=n_steps, tau=float(env.tau), saturated=saturated,
-        r_s=r_s, lin=lin, p15=p15, geom=geom,
-        traj_stride=obs_stride, gather=gather, interpret=interpret,
+    lut_vals = (
+        jnp.asarray(env._lut.values, dtype) if saturated else jnp.zeros((0,), dtype)
+    )
+    (i_d, i_q, torque), traj = _pmsm_core_diff(
+        n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
+        obs_stride, gather, False, interpret,
+        u_app, i_d0, i_q0, omega, vflat, lut_vals,
     )
 
     final_state = structures.replace(
@@ -678,7 +960,7 @@ def _fused_impl(env, init_state, actions_norm, obs_stride, time_major, gather, i
             omega_el=omega,
         ),
         additions=env.Additions(
-            solver_state=None,
+            solver_state=_pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_app[-1], omega),
             active_solver_state=jnp.full(env.batch_size, True),
         ),
     )
@@ -687,7 +969,12 @@ def _fused_impl(env, init_state, actions_norm, obs_stride, time_major, gather, i
     )
     if obs_stride is None:
         return obs_final, final_state
-    return _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime), final_state
+    obs_traj, traj_state = _trajectory_observations(
+        env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime
+    )
+    if return_traj_states:
+        return obs_traj, traj_state, final_state
+    return obs_traj, final_state
 
 
 def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime):
@@ -702,8 +989,10 @@ def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_
     eps0 = jnp.broadcast_to(jnp.asarray(phys.epsilon), omega.shape)
 
     # saved post-step angles: replay the same wrap recurrence, keep strided slots
+    rate = _eps_rate(env._solver, omega)
+
     def body(eps, _):
-        eps = eps + tau * omega
+        eps = eps + tau * rate
         eps = ((eps + jnp.pi) % (2 * jnp.pi)) - jnp.pi
         return eps, eps
 
@@ -742,10 +1031,11 @@ def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_
             init_state.reference,
         ),
     )
-    return jax.vmap(
+    obs = jax.vmap(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, props)
+    return obs, traj_state
 
 
 def pmsm_fused_sim_ahead(
@@ -757,6 +1047,7 @@ def pmsm_fused_sim_ahead(
     time_major: bool = False,
     gather: str = "dot",
     interpret: bool = False,
+    strict: bool = False,
 ):
     """Fused trajectory solve matching :meth:`PMSM.vmap_sim_ahead` for
     ``obs_stepsize == action_stepsize`` (one Euler step per action interval).
@@ -777,6 +1068,13 @@ def pmsm_fused_sim_ahead(
 
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     if obs_stepsize != action_stepsize or not supports_pmsm_fused(env):
+        if strict:
+            raise ValueError(
+                "pmsm_fused_sim_ahead out of kernel scope (kernel support, or "
+                "obs_stepsize != action_stepsize — a configuration the "
+                "reference PMSM sim_ahead itself crashes on); strict=True "
+                "forbids the scan fallback"
+            )
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, _, last = env.vmap_sim_ahead(init_state, actions_norm, obs_stepsize, action_stepsize)
@@ -861,18 +1159,22 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
     i_d0 = jnp.broadcast_to(jnp.asarray(phys.i_d), proto.shape)
     i_q0 = jnp.broadcast_to(jnp.asarray(phys.i_q), proto.shape)
 
-    (i_d_f, i_q_f, torque_f), traj = _pmsm_fused_core(
-        u_app, i_d0, i_q0, omega, vflat,
-        n_steps=n_steps, tau=float(dt), saturated=saturated,
-        r_s=r_s, lin=lin, p15=p15, geom=geom,
-        traj_stride=1, gather=gather, interpret=interpret,
+    lut_vals = (
+        jnp.asarray(env._lut.values, dtype) if saturated else jnp.zeros((0,), dtype)
+    )
+    (i_d_f, i_q_f, torque_f), traj = _pmsm_core_diff(
+        n_steps, float(dt), saturated, env._solver, r_s, lin, p15, geom,
+        1, gather, True, interpret,
+        u_app, i_d0, i_q0, omega, vflat, lut_vals,
     )
     i_d_t = jnp.concatenate([i_d0[:, None], traj[0]], axis=1)  # (B, T+1)
     i_q_t = jnp.concatenate([i_q0[:, None], traj[1]], axis=1)
 
     # unwrapped solver accumulation of the electrical angle; saves wrapped
+    rate = _eps_rate(env._solver, omega)
+
     def eps_body(e, _):
-        e1 = e + dt * omega
+        e1 = e + dt * rate
         return e1, e1
 
     _, eps_tail = jax.lax.scan(eps_body, eps0, None, length=n_steps, unroll=32)
@@ -941,7 +1243,11 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
             omega_el=omega,
         ),
         additions=env.Additions(
-            solver_state=None,
+            # the scan path's sim_ahead stores solver.init at (t1, y_last)
+            # under the end-clamped ZOH voltage (_ode_solver_simulate_ahead)
+            solver_state=_pmsm_final_solver_state(
+                env, saturated, i_d_t[:, -1], i_q_t[:, -1], eps_t[:, -1], u_app[-1], omega
+            ),
             active_solver_state=jnp.full(batch, True),
         ),
         reference=jax.tree_util.tree_map(

@@ -204,14 +204,7 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride",
-        "fast_wrap", "time_major", "sim_ahead", "interpret",
-    ),
-)
-def fused_rollout(
+def _launch(
     ode,
     solver: ExplicitRungeKutta,
     y0: tuple,
@@ -227,7 +220,8 @@ def fused_rollout(
     sim_ahead: bool = False,
     interpret: bool = False,
 ):
-    """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip.
+    """Tile the operands and launch the Pallas kernel (primal computation of
+    :func:`fused_rollout`; see there for the argument contract).
 
     Args:
         ode: ``ode(t, y_tuple, indexable_action, param_tiles) -> dy_tuple``,
@@ -380,6 +374,258 @@ def fused_rollout(
     return final, traj
 
 
+# ---------------------------------------------------------------------------
+# Differentiability: custom VJP with checkpointed recompute
+#
+# pallas_call defines no transpose rule, so the raw kernel breaks under
+# jax.grad — while every path of the reference is differentiable by
+# construction (plain diffrax/JAX, e.g. reference pendulum_env.py:184).  The
+# scheme here restores that capability on the fused path at kernel speed:
+#
+# * primal: the kernel, untouched (zero overhead when not differentiated);
+# * forward-for-grad: ONE kernel launch that additionally saves every
+#   ``ckpt``-th carried state (the strided-trajectory machinery) — when the
+#   caller wants a trajectory at ``traj_stride``, ``ckpt`` divides it and the
+#   user trajectory is a slice of the checkpoint stream, so there is still
+#   only one launch;
+# * backward: segment-by-segment reverse sweep — each length-``ckpt`` segment
+#   is recomputed from its checkpoint with the *differentiable* plain-JAX
+#   step (the same ``_rk_step``/wrap/clip arithmetic the kernel runs) and
+#   pulled back with ``jax.vjp``.  Memory is O(B * (n_steps/ckpt + ckpt));
+#   ``ckpt ~ sqrt(n_steps)`` balances the two terms.
+# ---------------------------------------------------------------------------
+
+
+class _RowAction:
+    """Adapter indexing an ``(B, A)`` action row like the kernel's per-dim
+    tiles (``action[dim] -> (B,)``)."""
+
+    def __init__(self, row):
+        self._row = row
+
+    def __getitem__(self, i):
+        return self._row[:, i]
+
+
+def _ckpt_stride(n_steps: int, traj_stride) -> int:
+    """Largest divisor of ``traj_stride`` (or ``n_steps``) at most
+    ``~sqrt(n_steps)`` — the checkpoint interval of the backward sweep."""
+    base = traj_stride if traj_stride is not None else n_steps
+    target = max(1, int(np.sqrt(n_steps)))
+    best = 1
+    for d in range(1, base + 1):
+        if base % d == 0 and d <= target:
+            best = d
+    return best
+
+
+_N_STATIC = 11  # leading non-differentiable config args of _fused_core
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_STATIC)))
+def _fused_core(
+    ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
+    time_major, sim_ahead, interpret, y0, actions, param_leaves,
+):
+    return _launch(
+        ode, solver, y0, actions, n_steps, tau, wrap_flags, clip_fn=clip_fn,
+        traj_stride=traj_stride, fast_wrap=fast_wrap, time_major=time_major,
+        param_leaves=param_leaves, sim_ahead=sim_ahead, interpret=interpret,
+    )
+
+
+def _plain_step(ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params, has_next):
+    """The kernel's per-step computation in plain (differentiable) JAX,
+    elementwise over ``(B,)`` state leaves."""
+
+    def step(y, a_row, a_next_row, t):
+        action = _RowAction(a_row)
+        action_next = _RowAction(a_next_row) if has_next else None
+        y1 = _rk_step(
+            lambda tt, yy, act: ode(tt, yy, act, params),
+            solver, y, action, tau, t, action_next=action_next,
+        )
+        if not sim_ahead:
+            wrap_op = wrap_angle_fast if fast_wrap else (
+                lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+            )
+            y1 = tuple(
+                wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+            )
+            if clip_fn is not None:
+                y1 = clip_fn(y1)
+        return y1
+
+    return step
+
+
+def _fused_core_fwd(
+    ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
+    time_major, sim_ahead, interpret, y0, actions, param_leaves,
+):
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    final, saves = _launch(
+        ode, solver, y0, actions, n_steps, tau, wrap_flags, clip_fn=clip_fn,
+        traj_stride=ckpt, fast_wrap=fast_wrap, time_major=time_major,
+        param_leaves=param_leaves, sim_ahead=sim_ahead, interpret=interpret,
+    )
+    if traj_stride is None:
+        out = final
+    else:
+        skip = traj_stride // ckpt
+        out = (final, tuple(s[:, skip - 1 :: skip] for s in saves))
+    return out, (y0, actions, param_leaves, saves)
+
+
+def _fused_core_bwd(
+    ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
+    time_major, sim_ahead, interpret, res, g,
+):
+    y0, actions, param_leaves, saves = res
+    batch = y0[0].shape[0]
+    n_action = actions.shape[-1]
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    n_seg = n_steps // ckpt
+    has_next = sim_ahead and _needs_next_action(solver)
+
+    if traj_stride is None:
+        g_final = g
+        g_traj = None
+    else:
+        g_final, g_traj = g
+
+    acts_tm = actions if time_major else jnp.transpose(actions, (1, 0, 2))  # (T, B, A)
+    acts_next_tm = jnp.concatenate([acts_tm[1:], acts_tm[-1:]], axis=0)
+
+    # segment start states: y0 plus every checkpoint but the last, (S, B)/leaf
+    starts = tuple(
+        jnp.concatenate([jnp.asarray(leaf0)[None], jnp.moveaxis(s[:, :-1], 1, 0)], axis=0)
+        for leaf0, s in zip(y0, saves)
+    )
+    acts_seg = acts_tm.reshape(n_seg, ckpt, batch, n_action)
+    acts_next_seg = acts_next_tm.reshape(n_seg, ckpt, batch, n_action)
+    ts_seg = (np.arange(n_steps, dtype=np.float64) * tau).reshape(n_seg, ckpt)
+    ts_seg = jnp.asarray(ts_seg, dtype=acts_tm.dtype)
+
+    # trajectory cotangents scattered onto their segments ((S, B)/leaf): the
+    # segment END state is the save, so its cotangent simply adds to the
+    # carry cotangent entering that segment's pull-back
+    if g_traj is not None:
+        skip = traj_stride // ckpt
+        g_save_seg = tuple(
+            jnp.zeros((n_seg, batch), dtype=leaf.dtype)
+            .at[skip - 1 :: skip]
+            .set(jnp.moveaxis(leaf, 1, 0))
+            for leaf in g_traj
+        )
+    else:
+        g_save_seg = tuple(
+            jnp.zeros((n_seg, batch), dtype=jnp.asarray(leaf).dtype) for leaf in y0
+        )
+
+    def seg_apply(y_start, a_seg, an_seg, t_seg, params):
+        inner = _plain_step(
+            ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params, has_next
+        )
+
+        def body(y, xs):
+            a, an, t = xs
+            return inner(y, a, an, t), None
+
+        y_end, _ = jax.lax.scan(body, y_start, (a_seg, an_seg, t_seg))
+        return y_end
+
+    g_params0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in param_leaves)
+
+    def bwd_body(carry, xs):
+        g_y, g_params = carry
+        start_s, a_s, an_s, t_s, g_save_s = xs
+        g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
+        _, vjp_fn = jax.vjp(
+            lambda y, a, an, p: seg_apply(y, a, an, t_s, p), start_s, a_s, an_s, param_leaves
+        )
+        gy_in, ga, gan, gp = vjp_fn(g_y)
+        g_params = tuple(acc + gpl for acc, gpl in zip(g_params, gp))
+        return (gy_in, g_params), (ga, gan)
+
+    (g_y0, g_params), (ga_seg, gan_seg) = jax.lax.scan(
+        bwd_body,
+        (g_final, g_params0),
+        (starts, acts_seg, acts_next_seg, ts_seg, g_save_seg),
+        reverse=True,
+    )
+
+    ga_tm = ga_seg.reshape(n_steps, batch, n_action)
+    gan_tm = gan_seg.reshape(n_steps, batch, n_action)
+    # un-shift the next-action stream's cotangent: next[k] reads actions[k+1]
+    # for k < T-1 and actions[T-1] at the clamped end
+    g_acts_tm = ga_tm.at[1:].add(gan_tm[:-1]).at[-1].add(gan_tm[-1])
+    g_actions = g_acts_tm if time_major else jnp.transpose(g_acts_tm, (1, 0, 2))
+    return (g_y0, g_actions, g_params)
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride",
+        "fast_wrap", "time_major", "sim_ahead", "interpret",
+    ),
+)
+def fused_rollout(
+    ode,
+    solver: ExplicitRungeKutta,
+    y0: tuple,
+    actions,
+    n_steps: int,
+    tau: float,
+    wrap_flags: tuple,
+    clip_fn=None,
+    traj_stride: int = None,
+    fast_wrap: bool = False,
+    time_major: bool = False,
+    param_leaves: tuple = (),
+    sim_ahead: bool = False,
+    interpret: bool = False,
+):
+    """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip (argument
+    contract: see :func:`_launch`).  Differentiable: ``jax.grad`` through
+    this call triggers the checkpointed-recompute VJP (one kernel launch
+    forward, plain-JAX segment pull-backs backward) with gradients w.r.t.
+    ``y0``, ``actions`` and ``param_leaves`` matching the scan path."""
+    return _fused_core(
+        ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
+        time_major, sim_ahead, interpret, y0, actions, tuple(param_leaves),
+    )
+
+
+def sim_ahead_ratio(obs_stepsize: float, action_stepsize: float):
+    """``action_stepsize / obs_stepsize`` as an exact small integer, else None.
+
+    ``vmap_sim_ahead`` itself requires the ratio to be integral (reference
+    ``core_env.py:447-448``); non-integral ratios are out of every path's
+    scope and float jitter far below 1e-9-relative never occurs for the
+    physically meaningful stepsizes."""
+    r = action_stepsize / obs_stepsize
+    R = int(round(r))
+    if R >= 1 and abs(r - R) <= 1e-9 * R:
+        return R
+    return None
+
+
+def supports_fused_sim_ahead(env, obs_stepsize: float, action_stepsize: float) -> bool:
+    """Whether the fused trajectory kernel covers this ``vmap_sim_ahead``
+    configuration: env in kernel scope and an integral stepsize ratio (the
+    solver steps on the obs grid; each action is streamed for
+    ``action_stepsize / obs_stepsize`` consecutive steps)."""
+    return (
+        supports_fused_rollout(env)
+        and sim_ahead_ratio(obs_stepsize, action_stepsize) is not None
+    )
+
+
 def supports_fused_rollout(env) -> bool:
     """Whether ``env`` is inside the fused kernel's scope.
 
@@ -461,6 +707,8 @@ def env_fused_rollout(
     obs_stride: int = None,
     time_major: bool = False,
     interpret: bool = False,
+    strict: bool = False,
+    return_traj_states: bool = False,
 ):
     """Environment-level fused rollout: normalized actions in, ``(obs, state)``
     out — numerically identical to the scan path for in-scope envs on TPU
@@ -478,7 +726,15 @@ def env_fused_rollout(
     into one executable).  The fallback scan path transposes back.
     """
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    if return_traj_states and obs_stride is None:
+        raise ValueError("return_traj_states requires obs_stride")
     if not supports_fused_rollout(env):
+        if strict or return_traj_states:
+            raise ValueError(
+                "env_fused_rollout out of kernel scope (per-batch param shapes, "
+                "state layout, batch tiling, or solver family); strict=True "
+                "forbids the scan fallback"
+            )
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, last_state = env.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
@@ -558,6 +814,11 @@ def env_fused_rollout(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, env.env_properties)
+    if return_traj_states:
+        # the reconstructed per-save State pytree (leaves (B, n_saves, ...)) —
+        # consumed by the fused trajectory collector for reward/flag
+        # evaluation in the same jitted program
+        return obs, traj_state, final_state
     return obs, final_state
 
 
@@ -570,22 +831,33 @@ def env_fused_sim_ahead(
     obs_stride: int = 1,
     time_major: bool = False,
     interpret: bool = False,
+    strict: bool = False,
 ):
     """Fused trajectory solve matching :meth:`CoreEnvironment.vmap_sim_ahead`
-    semantics for ``obs_stepsize == action_stepsize`` (one solver step per
-    action interval): the integration carry is never wrapped/clipped and
-    ``c == 1.0`` stages read the next action.  Other stepsize combinations
-    fall back to ``vmap_sim_ahead``.
+    semantics: the solver steps on the observation grid (``tau =
+    obs_stepsize``), each action is held for ``action_stepsize /
+    obs_stepsize`` consecutive steps (ZOH), the integration carry is never
+    wrapped/clipped, and ``c == 1.0`` stages read the ZOH action of the NEXT
+    solver interval (reference ``core_env.py:435-448``).  Out-of-scope
+    configurations fall back to ``vmap_sim_ahead`` (``strict=True`` raises
+    instead).
 
     Returns ``(observations, last_state)`` with observations of shape
-    ``(B, 1 + n_steps // obs_stride, obs_dim)`` (initial observation
+    ``(B, 1 + total_steps // obs_stride, obs_dim)`` where ``total_steps =
+    n_actions * (action_stepsize / obs_stepsize)`` (initial observation
     included, like the reference's ``SaveAt`` grid).  The full time-major
     ``states`` pytree of ``vmap_sim_ahead`` is intentionally not
     materialized — it is the memory-dominant output; use the scan path when
     it is needed.
     """
-    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
-    if obs_stepsize != action_stepsize or not supports_fused_rollout(env):
+    n_actions = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    ratio = sim_ahead_ratio(obs_stepsize, action_stepsize)
+    if not supports_fused_sim_ahead(env, obs_stepsize, action_stepsize):
+        if strict:
+            raise ValueError(
+                "env_fused_sim_ahead out of kernel scope (env support or "
+                "non-integral stepsize ratio); strict=True forbids the scan fallback"
+            )
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, states, last_state = env.vmap_sim_ahead(
@@ -597,6 +869,15 @@ def env_fused_sim_ahead(
     from exciting_environments_tpu.core.env import CoreEnvironment as _Core
 
     actions = _denormalize_action_slab(env, actions_norm, time_major)
+    # ZOH onto the solver (= observation) grid: each action drives `ratio`
+    # consecutive solver steps.  The repeat is an XLA pre-pass on the
+    # (denormalized) slab; the kernel's one-slot-shifted copy of the expanded
+    # stream then realizes exactly the guarded floor-division index of
+    # ops.rollout.zoh_action at every stage (interior stages never sit on an
+    # action boundary, c == 1.0 stages read (k + 1) // ratio).
+    n_steps = n_actions * ratio
+    if ratio > 1:
+        actions = jnp.repeat(actions, ratio, axis=0 if time_major else 1)
 
     cached = env.__dict__.get("_fused_tile_ode")
     if cached is None:

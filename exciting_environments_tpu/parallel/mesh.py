@@ -189,16 +189,23 @@ class ShardedEnv:
 
         from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
         from exciting_environments_tpu.ops.pallas.pmsm_stepper import supports_pmsm_fused
-        from exciting_environments_tpu.ops.pallas.stepper import supports_fused_rollout
+        from exciting_environments_tpu.ops.pallas.stepper import (
+            sim_ahead_ratio,
+            supports_fused_rollout,
+        )
 
         env = self.env
         local_batch = env.batch_size // self.mesh.size
         if local_batch % 1024 != 0:
             return False
-        if obs_stepsize is not None and obs_stepsize != action_stepsize:
-            return False
         if isinstance(env, PMSM):
+            # the PMSM kernel requires equal stepsizes (the reference PMSM
+            # sim_ahead crashes on finer observation grids — preserved quirk)
+            if obs_stepsize is not None and obs_stepsize != action_stepsize:
+                return False
             return supports_pmsm_fused(env)
+        if obs_stepsize is not None and sim_ahead_ratio(obs_stepsize, action_stepsize) is None:
+            return False
         # per-batch heterogeneous property leaves would need slicing into the
         # shadow env per shard (they are closure constants to the kernel, not
         # shard_map operands); those configurations ride the sharded scan path

@@ -82,6 +82,67 @@ class RolloutCollector:
             final_state,
         )
 
+    def collect_fused(self, state, actions, interpret: bool = False):
+        """Open-loop collection at fused-kernel speed.
+
+        Identical contract to :meth:`collect` — the per-step states come out
+        of the Pallas kernel's trajectory stream instead of a ``lax.scan``,
+        and rewards/flags are evaluated on the reconstructed states inside
+        the same jitted program (reference semantics bar:
+        ``gym_wrapper.py:88-130`` — reward on the post-step state under the
+        taken action).  Out-of-scope environments transparently ride
+        :meth:`collect`; probe with
+        :func:`exciting_environments_tpu.ops.pallas.rollout_path`.
+        """
+        from exciting_environments_tpu.ops.pallas import rollout_path
+
+        if rollout_path(self.env) == "scan":
+            return self.collect(state, actions)
+        return self._collect_fused_impl(state, actions, interpret)
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _collect_fused_impl(self, state, actions, interpret):
+        from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+        env = self.env
+        if isinstance(env, PMSM):
+            obs, traj_state, final_state = pmsm_fused_rollout(
+                env, state, actions, obs_stride=1,
+                gather="take" if interpret else "dot", interpret=interpret,
+                return_traj_states=True,
+            )
+        else:
+            obs, traj_state, final_state = env_fused_rollout(
+                env, state, actions, obs_stride=1, interpret=interpret,
+                return_traj_states=True,
+            )
+        in_axes = env.in_axes_env_properties
+        props = env.env_properties
+        reward = jax.vmap(
+            jax.vmap(env.generate_reward, in_axes=(0, 0, None)),
+            in_axes=(0, 0, in_axes),
+        )(traj_state, actions, props)
+        terminated = jax.vmap(
+            jax.vmap(env.generate_terminated, in_axes=(0, 0, None)),
+            in_axes=(0, 0, in_axes),
+        )(traj_state, reward, props)
+        truncated = jax.vmap(
+            jax.vmap(env.generate_truncated, in_axes=(0, None)),
+            in_axes=(0, in_axes),
+        )(traj_state, props)
+        return (
+            TrajectoryBatch(
+                observations=obs,
+                actions=actions,
+                rewards=reward,
+                terminated=terminated,
+                truncated=truncated,
+            ),
+            final_state,
+        )
+
     @partial(jax.jit, static_argnums=(0, 1, 4))
     def collect_policy(self, policy, state, rng, n_steps: int):
         """Closed-loop collection with an on-device policy.

@@ -24,6 +24,7 @@ absent upstream).
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Callable
@@ -43,7 +44,10 @@ from exciting_environments_tpu.parallel.metrics import (
 
 def _select_rollout(env_or_sharded, interpret: bool):
     """The fastest supported rollout path for this environment, as a callable
-    ``(state, actions_norm) -> (final_obs, final_state)``."""
+    ``(state, actions_norm) -> (final_obs, final_state)`` plus its name (one
+    of ``"sharded_fused"``, ``"sharded_scan"``, ``"pmsm_fused"``, ``"fused"``,
+    ``"scan"`` — probe ahead of time with
+    :func:`exciting_environments_tpu.ops.pallas.rollout_path`)."""
     from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
     if isinstance(env_or_sharded, ShardedEnv):
@@ -52,7 +56,8 @@ def _select_rollout(env_or_sharded, interpret: bool):
         def run(state, actions):
             return senv.fused_rollout(state, actions, interpret=interpret)
 
-        return run, senv.env
+        name = "sharded_fused" if senv._fused_in_scope() else "sharded_scan"
+        return run, senv.env, name
 
     env = env_or_sharded
     from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
@@ -77,19 +82,19 @@ def _select_rollout(env_or_sharded, interpret: bool):
                 gather="take" if interpret else "dot", interpret=interpret,
             )
 
-        return run, env
+        return run, env, "pmsm_fused"
     if supports_fused_rollout(env) and (interpret or jax.default_backend() != "cpu"):
 
         def run(state, actions):
             return env_fused_rollout(env, state, actions, interpret=interpret)
 
-        return run, env
+        return run, env, "fused"
 
     def run(state, actions):
         obs, last = env.vmap_rollout(state, actions, actions.shape[1])
         return obs[:, -1], last
 
-    return run, env
+    return run, env, "scan"
 
 
 class FleetRunner:
@@ -119,7 +124,13 @@ class FleetRunner:
         window: int = 32,
         interpret: bool = False,
     ):
-        self._rollout, self._base_env = _select_rollout(env, interpret)
+        self._rollout, self._base_env, self.rollout_path = _select_rollout(env, interpret)
+        # surface the selection once — a scan fallback is a 10-100x
+        # performance cliff the user should see, not discover from timings
+        logging.getLogger(__name__).info(
+            "FleetRunner: selected rollout path %r for %s",
+            self.rollout_path, type(self._base_env).__name__,
+        )
         self.env = env
         self.writer = writer
         self.write_actions = write_actions

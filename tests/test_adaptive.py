@@ -230,6 +230,7 @@ def test_pmsm_adaptive_matches_fixed_tsit5_nonstiff():
     assert obs_a.shape == obs_f[:, -1].shape
 
 
+@pytest.mark.slow
 def test_pmsm_adaptive_saturated_lut():
     """Saturated-LUT magnetics integrate adaptively; the final torque is the
     consistent LUT torque of the final currents."""

@@ -108,3 +108,93 @@ def test_parameter_gradient_system_identification():
         k = k - 120.0 * g
     assert abs(float(k) - 100.0) < 0.5, f"identified k = {float(k)}"
     assert float(l) < 1e-4
+
+# ---------------------------------------------------------------------------
+# Fused-path differentiability (round-3): the Pallas kernels define a
+# checkpointed-recompute custom VJP, so jax.grad works on the hot path like it
+# does everywhere in the reference (whose every path is plain diffrax/JAX,
+# e.g. reference pendulum_env.py:184).
+# ---------------------------------------------------------------------------
+
+
+def _rel_dev(a, b):
+    return float(jnp.max(jnp.abs(a - b))) / max(float(jnp.max(jnp.abs(b))), 1e-300)
+
+
+@pytest.mark.slow
+def test_fused_rollout_grad_matches_scan():
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    env = excenvs.CartPole(batch_size=1024, solver="tsit5")
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (1024, 8, 1), minval=-0.7, maxval=0.7)
+
+    gf = jax.grad(
+        lambda a: jnp.sum(env_fused_rollout(env, s0, a, interpret=True)[0] ** 2)
+    )(acts)
+    gs = jax.grad(lambda a: jnp.sum(env.vmap_rollout(s0, a, 8)[0][:, -1] ** 2))(acts)
+    assert _rel_dev(gf, gs) < 1e-10
+
+
+@pytest.mark.slow
+def test_fused_sim_ahead_grad_matches_scan_finer_grid():
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead
+
+    env = excenvs.Pendulum(batch_size=1024)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(3), (1024, 6, 1), minval=-0.7, maxval=0.7)
+
+    gf = jax.grad(
+        lambda a: jnp.sum(
+            env_fused_sim_ahead(env, s0, a, env.tau / 2, env.tau, interpret=True)[0] ** 2
+        )
+    )(acts)
+    gs = jax.grad(
+        lambda a: jnp.sum(env.vmap_sim_ahead(s0, a, env.tau / 2, env.tau)[0] ** 2)
+    )(acts)
+    assert _rel_dev(gf, gs) < 1e-10
+
+
+@pytest.mark.slow
+def test_fused_per_batch_param_grad():
+    """Gradients flow to per-batch heterogeneous parameter leaves through the
+    fused kernel's VJP (system identification on the fast path)."""
+    from exciting_environments_tpu.ops.pallas.stepper import fused_rollout, _batched_param_closure
+    from exciting_environments_tpu.ops.solvers import Euler
+
+    lengths = 1.0 + jnp.arange(1024) / 1024
+    env = excenvs.Pendulum(batch_size=1024, static_params={"l": lengths, "g": 9.81, "m": 1})
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), 1024))
+    acts_phys = jax.random.uniform(jax.random.PRNGKey(5), (1024, 8, 1), minval=-5, maxval=5)
+    tile_ode, _ = _batched_param_closure(env)
+    y0 = tuple(jnp.asarray(getattr(s0.physical_state, n)) for n in env._ode_state_fields)
+    wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
+
+    def loss(l_leaf):
+        final = fused_rollout(
+            tile_ode, env._solver, y0, acts_phys, 8, env.tau, wrap_flags,
+            param_leaves=(l_leaf,), interpret=True,
+        )
+        return jnp.sum(final[1] ** 2)
+
+    g = jax.grad(loss)(lengths)
+    eps = 1e-6
+    lp = lengths.at[7].add(eps)
+    lm = lengths.at[7].add(-eps)
+    fd = (loss(lp) - loss(lm)) / (2 * eps)
+    np.testing.assert_allclose(float(g[7]), float(fd), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pmsm_fused_grad_matches_scan():
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+    env = excenvs.PMSM(batch_size=1024, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(6), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(7), (1024, 4, 2), minval=-0.4, maxval=0.4)
+
+    gf = jax.grad(
+        lambda a: jnp.sum(pmsm_fused_rollout(env, s0, a, gather="take", interpret=True)[0] ** 2)
+    )(acts)
+    gs = jax.grad(lambda a: jnp.sum(env.vmap_rollout(s0, a, 4)[0][:, -1] ** 2))(acts)
+    assert _rel_dev(gf, gs) < 1e-8

@@ -3,6 +3,7 @@
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def test_fleet_runner_fused_path_and_metrics(tmp_path):
     assert np.all(np.asarray(s["obs_min"]) <= np.asarray(s["obs_max"]))
 
 
+@pytest.mark.slow
 def test_fleet_runner_pmsm_path(tmp_path):
     env = excenvs.PMSM(batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
     _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
@@ -74,6 +76,7 @@ def test_fleet_runner_writer_and_checkpoint(tmp_path):
     assert runner2.summary()["chunks"] == 1
 
 
+@pytest.mark.slow
 def test_fleet_runner_sharded(tmp_path):
     from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
 
@@ -91,7 +94,8 @@ def test_fleet_runner_sharded(tmp_path):
 def test_fleet_select_fallback():
     """Non-fused-scope env drops to the scan path."""
     env = excenvs.Pendulum(batch_size=24)  # not a multiple of 1024
-    run, base = _select_rollout(env, interpret=True)
+    run, base, path = _select_rollout(env, interpret=True)
+    assert path == "scan"
     _, state = env.vmap_reset()
     obs, last = run(state, 0.2 * jnp.ones((24, 4, 1)))
     assert obs.shape == (24, 2)

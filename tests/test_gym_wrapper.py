@@ -29,6 +29,7 @@ def test_step_returns_correct_outputs(env_type):
     assert terminated.shape == (4, 1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("env_type", envs_to_test)
 def test_gym_wrapper_ref_generation(env_type):
     env = env_type.make(batch_size=4)

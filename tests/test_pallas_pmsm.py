@@ -66,6 +66,7 @@ def _assert_state_close(last_ref, last_fused, rtol=1e-11, atol=1e-9):
         (True, excenvs.MotorVariant.SEW),
     ],
 )
+@pytest.mark.slow
 def test_fused_pmsm_matches_scan(saturated, variant):
     env, state, actions = _make(saturated, variant)
     assert supports_pmsm_fused(env)
@@ -75,6 +76,7 @@ def test_fused_pmsm_matches_scan(saturated, variant):
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fused_pmsm_deadtime_zero():
     env, state, actions = _make(True, excenvs.MotorVariant.BRUSA, deadtime=0)
     assert supports_pmsm_fused(env)
@@ -83,6 +85,7 @@ def test_fused_pmsm_deadtime_zero():
     _assert_state_close(last_ref, last_f)
 
 
+@pytest.mark.slow
 def test_fused_pmsm_dot_gather_close():
     """The compiled TPU gather mode (one-hot contraction); on the CPU backend
     the dot rounds corners by ~1 ulp, so this is a closeness gate — the TPU
@@ -100,6 +103,7 @@ def test_fused_pmsm_dot_gather_close():
         )
 
 
+@pytest.mark.slow
 def test_fused_pmsm_trajectory_mode():
     env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
     stride = 4
@@ -110,6 +114,7 @@ def test_fused_pmsm_trajectory_mode():
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fused_pmsm_time_major():
     env, state, actions = _make(False, excenvs.MotorVariant.DEFAULT)
     _, last_ref = env.vmap_rollout(state, actions, T)
@@ -119,6 +124,7 @@ def test_fused_pmsm_time_major():
     _assert_state_close(last_ref, last_f)
 
 
+@pytest.mark.slow
 def test_fused_pmsm_fallback_out_of_scope():
     """Per-batch heterogeneous r_s falls back to the scan path."""
     params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
@@ -133,9 +139,13 @@ def test_fused_pmsm_fallback_out_of_scope():
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=0, atol=0)
 
 
-def test_fused_pmsm_fallback_non_euler():
+def test_fused_pmsm_scope_any_explicit_rk():
+    # round-3: the kernel covers the whole explicit RK family (Euler-only
+    # restriction lifted); implicit methods remain out of scope
     env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, solver="tsit5")
-    assert not supports_pmsm_fused(env)
+    assert supports_pmsm_fused(env)
+    env_imp = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, solver="implicit_euler")
+    assert not supports_pmsm_fused(env_imp)
 
 
 def test_fused_pmsm_rejects_bad_batch():
@@ -143,6 +153,7 @@ def test_fused_pmsm_rejects_bad_batch():
     assert not supports_pmsm_fused(env)
 
 
+@pytest.mark.slow
 def test_constraint_prepass_matches_method():
     """The vectorized constraint pre-pass must match the env's own
     ``constraint_denormalization`` (vmapped per step) to ~1 ulp per step —
@@ -161,7 +172,7 @@ def test_constraint_prepass_matches_method():
 
     phys = state.physical_state
     eps_seq, eps_last = _eps_trajectory(
-        jnp.asarray(phys.epsilon), jnp.asarray(phys.omega_el), env.tau, T
+        jnp.asarray(phys.epsilon), jnp.asarray(phys.omega_el), env.tau, T, env._solver
     )
     assert np.array_equal(np.asarray(eps_final), np.asarray(eps_last))
     for k in range(0, T, 5):
@@ -177,6 +188,7 @@ def test_constraint_prepass_matches_method():
         )
 
 
+@pytest.mark.slow
 def test_env_method_delegation():
     """PMSM.fused_rollout / fast_rollout expose the drive kernels."""
     env, state, actions = _make(True, excenvs.MotorVariant.BRUSA)
@@ -193,6 +205,7 @@ def test_env_method_delegation():
     "saturated,deadtime",
     [(True, None), (False, None), (True, 0)],
 )
+@pytest.mark.slow
 def test_fused_sim_ahead_matches_scan(saturated, deadtime):
     """The fused PMSM trajectory solve reproduces the overridden sim_ahead:
     constraint at tau-extrapolated angles, deadtime shift, unwrapped angle
@@ -207,6 +220,7 @@ def test_fused_sim_ahead_matches_scan(saturated, deadtime):
     _assert_state_close(last_r, last_f)
 
 
+@pytest.mark.slow
 def test_fused_sim_ahead_fallback_out_of_scope():
     """Out-of-kernel-scope configurations (per-batch params) fall back to the
     scan path.  (Unequal obs/action stepsizes are untestable here: the
@@ -222,3 +236,74 @@ def test_fused_sim_ahead_fallback_out_of_scope():
     obs_f, last_f = env.fused_sim_ahead(state, actions, env.tau, env.tau)
     np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_r))
     _assert_state_close(last_r, last_f, rtol=0, atol=0)
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["rk4", "tsit5"])
+def test_fused_pmsm_multistage_solvers(solver):
+    """The kernel runs any explicit RK method: stages re-evaluate the
+    electrical field (incl. per-stage LUT gathers), the angle pre-pass
+    replays the solver's weighted increment, and the FSAL final carry is
+    reconstructed (round-2 verdict: Euler-only scope lifted)."""
+    env = excenvs.PMSM(
+        batch_size=BATCH, solver=solver, saturated=True,
+        motor_variant=excenvs.MotorVariant.BRUSA,
+    )
+    assert supports_pmsm_fused(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 4, 2), minval=-0.5, maxval=0.5)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, 4)
+    obs_f, last_f = pmsm_fused_rollout(env, state, actions, gather="take", interpret=True)
+    _assert_state_close(last_ref, last_f)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=1e-10, atol=1e-10)
+    if env._solver.fsal:
+        for k_f, k_r in zip(last_f.additions.solver_state, last_ref.additions.solver_state):
+            np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_r), rtol=1e-8, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_pmsm_sim_ahead_multistage():
+    """Sim-ahead with an FSAL solver: c == 1.0 stages read the next applied
+    voltage from the shifted stream; matches vmap_sim_ahead."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
+
+    env = excenvs.PMSM(
+        batch_size=BATCH, solver="tsit5", saturated=True,
+        motor_variant=excenvs.MotorVariant.BRUSA,
+    )
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(3), (BATCH, 4, 2), minval=-0.5, maxval=0.5)
+    obs_ref, _, last_ref = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    obs_f, last_f = pmsm_fused_sim_ahead(env, state, actions, env.tau, env.tau, gather="take", interpret=True)
+    assert obs_f.shape == obs_ref.shape
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+    for name in ("i_d", "i_q", "epsilon", "torque"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(last_f.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-10, atol=1e-10, err_msg=name,
+        )
+
+
+def test_pmsm_strict_and_rollout_path():
+    """strict=True raises out of scope; rollout_path reports the selection."""
+    from exciting_environments_tpu.ops.pallas import rollout_path
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
+
+    env = excenvs.PMSM(batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    assert rollout_path(env) == "pmsm_fused"
+    assert rollout_path(env, env.tau, env.tau) == "pmsm_fused"
+    assert rollout_path(env, env.tau / 2, env.tau) == "scan"
+
+    small = excenvs.PMSM(batch_size=16, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    assert rollout_path(small) == "scan"
+    _, state = small.vmap_reset(jax.random.split(jax.random.PRNGKey(4), 16))
+    actions = jnp.zeros((16, 4, 2))
+    with pytest.raises(ValueError, match="strict"):
+        pmsm_fused_rollout(small, state, actions, strict=True)
+    with pytest.raises(ValueError, match="strict"):
+        pmsm_fused_sim_ahead(small, state, actions, small.tau, small.tau, strict=True)
+
+    pend = excenvs.Pendulum(batch_size=BATCH)
+    assert rollout_path(pend) == "fused"
+    assert rollout_path(pend, pend.tau / 2, pend.tau) == "fused"
+    assert rollout_path(pend, pend.tau / 2.5, pend.tau) == "scan"

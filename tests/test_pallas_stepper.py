@@ -132,6 +132,7 @@ def test_fused_per_batch_action_normalization():
     (excenvs.Pendulum, "rk4"),
     (excenvs.Pendulum, "euler"),
 ])
+@pytest.mark.slow
 def test_fused_sim_ahead_matches_scan(env_cls, solver):
     """Fused sim-ahead == vmap_sim_ahead for obs_stepsize == action_stepsize:
     unwrapped carry, c == 1.0 stages reading the next action, trajectory
@@ -156,14 +157,56 @@ def test_fused_sim_ahead_matches_scan(env_cls, solver):
         )
 
 
-def test_fused_sim_ahead_fallback_stepsizes():
-    """obs_stepsize != action_stepsize falls back to the scan path."""
+@pytest.mark.parametrize("env_cls,solver,ratio", [
+    (excenvs.Pendulum, "euler", 2),
+    (excenvs.Pendulum, "rk4", 4),
+    (excenvs.CartPole, "tsit5", 3),
+])
+@pytest.mark.slow
+def test_fused_sim_ahead_finer_obs_grid(env_cls, solver, ratio):
+    """obs_stepsize < action_stepsize runs IN the kernel: the solver steps on
+    the observation grid and each action is streamed for `ratio` consecutive
+    steps (reference ZOH semantics, core_env.py:447-448)."""
+    env = env_cls(batch_size=BATCH, solver=solver)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(11), BATCH))
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(12), (BATCH, 8, env.action_dim), minval=-0.7, maxval=0.7
+    )
+    obs_ref, _, last_ref = env.vmap_sim_ahead(state, actions, env.tau / ratio, env.tau)
+    obs, last = env_fused_sim_ahead(
+        env, state, actions, env.tau / ratio, env.tau, interpret=True
+    )
+    assert obs.shape == obs_ref.shape == (BATCH, 1 + 8 * ratio, obs_ref.shape[-1])
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+    for name in env._ode_state_fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(last.physical_state, name)),
+            np.asarray(getattr(last_ref.physical_state, name)),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+
+def test_fused_sim_ahead_fallback_noninteger_ratio():
+    """A non-integral action/obs stepsize ratio falls back to the scan path
+    (and strict=True raises instead of silently falling back)."""
     env = excenvs.Pendulum(batch_size=BATCH)
     _, state = env.vmap_reset()
-    actions = 0.2 * jnp.ones((BATCH, T, 1))
-    obs_ref, _, _ = env.vmap_sim_ahead(state, actions, env.tau / 2, env.tau)
-    obs, _ = env_fused_sim_ahead(env, state, actions, env.tau / 2, env.tau, interpret=True)
+    actions = 0.2 * jnp.ones((BATCH, 4, 1))
+    obs_ref, _, _ = env.vmap_sim_ahead(state, actions, env.tau / 2.5, env.tau)
+    obs, _ = env_fused_sim_ahead(env, state, actions, env.tau / 2.5, env.tau, interpret=True)
     np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref))
+    with pytest.raises(ValueError, match="strict"):
+        env_fused_sim_ahead(env, state, actions, env.tau / 2.5, env.tau, strict=True)
+
+
+def test_fused_rollout_strict_raises():
+    """strict=True raises out of kernel scope instead of silently scanning."""
+    env = excenvs.Pendulum(batch_size=48)  # not a multiple of the 1024 tile
+    _, state = env.vmap_reset()
+    actions = 0.2 * jnp.ones((48, 4, 1))
+    with pytest.raises(ValueError, match="strict"):
+        env_fused_rollout(env, state, actions, strict=True)
 
 
 def test_fused_trajectory_output():
@@ -199,6 +242,7 @@ def test_fused_raw_api_bad_batch():
         )
 
 
+@pytest.mark.slow
 def test_pendulum_fast_math_kernel():
     """Fast-math kernel (poly sin + floor wrap) tracks the exact path within
     the documented tolerance, and fast-math primitives match their exact
@@ -257,6 +301,7 @@ def test_fused_time_major_with_obs_stride():
     )
 
 
+@pytest.mark.slow
 def test_fused_time_major_fallback_matches():
     """Out-of-scope envs transpose back and use the scan path."""
     from exciting_environments_tpu.ops.solvers import ImplicitEuler

@@ -22,6 +22,7 @@ def test_hex_clip_fast_matches_exact():
         np.testing.assert_allclose(float(b[i]), ref[1], atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("deadtime", [0, 1])
 def test_fast_rollout_matches_exact_path(deadtime):
     B, T = 256, 200
@@ -78,6 +79,7 @@ def test_fast_rollout_scope_checks():
         pmsm_linear_fast_rollout(env2, st2, jnp.zeros((8, 4, 2)))
 
 
+@pytest.mark.slow
 def test_fast_rollout_saturated_matches_exact():
     import exciting_environments_tpu as excenvs
     from exciting_environments_tpu.ops.pmsm_fast import pmsm_fast_rollout

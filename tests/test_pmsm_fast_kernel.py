@@ -36,6 +36,7 @@ def _pair(saturated, variant, **overrides):
     "saturated,variant",
     [(False, excenvs.MotorVariant.DEFAULT), (True, excenvs.MotorVariant.BRUSA)],
 )
+@pytest.mark.slow
 def test_fast_kernel_matches_xla_fast_path(saturated, variant):
     env, state, actions = _pair(saturated, variant)
     last_x = pmsm_fast_rollout(env, state, actions)
@@ -50,6 +51,7 @@ def test_fast_kernel_matches_xla_fast_path(saturated, variant):
         )
 
 
+@pytest.mark.slow
 def test_fast_kernel_deadtime_zero():
     env, state, actions = _pair(True, excenvs.MotorVariant.BRUSA, deadtime=0)
     last_x = pmsm_fast_rollout(env, state, actions)
@@ -64,6 +66,7 @@ def test_fast_kernel_deadtime_zero():
         )
 
 
+@pytest.mark.slow
 def test_fast_kernel_time_major():
     env, state, actions = _pair(False, excenvs.MotorVariant.DEFAULT)
     last_b = pmsm_fast_fused_rollout(env, state, actions, gather="take", interpret=True)
@@ -78,6 +81,7 @@ def test_fast_kernel_time_major():
         )
 
 
+@pytest.mark.slow
 def test_fast_kernel_tracks_exact_path():
     """Fast semantics track the exact scan within the documented envelope."""
     env, state, actions = _pair(True, excenvs.MotorVariant.BRUSA)

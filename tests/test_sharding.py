@@ -142,6 +142,7 @@ def test_shard_batched_tree_rules(mesh):
     assert placed["small"].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_fused_rollout(mesh):
     """The fused Pallas kernel runs per shard under shard_map and matches the
     single-device scan path."""
@@ -176,6 +177,7 @@ def test_sharded_fused_rollout_fallback(mesh):
     np.testing.assert_array_equal(np.asarray(obs_tm), np.asarray(obs))
 
 
+@pytest.mark.slow
 def test_sharded_fused_rollout_time_major(mesh):
     """(T, B, A) slabs shard over axis 1 and match the batch-major kernel."""
     batch, T = 8192, 16
@@ -196,6 +198,7 @@ def test_sharded_fused_rollout_time_major(mesh):
     assert not last_tm.physical_state.theta.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_rollout(mesh):
     """Per-instance adaptive integration composes with the mesh: each shard's
     while_loop converges independently and results match single-device."""
@@ -216,6 +219,7 @@ def test_sharded_adaptive_rollout(mesh):
     assert not bool(jnp.any(stats_s.incomplete))
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_rollout_per_batch_props(mesh):
     """Per-batch heterogeneous parameters ride the mesh through the adaptive
     controller: each shard integrates with its local parameter slice and the
@@ -240,6 +244,7 @@ def test_sharded_adaptive_rollout_per_batch_props(mesh):
     assert float(jnp.std(last_s.physical_state.theta)) > 1e-3
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_rollout_pmsm(mesh):
     """The stiff PMSM drive (derived fields + per-batch r_s) integrates
     adaptively under the mesh — SURVEY hard part (e)."""
@@ -264,6 +269,7 @@ def test_sharded_adaptive_rollout_pmsm(mesh):
     assert not bool(jnp.any(stats_s.incomplete))
 
 
+@pytest.mark.slow
 def test_sharded_saturated_pmsm_step_and_rollout(mesh):
     """LUT constants replicate cleanly under GSPMD: the saturated-BRUSA PMSM
     steps and rolls out identically (to rounding) to the single-device run."""
@@ -298,6 +304,7 @@ def test_sharded_saturated_pmsm_step_and_rollout(mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_fused_pmsm_rollout(mesh):
     """The fused PMSM kernel (constraint pre-pass + current-integration
     kernel) runs per shard under shard_map and matches the single-device
@@ -323,6 +330,7 @@ def test_sharded_fused_pmsm_rollout(mesh):
     assert not last_f.physical_state.i_d.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_fused_sim_ahead(mesh):
     """Tsit5 trajectory solves run per shard in the fused kernel and match
     the single-device scan path."""
@@ -361,6 +369,7 @@ def test_sharded_fused_sim_ahead_fallback(mesh):
     np.testing.assert_array_equal(np.asarray(obs), np.asarray(obs_ref))
 
 
+@pytest.mark.slow
 def test_sharded_fused_pmsm_sim_ahead(mesh):
     """The fused PMSM trajectory kernel runs per shard and matches the
     single-device scan path."""
@@ -384,6 +393,7 @@ def test_sharded_fused_pmsm_sim_ahead(mesh):
             err_msg=name,
         )
 
+@pytest.mark.slow
 def test_shadow_cache_coherent_after_adaptive(mesh):
     """Regression (round-2 verdict): a full-batch fused call caches
     ``_pmsm_fused_impl`` on the env; ``ShardedEnv`` copies the env ``__dict__``

@@ -107,3 +107,32 @@ def test_profiler_trace_context(tmp_path):
             jax.block_until_ready(obs)
     files = list((tmp_path / "tb").rglob("*"))
     assert files, "profiler produced no trace artifacts"
+
+def test_collect_fused_matches_scan_collector():
+    """Open-loop collection at kernel speed: TrajectoryBatch identical to the
+    scan collector (CPU closeness; reward/flags evaluated on the kernel's
+    reconstructed per-step states in one jitted program)."""
+    env = excenvs.Pendulum(batch_size=1024, control_state=["theta"])
+    col = RolloutCollector(env)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (1024, 6, 1), minval=-0.5, maxval=0.5)
+    tb_s, last_s = col.collect(s0, acts)
+    tb_f, last_f = col.collect_fused(s0, acts, interpret=True)
+    for name in ("observations", "rewards", "terminated", "truncated", "actions"):
+        a = np.asarray(getattr(tb_s, name)).astype(np.float64)
+        b = np.asarray(getattr(tb_f, name)).astype(np.float64)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-10, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.theta),
+        np.asarray(last_s.physical_state.theta), rtol=1e-10, atol=1e-10,
+    )
+
+    # out-of-scope batches transparently ride the scan collector
+    small = excenvs.Pendulum(batch_size=8, control_state=["theta"])
+    scol = RolloutCollector(small)
+    _, ss0 = small.vmap_reset()
+    sacts = 0.2 * jnp.ones((8, 4, 1))
+    tb_a, _ = scol.collect(ss0, sacts)
+    tb_b, _ = scol.collect_fused(ss0, sacts)
+    np.testing.assert_array_equal(np.asarray(tb_a.rewards), np.asarray(tb_b.rewards))

@@ -599,7 +599,7 @@ class PMSM(CoreEnvironment):
 
     def fused_rollout(self, init_state, actions, obs_stride: int = None,
                       time_major: bool = False, interpret: bool = False,
-                      gather: str = "dot", strict: bool = False):
+                      gather: str = "int8", strict: bool = False):
         """:meth:`vmap_rollout` through the fused PMSM drive kernel
         (constraint pre-pass + VMEM-resident current integration; bit-exact
         on TPU for saturated magnetics — see
@@ -616,7 +616,7 @@ class PMSM(CoreEnvironment):
 
     def fused_sim_ahead(self, init_state, actions, obs_stepsize, action_stepsize,
                         obs_stride: int = 1, time_major: bool = False,
-                        interpret: bool = False, gather: str = "dot",
+                        interpret: bool = False, gather: str = "int8",
                         strict: bool = False):
         """:meth:`vmap_sim_ahead` semantics through the fused drive kernel for
         ``obs_stepsize == action_stepsize`` — the overridden PMSM trajectory

@@ -267,7 +267,7 @@ class ShardedEnv:
                 return pmsm_fused_rollout(
                     shadow, state, actions,
                     obs_stride=obs_stride, time_major=time_major,
-                    gather="take" if interpret else "dot", interpret=interpret,
+                    gather="take" if interpret else "int8", interpret=interpret,
                 )
         else:
             def local(state, actions):
@@ -319,7 +319,7 @@ class ShardedEnv:
                 obs, last = pmsm_fused_sim_ahead(
                     shadow, state, actions, obs_stepsize, action_stepsize,
                     time_major=time_major,
-                    gather="take" if interpret else "dot", interpret=interpret,
+                    gather="take" if interpret else "int8", interpret=interpret,
                 )
                 return obs[:, ::obs_stride], last
         else:

@@ -110,7 +110,7 @@ class RolloutCollector:
         if isinstance(env, PMSM):
             obs, traj_state, final_state = pmsm_fused_rollout(
                 env, state, actions, obs_stride=1,
-                gather="take" if interpret else "dot", interpret=interpret,
+                gather="take" if interpret else "int8", interpret=interpret,
                 return_traj_states=True,
             )
         else:

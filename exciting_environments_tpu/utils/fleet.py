@@ -79,7 +79,7 @@ def _select_rollout(env_or_sharded, interpret: bool):
         def run(state, actions):
             return pmsm_fused_rollout(
                 env, state, actions,
-                gather="take" if interpret else "dot", interpret=interpret,
+                gather="take" if interpret else "int8", interpret=interpret,
             )
 
         return run, env, "pmsm_fused"

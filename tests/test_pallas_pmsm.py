@@ -307,3 +307,31 @@ def test_pmsm_strict_and_rollout_path():
     assert rollout_path(pend) == "fused"
     assert rollout_path(pend, pend.tau / 2, pend.tau) == "fused"
     assert rollout_path(pend, pend.tau / 2.5, pend.tau) == "scan"
+
+def test_fused_pmsm_int8_gather_exact():
+    """The int8x4 bit-plane gather (the compiled default) is exact on EVERY
+    backend by construction — the byte planes are selected with integer
+    one-hot contractions and re-packed bitwise, no FP arithmetic at all —
+    so interpreter mode pins bitwise equality against direct indexing.
+    The state is cast to float32 (the split engages only there; the f64
+    conftest default would route to the HIGHEST-precision dot instead)."""
+    env = excenvs.PMSM(batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(8), BATCH))
+    state = jax.tree_util.tree_map(
+        lambda leaf: leaf.astype(jnp.float32)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float64
+        else leaf,
+        state,
+    )
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(9), (BATCH, 4, 2), minval=-0.5, maxval=0.5
+    ).astype(jnp.float32)
+    obs_t, last_t = pmsm_fused_rollout(env, state, actions, gather="take", interpret=True)
+    env2 = excenvs.PMSM(batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA)
+    obs_i, last_i = pmsm_fused_rollout(env2, state, actions, gather="int8", interpret=True)
+    np.testing.assert_array_equal(np.asarray(obs_i), np.asarray(obs_t))
+    for n in ("i_d", "i_q", "torque"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(last_i.physical_state, n)),
+            np.asarray(getattr(last_t.physical_state, n)), err_msg=n,
+        )

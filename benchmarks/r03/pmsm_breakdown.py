@@ -60,6 +60,29 @@ def make(T, variant):
                     g_wide[a] = (g3[:m] + g3[m:2*m]) + g3[2*m:]
             if variant in ("nody",):
                 pass
+            if variant in ("int8_opt", "opt"):
+                # optimized assembly: no concat mask builds (single
+                # lane-to-sublane reshape + broadcast-compare), per-channel
+                # STATIC slices instead of the (6, ny_pad, W) relayout, blend
+                # in wide form, one shuffle per channel at the end
+                iy_w = jnp.reshape(iy, (1, W))
+                yiota = jax.lax.broadcasted_iota(iy.dtype, (ny_pad, W), 0)
+                oh_y0 = (yiota == iy_w).astype(jnp.float32)
+                oh_y1 = pltpu.roll(oh_y0, 1, 0)
+                wx_w = jnp.reshape(wx, (1, W))
+                wy_w = jnp.reshape(wy, (1, W))
+                out = []
+                for c in range(_N_CHANNELS):
+                    sl0 = g_wide[0][c * ny_pad : (c + 1) * ny_pad, :]
+                    sl1 = g_wide[1][c * ny_pad : (c + 1) * ny_pad, :]
+                    v00 = jnp.sum(sl0 * oh_y0, axis=0, keepdims=True)
+                    v01 = jnp.sum(sl0 * oh_y1, axis=0, keepdims=True)
+                    v10 = jnp.sum(sl1 * oh_y0, axis=0, keepdims=True)
+                    v11 = jnp.sum(sl1 * oh_y1, axis=0, keepdims=True)
+                    val = (v00 * (1 - wx_w) * (1 - wy_w) + v01 * (1 - wx_w) * wy_w
+                           + v10 * wx_w * (1 - wy_w) + v11 * wx_w * wy_w)
+                    out.append(jnp.reshape(val, (rows, LANES)))
+                return out
             if variant in ("noy", "int8_noy"):
                 # skip the y-select: read fixed rows (wrong, cheap)
                 vals = []
@@ -114,7 +137,7 @@ om = jnp.asarray(rng.uniform(-3000, 3000, (rows, LANES)).astype(np.float32))
 i0 = jnp.asarray(rng.uniform(-100, 100, (rows, LANES)).astype(np.float32))
 q0 = jnp.asarray(rng.uniform(-100, 100, (rows, LANES)).astype(np.float32))
 
-for variant in ("full", "int8", "noy", "int8_noy", "noluts"):
+for variant in ("int8", "int8_opt", "opt"):
     ts = {}
     for T in (2048, 16384):
         f, V = make(T, variant)

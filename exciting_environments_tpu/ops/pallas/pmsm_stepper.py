@@ -340,55 +340,99 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
 
         omega = omega_ref[:]
 
+        def saturated_diff(vals, i_d, i_q, u_d, u_q):
+            # the exact expressions of PMSM.nonlinear_ode (closed-form 2x2
+            # inverse, pmsm_env.py:244-267 in this repo)
+            l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = vals
+            det = l_dd * l_qq - l_dq * l_qd
+            inv_dd, inv_dq = l_qq / det, -l_dq / det
+            inv_qd, inv_qq = -l_qd / det, l_dd / det
+            rhs_d = u_d - r_s * i_d + omega * psi_q
+            rhs_q = u_q - r_s * i_q - omega * psi_d
+            return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
+
         def ode(t, y, action):
-            # the electrical vector field — the exact expressions of
-            # PMSM.nonlinear_ode / linear_ode (pmsm_env.py:244-283 in this
-            # repo); autonomous, so the stage time is unused
+            # the electrical vector field — autonomous, so the stage time is
+            # unused (linear expressions: PMSM.linear_ode, pmsm_env.py:269-283)
             i_d, i_q = y
             u_d, u_q = action[0], action[1]
             if saturated:
-                l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = lut_channels(V, i_d, i_q)
-                # closed-form 2x2 inverse
-                det = l_dd * l_qq - l_dq * l_qd
-                inv_dd, inv_dq = l_qq / det, -l_dq / det
-                inv_qd, inv_qq = -l_qd / det, l_dd / det
-                rhs_d = u_d - r_s * i_d + omega * psi_q
-                rhs_q = u_q - r_s * i_q - omega * psi_d
-                i_d_diff = inv_dd * rhs_d + inv_dq * rhs_q
-                i_q_diff = inv_qd * rhs_d + inv_qq * rhs_q
-            else:
-                psi_p = lin[2]
-                i_d_diff = (u_d + omega * l_q * i_q - r_s * i_d) / l_d
-                i_q_diff = (u_q - omega * (l_d * i_d + psi_p) - r_s * i_q) / l_q
+                return saturated_diff(lut_channels(V, i_d, i_q), i_d, i_q, u_d, u_q)
+            psi_p = lin[2]
+            i_d_diff = (u_d + omega * l_q * i_q - r_s * i_d) / l_d
+            i_q_diff = (u_q - omega * (l_d * i_d + psi_p) - r_s * i_q) / l_q
             return (i_d_diff, i_q_diff)
 
-        def body(i, y):
-            u = u_ref[i]
-            action = (u[0], u[1])
-            action_next = None
-            if has_next:
-                un = u_next_ref[i]
-                action_next = (un[0], un[1])
-            i_d, i_q = _rk_step(
-                ode, solver, y, action, tau, 0.0, action_next=action_next
-            )
-            if traj_stride is not None:
+        # gather reuse (trajectory modes, one-stage solvers, LUT magnetics):
+        # the save written after step i-1 holds the post-step state — exactly
+        # the state the NEXT step's single RHS gather evaluates at.  Deferring
+        # each save's torque to the following body therefore HALVES the
+        # per-step gather count (the dominant kernel cost); the chunk's final
+        # save and the carried torque output share one post-loop gather.
+        # Same inputs into the same expressions — bit-exactness unaffected.
+        reuse = (
+            saturated
+            and traj_stride is not None
+            and solver.num_stages == 1
+            and not solver.fsal
+        )
 
-                @pl.when((i + 1) % traj_stride == 0)
+        if reuse:
+
+            def body(i, y):
+                i_d, i_q = y
+                vals = lut_channels(V, i_d, i_q)
+
+                @pl.when((i > 0) & (i % traj_stride == 0))
                 def _():
-                    slot = (i + 1) // traj_stride - 1
+                    slot = i // traj_stride - 1
                     traj_refs[0][slot] = i_d
                     traj_refs[1][slot] = i_q
-                    traj_refs[2][slot] = torque_of(V, i_d, i_q)
+                    traj_refs[2][slot] = p15 * (vals[4] * i_q - vals[5] * i_d)
 
-            return (i_d, i_q)
+                u = u_ref[i]
+                i_d_diff, i_q_diff = saturated_diff(vals, i_d, i_q, u[0], u[1])
+                # exact Euler increment — the b == (1.0,) path of _rk_step
+                return (i_d + tau * i_d_diff, i_q + tau * i_q_diff)
+
+        else:
+
+            def body(i, y):
+                u = u_ref[i]
+                action = (u[0], u[1])
+                action_next = None
+                if has_next:
+                    un = u_next_ref[i]
+                    action_next = (un[0], un[1])
+                i_d, i_q = _rk_step(
+                    ode, solver, y, action, tau, 0.0, action_next=action_next
+                )
+                if traj_stride is not None:
+
+                    @pl.when((i + 1) % traj_stride == 0)
+                    def _():
+                        slot = (i + 1) // traj_stride - 1
+                        traj_refs[0][slot] = i_d
+                        traj_refs[1][slot] = i_q
+                        traj_refs[2][slot] = torque_of(V, i_d, i_q)
+
+                return (i_d, i_q)
 
         y = (id_out[:], iq_out[:])
         y = jax.lax.fori_loop(0, chunk, body, y)
         i_d, i_q = y
         id_out[:] = i_d
         iq_out[:] = i_q
-        tq_out[:] = torque_of(V, i_d, i_q)
+        if reuse:
+            # one shared gather: the chunk's last save and the carried torque
+            vals = lut_channels(V, i_d, i_q)
+            torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+            traj_refs[0][chunk // traj_stride - 1] = i_d
+            traj_refs[1][chunk // traj_stride - 1] = i_q
+            traj_refs[2][chunk // traj_stride - 1] = torque
+            tq_out[:] = torque
+        else:
+            tq_out[:] = torque_of(V, i_d, i_q)
 
     return kernel
 

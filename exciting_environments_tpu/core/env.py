@@ -577,6 +577,22 @@ class CoreEnvironment:
             strict=strict,
         )
 
+    def fused_closed_loop(self, init_state, policy, n_steps: int,
+                          obs_stride: int = None, interpret: bool = False):
+        """Closed-loop rollout with the policy evaluated INSIDE the fused
+        Pallas kernel on (rows, 128) tiles — the whole observation -> action
+        -> step loop VMEM-resident, zero action traffic (see
+        :func:`exciting_environments_tpu.ops.pallas.stepper.env_fused_closed_loop`
+        for the policy contract).  Raises out of kernel scope (a closed loop
+        has no open-loop fallback; use
+        ``RolloutCollector.collect_policy`` there)."""
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+        return env_fused_closed_loop(
+            self, init_state, policy, n_steps,
+            obs_stride=obs_stride, interpret=interpret,
+        )
+
     @partial(jax.jit, static_argnums=0)
     def vmap_generate_rew_trunc_term_ahead(self, states, actions):
         """Batched :meth:`generate_rew_trunc_term_ahead`."""

@@ -965,3 +965,372 @@ def env_fused_sim_ahead(
     )(traj_state, env.env_properties)
     observations = jnp.concatenate([obs0[:, None, :], obs_traj], axis=1)
     return observations, last_state
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop policy-in-kernel rollout
+#
+# The open-loop kernels stream a precomputed action slab from HBM; a closed
+# loop (policy pi(obs) -> action every step) normally forces the scan path —
+# one XLA dispatch granularity per policy evaluation.  Here the policy runs
+# INSIDE the kernel on (rows, 128) tiles: observations are the normalized
+# state leaves (the exact MinMaxNormalization arithmetic of
+# generate_observation) plus the normalized tracked-reference components, the
+# policy's normalized action is denormalized with the exact
+# denormalize_action expression, and the step proceeds like step mode.  No
+# action traffic at all — the whole control loop is VMEM-resident.
+# Reference semantics bar: the GymWrapper closed loop
+# (reference gym_wrapper.py:88-130), one observation -> action -> step per
+# control period.  Deterministic policies only (tile-level randomness is not
+# plumbed); use RolloutCollector.collect_policy for stochastic policies or
+# when gradients through the policy are needed (this path defines no VJP).
+# ---------------------------------------------------------------------------
+
+
+def _make_closed_loop_kernel(
+    ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
+    wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
+):
+    """Kernel body over refs ``(*params, *refs, *state_in, *state_out
+    [, *traj_state, *traj_action])``; grid ``(batch_tiles, time_chunks)``
+    with the state carried in revisited output blocks (see
+    :func:`_make_kernel`)."""
+
+    def kernel(*refs):
+        param_refs = refs[:n_params]
+        refs = refs[n_params:]
+        ref_refs = refs[:n_refs]
+        refs = refs[n_refs:]
+        in_refs = refs[:n_state]
+        state_refs = refs[n_state : 2 * n_state]
+        traj_refs = refs[2 * n_state :]
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            for ref, src in zip(state_refs, in_refs):
+                ref[:] = src[:]
+
+        params = tuple(ref[:] for ref in param_refs)
+        ref_tiles = tuple(ref[:] for ref in ref_refs)
+
+        wrap_op = wrap_angle_fast if fast_wrap else (
+            lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        )
+
+        def body(i, y):
+            step = k * chunk + i
+            # observation: the exact MinMaxNormalization arithmetic of
+            # generate_observation, leaf by leaf, plus the normalized
+            # reference components
+            obs = tuple(
+                2 * (leaf - mn) / (mx - mn) - 1
+                for leaf, (mn, mx) in zip(y, obs_norms)
+            ) + ref_tiles
+            a_norm = policy(obs, step)
+            # denormalize_action, per component
+            action = _IndexableAction(tuple(
+                (a + 1) / 2 * (mx - mn) + mn
+                for a, (mn, mx) in zip(a_norm, act_norms)
+            ))
+            y1 = _rk_step(
+                lambda t, yy, act: ode(t, yy, act, params),
+                solver, y, action, tau, step * tau,
+            )
+            y1 = tuple(
+                wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+            )
+            if clip_fn is not None:
+                y1 = clip_fn(y1)
+            if traj_stride is not None:
+
+                @pl.when((i + 1) % traj_stride == 0)
+                def _():
+                    slot = (i + 1) // traj_stride - 1
+                    for ref, leaf in zip(traj_refs[:n_state], y1):
+                        ref[slot] = leaf
+                    for ref, leaf in zip(traj_refs[n_state:], a_norm):
+                        ref[slot] = leaf
+
+            return y1
+
+        y = tuple(ref[:] for ref in state_refs)
+        y = jax.lax.fori_loop(0, chunk, body, y)
+        for ref, leaf in zip(state_refs, y):
+            ref[:] = leaf
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ode", "solver", "policy", "n_steps", "tau", "wrap_flags", "clip_fn",
+        "obs_norms", "act_norms", "n_action", "traj_stride", "fast_wrap", "interpret",
+    ),
+)
+def fused_closed_loop(
+    ode,
+    solver: ExplicitRungeKutta,
+    y0: tuple,
+    policy,
+    n_steps: int,
+    tau: float,
+    wrap_flags: tuple,
+    obs_norms: tuple,
+    act_norms: tuple,
+    n_action: int,
+    clip_fn=None,
+    traj_stride: int = None,
+    fast_wrap: bool = False,
+    param_leaves: tuple = (),
+    ref_leaves: tuple = (),
+    interpret: bool = False,
+):
+    """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step) ->
+    normalized action tiles`` evaluated inside the kernel every step.
+
+    Args (beyond :func:`_launch`'s contract): ``policy`` is a jittable
+    function of ``(obs_tuple, step_index)`` over ``(rows, 128)`` tiles —
+    obs leaves are the normalized state fields in declaration order followed
+    by the normalized tracked references (``ref_leaves``, tuple of ``(B,)``
+    arrays) — returning ``n_action`` normalized action tiles; elementwise or
+    scalar-weight compositions (PD laws, gain schedules, small unrolled
+    MLPs) all work.  ``obs_norms``/``act_norms`` are per-leaf/dim
+    ``(min, max)`` scalars.
+
+    Returns ``final_state_tuple`` — or, with ``traj_stride``,
+    ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
+    leaves have shape ``(B, n_steps // traj_stride)``.
+    """
+    batch = y0[0].shape[0]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if traj_stride is not None and n_steps % traj_stride != 0:
+        raise ValueError("n_steps must be divisible by traj_stride")
+    n_state = len(y0)
+    n_params = len(param_leaves)
+    n_refs = len(ref_leaves)
+    total_rows = batch // LANES
+
+    rows = SUBLANES
+    while rows * 2 <= total_rows and total_rows % (rows * 2) == 0 and rows < 64:
+        rows *= 2
+    n_batch_tiles = total_rows // rows
+
+    # time chunk: bounds the trajectory block size (~2 MB per output leaf);
+    # no streamed operand exists, so without trajectory output one chunk
+    # spans the whole horizon
+    if traj_stride is None:
+        chunk = n_steps
+    else:
+        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * 4))
+        chunk = 1
+        for c in range(1, n_steps + 1):
+            if (
+                n_steps % c == 0
+                and (c % traj_stride == 0 or traj_stride % c == 0)
+                and c // max(traj_stride, 1) <= max_saves
+            ):
+                chunk = c
+        if chunk % traj_stride != 0 and traj_stride % chunk != 0:
+            raise ValueError("no time chunk compatible with traj_stride")
+    n_time_chunks = n_steps // chunk
+
+    y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)
+    dtype = y0_tiled[0].dtype
+
+    def state_block():
+        return pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
+
+    in_specs = []
+    operands = []
+    for leaf in param_leaves:
+        in_specs.append(state_block())
+        operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
+    for leaf in ref_leaves:
+        in_specs.append(state_block())
+        operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
+    in_specs += [state_block() for _ in range(n_state)]
+    operands += list(y0_tiled)
+
+    out_specs = [state_block() for _ in range(n_state)]
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_state)]
+    if traj_stride is not None:
+        n_saves = n_steps // traj_stride
+        saves_per_chunk = max(1, chunk // traj_stride)
+        if traj_stride <= chunk:
+            traj_index = lambda b, k: (k, b, 0)
+        else:
+            traj_index = lambda b, k: ((k * chunk) // traj_stride, b, 0)
+        out_specs += [
+            pl.BlockSpec((saves_per_chunk, rows, LANES), traj_index, memory_space=pltpu.VMEM)
+            for _ in range(n_state + n_action)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype)
+            for _ in range(n_state + n_action)
+        ]
+
+    kernel = _make_closed_loop_kernel(
+        ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
+        wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_batch_tiles, n_time_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+    final = tuple(o.reshape(batch) for o in out[:n_state])
+    if traj_stride is None:
+        return final
+    n_saves = n_steps // traj_stride
+    rest = out[n_state:]
+    traj_state = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[:n_state])
+    traj_act = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[n_state:])
+    return final, traj_state, traj_act
+
+
+def supports_fused_closed_loop(env) -> bool:
+    """Scope of the closed-loop kernel: generic fused scope PLUS scalar
+    physical/action normalizations (they fold into the in-kernel obs/denorm
+    arithmetic as compile-time constants)."""
+    norms = jax.tree_util.tree_leaves(env.env_properties.physical_normalizations) + jax.tree_util.tree_leaves(
+        env.env_properties.action_normalizations
+    )
+    return (
+        supports_fused_rollout(env)
+        and all(np.isscalar(leaf) for leaf in norms)
+        # the kernel builds observations from the integrated leaves in their
+        # declaration order — it must equal generate_observation's column order
+        and tuple(env._physical_field_names) == tuple(env._ode_state_fields)
+    )
+
+
+def env_fused_closed_loop(
+    env,
+    init_state,
+    policy,
+    n_steps: int,
+    obs_stride: int = None,
+    interpret: bool = False,
+    return_traj_states: bool = False,
+):
+    """Environment-level closed-loop kernel rollout.
+
+    ``policy(obs_tuple, step) -> action_tuple`` runs on tiles inside the
+    kernel (see :func:`fused_closed_loop`); obs leaves follow
+    ``generate_observation``'s column order (normalized physical fields,
+    then the tracked ``control_state`` references).  Returns
+    ``(final_state,)``-style ``(obs, final_state)`` like the open-loop
+    wrapper — or, with ``obs_stride``, ``(obs_traj, actions_traj,
+    final_state)`` with ``actions_traj`` of shape
+    ``(B, n_saves, action_dim)`` (normalized, as the policy emitted them).
+    Raises out of scope (no silent fallback: a closed loop cannot be
+    replayed through the open-loop scan without re-evaluating the policy
+    per step — use ``RolloutCollector.collect_policy`` there).
+    """
+    if not supports_fused_closed_loop(env):
+        raise ValueError(
+            "env_fused_closed_loop out of kernel scope (generic fused scope "
+            "plus scalar normalizations required); use "
+            "RolloutCollector.collect_policy for the scan path"
+        )
+    from exciting_environments_tpu.core import structures
+
+    cached = env.__dict__.get("_fused_tile_ode")
+    if cached is None:
+        cached = _batched_param_closure(env)
+        env.__dict__["_fused_tile_ode"] = cached
+    tile_ode, param_leaves = cached
+
+    y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
+    wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
+    clip_fn_raw = env._clip_state if type(env)._clip_state is not CoreEnvironment._clip_state else None
+    pn = env.env_properties.physical_normalizations
+    obs_norms = tuple(
+        (float(getattr(pn, n).min), float(getattr(pn, n).max)) for n in env._ode_state_fields
+    )
+    an = env.env_properties.action_normalizations
+    from dataclasses import fields as _dc_fields
+
+    act_norms = tuple(
+        (float(getattr(an, f.name).min), float(getattr(an, f.name).max))
+        for f in _dc_fields(an)
+    )
+    # normalized tracked references, constant along the rollout
+    ref_leaves = tuple(
+        jnp.asarray(
+            getattr(pn, name).normalize(jnp.asarray(getattr(init_state.reference, name)))
+        )
+        for name in env.control_state
+    )
+
+    result = fused_closed_loop(
+        tile_ode,
+        env._solver,
+        y0,
+        policy,
+        n_steps,
+        env.tau,
+        wrap_flags,
+        obs_norms,
+        act_norms,
+        env.action_dim,
+        clip_fn=clip_fn_raw,
+        traj_stride=obs_stride,
+        fast_wrap=getattr(env, "fast_math", False),
+        param_leaves=param_leaves,
+        ref_leaves=ref_leaves,
+        interpret=interpret,
+    )
+    if obs_stride is None:
+        y_final = result
+        traj_state_t = traj_act_t = None
+    else:
+        y_final, traj_state_t, traj_act_t = result
+
+    final_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full(env.batch_size, True),
+        ),
+    )
+    obs_final = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        final_state, env.env_properties
+    )
+    if obs_stride is None:
+        return obs_final, final_state
+
+    n_saves = n_steps // obs_stride
+    traj_state = structures.replace(
+        final_state,
+        physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, traj_state_t))),
+        PRNGKey=(
+            lambda key: jnp.broadcast_to(
+                key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
+            )
+        )(jnp.asarray(init_state.PRNGKey)),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full((env.batch_size, n_saves), True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(jnp.asarray(leaf)[:, None], (env.batch_size, n_saves)),
+            init_state.reference,
+        ),
+    )
+    obs_traj = jax.vmap(
+        jax.vmap(env.generate_observation, in_axes=(0, None)),
+        in_axes=(0, env.in_axes_env_properties),
+    )(traj_state, env.env_properties)
+    actions_traj = jnp.stack(traj_act_t, axis=-1)
+    if return_traj_states:
+        return obs_traj, actions_traj, traj_state, final_state
+    return obs_traj, actions_traj, final_state

@@ -143,6 +143,55 @@ class RolloutCollector:
             final_state,
         )
 
+    def collect_policy_fused(self, policy_tile, state, n_steps: int,
+                             interpret: bool = False):
+        """Closed-loop collection with the policy evaluated INSIDE the fused
+        Pallas kernel (see
+        :func:`...ops.pallas.stepper.env_fused_closed_loop` for the
+        tile-policy contract — deterministic policies over observation
+        tiles; for stochastic policies or policy gradients use
+        :meth:`collect_policy`).  Rewards/flags are evaluated on the
+        kernel's reconstructed per-step states in the same jitted program;
+        the returned ``TrajectoryBatch`` matches :meth:`collect_policy`'s
+        contract (post-step observations, the policy's normalized actions).
+        Raises when the environment is out of closed-loop kernel scope.
+        """
+        return self._collect_policy_fused_impl(policy_tile, state, n_steps, interpret)
+
+    @partial(jax.jit, static_argnums=(0, 1, 3, 4))
+    def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret):
+        from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+        env = self.env
+        obs, actions, traj_state, final_state = env_fused_closed_loop(
+            env, state, policy_tile, n_steps, obs_stride=1,
+            interpret=interpret, return_traj_states=True,
+        )
+        in_axes = env.in_axes_env_properties
+        props = env.env_properties
+        reward = jax.vmap(
+            jax.vmap(env.generate_reward, in_axes=(0, 0, None)),
+            in_axes=(0, 0, in_axes),
+        )(traj_state, actions, props)
+        terminated = jax.vmap(
+            jax.vmap(env.generate_terminated, in_axes=(0, 0, None)),
+            in_axes=(0, 0, in_axes),
+        )(traj_state, reward, props)
+        truncated = jax.vmap(
+            jax.vmap(env.generate_truncated, in_axes=(0, None)),
+            in_axes=(0, in_axes),
+        )(traj_state, props)
+        return (
+            TrajectoryBatch(
+                observations=obs,
+                actions=actions,
+                rewards=reward,
+                terminated=terminated,
+                truncated=truncated,
+            ),
+            final_state,
+        )
+
     @partial(jax.jit, static_argnums=(0, 1, 4))
     def collect_policy(self, policy, state, rng, n_steps: int):
         """Closed-loop collection with an on-device policy.

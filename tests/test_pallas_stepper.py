@@ -399,3 +399,57 @@ def test_env_method_delegation():
     obs_sa_m, _ = env.fused_sim_ahead(state, actions, env.tau, env.tau, interpret=True)
     obs_sa_f, _ = env_fused_sim_ahead(env, state, actions, env.tau, env.tau, interpret=True)
     np.testing.assert_array_equal(np.asarray(obs_sa_m), np.asarray(obs_sa_f))
+
+
+@pytest.mark.slow
+def test_fused_closed_loop_matches_scan_policy():
+    """The policy-in-kernel closed loop equals a scan closed loop driving the
+    same PD arithmetic through vmap_step (reference semantics bar: the
+    GymWrapper loop, gym_wrapper.py:88-130)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        env_fused_closed_loop,
+        supports_fused_closed_loop,
+    )
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    assert supports_fused_closed_loop(env)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(20), BATCH))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.5, 1.5, BATCH))
+    )
+
+    def policy_tile(obs, t):
+        return (-0.9 * (obs[0] - obs[2]) - 0.25 * obs[1],)
+
+    obs_f, acts_f, last_f = env_fused_closed_loop(
+        env, s0, policy_tile, 12, obs_stride=1, interpret=True
+    )
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        state, obs = carry
+        a = (-0.9 * (obs[:, 0] - obs[:, 2]) - 0.25 * obs[:, 1])[:, None]
+        obs, state = step_b(state, a, env.env_properties)
+        return (state, obs), (obs, a)
+
+    (last_s, _), (obs_s, acts_s) = jax.lax.scan(body, (s0, obs0), None, length=12)
+    obs_s = jnp.swapaxes(obs_s, 0, 1)
+    acts_s = jnp.swapaxes(acts_s, 0, 1)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.theta),
+        np.asarray(last_s.physical_state.theta), rtol=1e-10, atol=1e-10,
+    )
+
+    # final-only mode + out-of-scope raises (no open-loop fallback exists)
+    obs_fin, _ = env_fused_closed_loop(env, s0, policy_tile, 12, interpret=True)
+    np.testing.assert_allclose(np.asarray(obs_fin), np.asarray(obs_s[:, -1]), rtol=1e-10, atol=1e-10)
+    small = excenvs.Pendulum(batch_size=8)
+    _, ss = small.vmap_reset()
+    with pytest.raises(ValueError, match="scope"):
+        env_fused_closed_loop(small, ss, policy_tile, 4)

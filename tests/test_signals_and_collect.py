@@ -136,3 +136,30 @@ def test_collect_fused_matches_scan_collector():
     tb_a, _ = scol.collect(ss0, sacts)
     tb_b, _ = scol.collect_fused(ss0, sacts)
     np.testing.assert_array_equal(np.asarray(tb_a.rewards), np.asarray(tb_b.rewards))
+
+@pytest.mark.slow
+def test_collect_policy_fused_matches_scan_collector():
+    """Closed-loop collection at kernel speed: TrajectoryBatch matches the
+    scan collect_policy driving the identical deterministic policy."""
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.Pendulum(batch_size=1024, control_state=["theta"])
+    col = RolloutCollector(env)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, 1024))
+    )
+
+    def policy_tile(obs, t):
+        return (-0.7 * (obs[0] - obs[2]) - 0.2 * obs[1],)
+
+    def policy_scan(obs, key):
+        return (-0.7 * (obs[:, 0] - obs[:, 2]) - 0.2 * obs[:, 1])[:, None]
+
+    tb_f, last_f = col.collect_policy_fused(policy_tile, s0, 8, interpret=True)
+    tb_s, last_s = col.collect_policy(policy_scan, s0, jax.random.PRNGKey(1), 8)
+    for name in ("observations", "actions", "rewards", "terminated", "truncated"):
+        a = np.asarray(getattr(tb_s, name)).astype(np.float64)
+        b = np.asarray(getattr(tb_f, name)).astype(np.float64)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-10, err_msg=name)

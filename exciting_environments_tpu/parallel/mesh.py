@@ -331,6 +331,42 @@ class ShardedEnv:
 
         return self._run_sharded(local, init_state, actions_norm, time_major)
 
+    def fused_closed_loop(self, init_state, policy, n_steps: int,
+                          obs_stride: int = None, interpret: bool = False):
+        """Policy-in-kernel closed loop per shard: each chip runs its local
+        slice's observation -> action -> step loop fully in VMEM (see
+        :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
+        elementwise over tiles, so sharding it is trivially zero-communication.
+        Raises out of scope — a closed loop has no open-loop fallback."""
+        from exciting_environments_tpu.ops.pallas.stepper import (
+            env_fused_closed_loop,
+            supports_fused_closed_loop,
+        )
+
+        env = self.env
+        if not (supports_fused_closed_loop(env) and (env.batch_size // self.mesh.size) % 1024 == 0):
+            raise ValueError(
+                "fused_closed_loop out of scope for this sharded env (kernel "
+                "scope, scalar normalizations, or per-shard tiling)"
+            )
+        shadow = self._local_shadow()
+
+        def local(state):
+            return env_fused_closed_loop(
+                shadow, state, policy, n_steps,
+                obs_stride=obs_stride, interpret=interpret,
+            )
+
+        spec = P(self.axis_name)
+        sharded = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(spec,),
+            out_specs=spec,  # prefix: every output leaf batch-sharded
+            check_vma=False,
+        )
+        return sharded(self.shard(init_state))
+
     def adaptive_rollout(self, init_state, actions_norm, **kwargs):
         """Per-instance adaptive rollout, sharded over the mesh.
 

@@ -439,3 +439,38 @@ def test_sharded_fused_strict_raises(mesh):
         senv.fused_rollout(state, actions, strict=True)
     with pytest.raises(ValueError, match="strict"):
         senv.fused_sim_ahead(state, actions, env.tau / 2, env.tau, strict=True)
+
+@pytest.mark.slow
+def test_sharded_fused_closed_loop(mesh):
+    """The policy-in-kernel closed loop runs per shard and matches the
+    single-device scan closed loop."""
+    from exciting_environments_tpu.core import structures
+
+    batch, T = 8192, 8
+    env = excenvs.Pendulum(batch_size=batch, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, batch))
+    )
+    state = senv.shard(state)
+
+    def policy_tile(obs, t):
+        return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+    obs_f, acts_f, last_f = senv.fused_closed_loop(state, policy_tile, T, obs_stride=1, interpret=True)
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        st, obs = carry
+        a = (-0.8 * (obs[:, 0] - obs[:, 2]) - 0.3 * obs[:, 1])[:, None]
+        obs, st = step_b(st, a, env.env_properties)
+        return (st, obs), obs
+
+    (_, _), obs_s = jax.lax.scan(body, (state, obs0), None, length=T)
+    obs_s = jnp.swapaxes(obs_s, 0, 1)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
+    assert not last_f.physical_state.theta.sharding.is_fully_replicated

@@ -578,7 +578,8 @@ class CoreEnvironment:
         )
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
-                          obs_stride: int = None, interpret: bool = False):
+                          obs_stride: int = None, interpret: bool = False,
+                          policy_params=None):
         """Closed-loop rollout with the policy evaluated INSIDE the fused
         Pallas kernel on (rows, 128) tiles — the whole observation -> action
         -> step loop VMEM-resident, zero action traffic (see
@@ -591,6 +592,7 @@ class CoreEnvironment:
         return env_fused_closed_loop(
             self, init_state, policy, n_steps,
             obs_stride=obs_stride, interpret=interpret,
+            policy_params=policy_params,
         )
 
     @partial(jax.jit, static_argnums=0)

@@ -990,13 +990,21 @@ def env_fused_sim_ahead(
 def _make_closed_loop_kernel(
     ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
     wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
+    pp_treedef, n_pp,
 ):
-    """Kernel body over refs ``(*params, *refs, *state_in, *state_out
-    [, *traj_state, *traj_action])``; grid ``(batch_tiles, time_chunks)``
-    with the state carried in revisited output blocks (see
-    :func:`_make_kernel`)."""
+    """Kernel body over refs ``([pparams,] *params, *refs, *state_in,
+    *state_out[, *traj_state, *traj_action])``; grid ``(batch_tiles,
+    time_chunks)`` with the state carried in revisited output blocks (see
+    :func:`_make_kernel`).  ``pparams`` is the flattened policy-parameter
+    vector in SMEM (``n_pp`` scalars, re-assembled into the user's pytree
+    per ``pp_treedef``); with ``n_pp == 0`` the policy is parameter-free."""
 
     def kernel(*refs):
+        if n_pp:
+            pp_ref = refs[0]
+            refs = refs[1:]
+            pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
+            pparams = pp_treedef(pp_vec)  # pp_treedef: the cached unravel fn
         param_refs = refs[:n_params]
         refs = refs[n_params:]
         ref_refs = refs[:n_refs]
@@ -1027,7 +1035,7 @@ def _make_closed_loop_kernel(
                 2 * (leaf - mn) / (mx - mn) - 1
                 for leaf, (mn, mx) in zip(y, obs_norms)
             ) + ref_tiles
-            a_norm = policy(obs, step)
+            a_norm = policy(obs, step, pparams) if n_pp else policy(obs, step)
             # denormalize_action, per component
             action = _IndexableAction(tuple(
                 (a + 1) / 2 * (mx - mn) + mn
@@ -1062,47 +1070,13 @@ def _make_closed_loop_kernel(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ode", "solver", "policy", "n_steps", "tau", "wrap_flags", "clip_fn",
-        "obs_norms", "act_norms", "n_action", "traj_stride", "fast_wrap", "interpret",
-    ),
-)
-def fused_closed_loop(
-    ode,
-    solver: ExplicitRungeKutta,
-    y0: tuple,
-    policy,
-    n_steps: int,
-    tau: float,
-    wrap_flags: tuple,
-    obs_norms: tuple,
-    act_norms: tuple,
-    n_action: int,
-    clip_fn=None,
-    traj_stride: int = None,
-    fast_wrap: bool = False,
-    param_leaves: tuple = (),
-    ref_leaves: tuple = (),
-    interpret: bool = False,
+def _cl_launch(
+    ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+    n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+    y0, param_leaves, ref_leaves, pp_flat,
 ):
-    """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step) ->
-    normalized action tiles`` evaluated inside the kernel every step.
-
-    Args (beyond :func:`_launch`'s contract): ``policy`` is a jittable
-    function of ``(obs_tuple, step_index)`` over ``(rows, 128)`` tiles —
-    obs leaves are the normalized state fields in declaration order followed
-    by the normalized tracked references (``ref_leaves``, tuple of ``(B,)``
-    arrays) — returning ``n_action`` normalized action tiles; elementwise or
-    scalar-weight compositions (PD laws, gain schedules, small unrolled
-    MLPs) all work.  ``obs_norms``/``act_norms`` are per-leaf/dim
-    ``(min, max)`` scalars.
-
-    Returns ``final_state_tuple`` — or, with ``traj_stride``,
-    ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
-    leaves have shape ``(B, n_steps // traj_stride)``.
-    """
+    """Tile the operands and launch the closed-loop kernel (primal of
+    :func:`fused_closed_loop`)."""
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
@@ -1111,6 +1085,7 @@ def fused_closed_loop(
     n_state = len(y0)
     n_params = len(param_leaves)
     n_refs = len(ref_leaves)
+    n_pp = 0 if pp_flat is None else pp_flat.shape[0]
     total_rows = batch // LANES
 
     rows = SUBLANES
@@ -1145,6 +1120,9 @@ def fused_closed_loop(
 
     in_specs = []
     operands = []
+    if n_pp:
+        in_specs.append(pl.BlockSpec((1, n_pp), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(pp_flat, dtype)[None, :])
     for leaf in param_leaves:
         in_specs.append(state_block())
         operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
@@ -1175,6 +1153,7 @@ def fused_closed_loop(
     kernel = _make_closed_loop_kernel(
         ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
         wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
+        pp_treedef, n_pp,
     )
     out = pl.pallas_call(
         kernel,
@@ -1193,6 +1172,246 @@ def fused_closed_loop(
     traj_state = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[:n_state])
     traj_act = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[n_state:])
     return final, traj_state, traj_act
+
+
+def _plain_cl_step(
+    ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
+    fast_wrap, has_pp, params,
+):
+    """The closed-loop kernel's per-step computation in plain
+    (differentiable) JAX over ``(B,)`` leaves: normalize -> policy ->
+    denormalize -> RK step -> wrap/clip.  Returns ``(y1, a_norm)``."""
+
+    def step(y, t_step, refs, pparams):
+        obs = tuple(
+            2 * (leaf - mn) / (mx - mn) - 1
+            for leaf, (mn, mx) in zip(y, obs_norms)
+        ) + refs
+        a_norm = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+        action = _IndexableAction(tuple(
+            (a + 1) / 2 * (mx - mn) + mn
+            for a, (mn, mx) in zip(a_norm, act_norms)
+        ))
+        y1 = _rk_step(
+            lambda tt, yy, act: ode(tt, yy, act, params),
+            solver, y, action, tau, t_step * tau,
+        )
+        wrap_op = wrap_angle_fast if fast_wrap else (
+            lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        )
+        y1 = tuple(
+            wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+        )
+        if clip_fn is not None:
+            y1 = clip_fn(y1)
+        return y1, a_norm
+
+    return step
+
+
+_UNRAVEL_CACHE = {}
+
+
+def _cached_unravel(params):
+    """``ravel_pytree`` with a structure-keyed cache for the unravel
+    callable, so it stays a STABLE static argument across calls (a fresh
+    unravel per call would miss the jit cache every time)."""
+    from jax.flatten_util import ravel_pytree
+
+    flat, unravel = ravel_pytree(params)
+    key = (
+        jax.tree_util.tree_structure(params),
+        tuple((jnp.shape(l), str(jnp.result_type(l))) for l in jax.tree_util.tree_leaves(params)),
+    )
+    return flat, _UNRAVEL_CACHE.setdefault(key, unravel)
+
+
+_N_CL_STATIC = 14
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_CL_STATIC)))
+def _cl_core(
+    ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+    n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+    y0, param_leaves, ref_leaves, pp_flat,
+):
+    return _cl_launch(
+        ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+        n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+        y0, param_leaves, ref_leaves, pp_flat,
+    )
+
+
+def _cl_core_fwd(
+    ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+    n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+    y0, param_leaves, ref_leaves, pp_flat,
+):
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    final, saves, act_saves = _cl_launch(
+        ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+        n_action, clip_fn, ckpt, fast_wrap, interpret, pp_treedef,
+        y0, param_leaves, ref_leaves, pp_flat,
+    )
+    if traj_stride is None:
+        out = final
+    else:
+        skip = traj_stride // ckpt
+        out = (
+            final,
+            tuple(s[:, skip - 1 :: skip] for s in saves),
+            tuple(a[:, skip - 1 :: skip] for a in act_saves),
+        )
+    return out, (y0, param_leaves, ref_leaves, pp_flat, saves)
+
+
+def _cl_core_bwd(
+    ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+    n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+    res, g,
+):
+    y0, param_leaves, ref_leaves, pp_flat, saves = res
+    batch = y0[0].shape[0]
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    n_seg = n_steps // ckpt
+    has_pp = pp_flat is not None
+
+    if traj_stride is None:
+        g_final = g
+        g_traj = g_traj_act = None
+    else:
+        g_final, g_traj, g_traj_act = g
+
+    starts = tuple(
+        jnp.concatenate([jnp.asarray(leaf0)[None], jnp.moveaxis(s[:, :-1], 1, 0)], axis=0)
+        for leaf0, s in zip(y0, saves)
+    )
+    ts_seg = jnp.asarray(
+        np.arange(n_steps, dtype=np.int64).reshape(n_seg, ckpt)
+    )
+
+    # saved-state cotangents land on the segment-end carry; the saved ACTION
+    # of a save step is the policy output at the segment's LAST pre-step
+    # state, exposed as a secondary segment output
+    if g_traj is not None:
+        skip = traj_stride // ckpt
+        g_save_seg = tuple(
+            jnp.zeros((n_seg, batch), dtype=jnp.asarray(l).dtype)
+            .at[skip - 1 :: skip]
+            .set(jnp.moveaxis(leaf, 1, 0))
+            for leaf, l in zip(g_traj, y0)
+        )
+        g_act_seg = tuple(
+            jnp.zeros((n_seg, batch), dtype=leaf.dtype)
+            .at[skip - 1 :: skip]
+            .set(jnp.moveaxis(leaf, 1, 0))
+            for leaf in g_traj_act
+        )
+    else:
+        g_save_seg = tuple(jnp.zeros((n_seg, batch), dtype=jnp.asarray(l).dtype) for l in y0)
+        g_act_seg = tuple(jnp.zeros((n_seg, batch), dtype=jnp.asarray(y0[0]).dtype) for _ in range(n_action))
+
+    def seg_apply(y_start, t_s, params, refs, pp):
+        ppy = pp_treedef(pp) if has_pp else None
+        inner = _plain_cl_step(
+            ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
+            fast_wrap, has_pp, params,
+        )
+
+        def body(y, t_step):
+            y1, a_norm = inner(y, t_step, refs, ppy)
+            return y1, a_norm
+
+        y_end, a_all = jax.lax.scan(body, y_start, t_s)
+        # only the LAST step's action can be a save (ckpt divides traj_stride)
+        a_last = tuple(a[-1] for a in a_all)
+        return y_end, a_last
+
+    g_params0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in param_leaves)
+    g_refs0 = tuple(jnp.zeros_like(jnp.asarray(r)) for r in ref_leaves)
+    g_pp0 = jnp.zeros_like(pp_flat) if has_pp else None
+
+    def bwd_body(carry, xs):
+        g_y, g_params, g_refs, g_pp = carry
+        start_s, t_s, g_save_s, g_act_s = xs
+        g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
+        _, vjp_fn = jax.vjp(
+            lambda y, p, r, pp: seg_apply(y, t_s, p, r, pp),
+            start_s, param_leaves, ref_leaves,
+            pp_flat if has_pp else jnp.zeros((0,)),
+        )
+        gy_in, gp, gr, gpp = vjp_fn((g_y, g_act_s))
+        g_params = tuple(a + b for a, b in zip(g_params, gp))
+        g_refs = tuple(a + b for a, b in zip(g_refs, gr))
+        if has_pp:
+            g_pp = g_pp + gpp
+        return (gy_in, g_params, g_refs, g_pp), None
+
+    (g_y0, g_params, g_refs, g_pp), _ = jax.lax.scan(
+        bwd_body,
+        (g_final, g_params0, g_refs0, g_pp0 if has_pp else jnp.zeros((0,))),
+        (starts, ts_seg, g_save_seg, g_act_seg),
+        reverse=True,
+    )
+    return (g_y0, g_params, g_refs, g_pp if has_pp else None)
+
+
+_cl_core.defvjp(_cl_core_fwd, _cl_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ode", "solver", "policy", "n_steps", "tau", "wrap_flags", "clip_fn",
+        "obs_norms", "act_norms", "n_action", "traj_stride", "fast_wrap",
+        "interpret", "pp_treedef",
+    ),
+)
+def fused_closed_loop(
+    ode,
+    solver: ExplicitRungeKutta,
+    y0: tuple,
+    policy,
+    n_steps: int,
+    tau: float,
+    wrap_flags: tuple,
+    obs_norms: tuple,
+    act_norms: tuple,
+    n_action: int,
+    clip_fn=None,
+    traj_stride: int = None,
+    fast_wrap: bool = False,
+    param_leaves: tuple = (),
+    ref_leaves: tuple = (),
+    policy_params=None,
+    pp_treedef=None,
+    interpret: bool = False,
+):
+    """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step[,
+    params]) -> normalized action tiles`` evaluated inside the kernel every
+    step.
+
+    Args (beyond :func:`_launch`'s contract): ``policy`` is a jittable
+    function over ``(rows, 128)`` tiles — obs leaves are the normalized
+    state fields in declaration order followed by the normalized tracked
+    references (``ref_leaves``, tuple of ``(B,)`` arrays) — returning
+    ``n_action`` normalized action tiles; elementwise or scalar-weight
+    compositions (PD laws, gain schedules, small unrolled MLPs) all work.
+    ``obs_norms``/``act_norms`` are per-leaf/dim ``(min, max)`` scalars.
+    ``policy_params`` (with its static ``pp_treedef``) is the flattened
+    scalar vector of a policy-parameter pytree, streamed through SMEM and
+    re-assembled in-kernel — pass it to make the loop DIFFERENTIABLE w.r.t.
+    the policy (checkpointed-recompute VJP, like the open-loop kernels).
+
+    Returns ``final_state_tuple`` — or, with ``traj_stride``,
+    ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
+    leaves have shape ``(B, n_steps // traj_stride)``.
+    """
+    return _cl_core(
+        ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
+        n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+        y0, tuple(param_leaves), tuple(ref_leaves), policy_params,
+    )
 
 
 def supports_fused_closed_loop(env) -> bool:
@@ -1219,6 +1438,7 @@ def env_fused_closed_loop(
     obs_stride: int = None,
     interpret: bool = False,
     return_traj_states: bool = False,
+    policy_params=None,
 ):
     """Environment-level closed-loop kernel rollout.
 
@@ -1270,6 +1490,12 @@ def env_fused_closed_loop(
         for name in env.control_state
     )
 
+    pp_flat = pp_unravel = None
+    if policy_params is not None:
+        # flatten the user's parameter pytree into the SMEM-streamed vector;
+        # with params given, the policy signature is policy(obs, t, params)
+        # and the whole loop is differentiable w.r.t. them
+        pp_flat, pp_unravel = _cached_unravel(policy_params)
     result = fused_closed_loop(
         tile_ode,
         env._solver,
@@ -1286,6 +1512,8 @@ def env_fused_closed_loop(
         fast_wrap=getattr(env, "fast_math", False),
         param_leaves=param_leaves,
         ref_leaves=ref_leaves,
+        policy_params=pp_flat,
+        pp_treedef=pp_unravel,
         interpret=interpret,
     )
     if obs_stride is None:

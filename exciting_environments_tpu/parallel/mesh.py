@@ -332,7 +332,8 @@ class ShardedEnv:
         return self._run_sharded(local, init_state, actions_norm, time_major)
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
-                          obs_stride: int = None, interpret: bool = False):
+                          obs_stride: int = None, interpret: bool = False,
+                          policy_params=None):
         """Policy-in-kernel closed loop per shard: each chip runs its local
         slice's observation -> action -> step loop fully in VMEM (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
@@ -355,6 +356,7 @@ class ShardedEnv:
             return env_fused_closed_loop(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,
+                policy_params=policy_params,
             )
 
         spec = P(self.axis_name)

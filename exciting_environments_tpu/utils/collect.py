@@ -144,28 +144,34 @@ class RolloutCollector:
         )
 
     def collect_policy_fused(self, policy_tile, state, n_steps: int,
-                             interpret: bool = False):
+                             interpret: bool = False, policy_params=None):
         """Closed-loop collection with the policy evaluated INSIDE the fused
         Pallas kernel (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop` for the
-        tile-policy contract — deterministic policies over observation
-        tiles; for stochastic policies or policy gradients use
-        :meth:`collect_policy`).  Rewards/flags are evaluated on the
-        kernel's reconstructed per-step states in the same jitted program;
-        the returned ``TrajectoryBatch`` matches :meth:`collect_policy`'s
-        contract (post-step observations, the policy's normalized actions).
-        Raises when the environment is out of closed-loop kernel scope.
+        tile-policy contract).  With ``policy_params`` given the policy is
+        ``policy(obs, t, params)`` and the whole collection is
+        DIFFERENTIABLE w.r.t. the parameter pytree (policy gradients at
+        kernel speed); deterministic policies only — for stochastic
+        exploration use :meth:`collect_policy`.  Rewards/flags are
+        evaluated on the kernel's reconstructed per-step states in the same
+        jitted program; the returned ``TrajectoryBatch`` matches
+        :meth:`collect_policy`'s contract (post-step observations, the
+        policy's normalized actions).  Raises when the environment is out
+        of closed-loop kernel scope.
         """
-        return self._collect_policy_fused_impl(policy_tile, state, n_steps, interpret)
+        return self._collect_policy_fused_impl(
+            policy_tile, state, n_steps, interpret, policy_params
+        )
 
     @partial(jax.jit, static_argnums=(0, 1, 3, 4))
-    def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret):
+    def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret, policy_params):
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
 
         env = self.env
         obs, actions, traj_state, final_state = env_fused_closed_loop(
             env, state, policy_tile, n_steps, obs_stride=1,
             interpret=interpret, return_traj_states=True,
+            policy_params=policy_params,
         )
         in_axes = env.in_axes_env_properties
         props = env.env_properties

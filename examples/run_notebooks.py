@@ -6,9 +6,9 @@ Run from the repository root:
 
 Used both locally (committed outputs prove the notebooks run end-to-end,
 reference parity target ``/root/reference/examples/*.ipynb`` which ship with
-executed cells) and by CI.  ``mujoco_example.ipynb`` is skipped when
-``mujoco-mjx`` is not installed — CI installs the ``mujoco`` extra so it
-executes there.
+executed cells) and by CI.  ``mujoco_example.ipynb`` runs everywhere: with
+``mujoco-mjx`` installed it steps through ``mjx.step``; otherwise
+``MujucoWrapper``'s plain-``mujoco`` host-callback backend steps the C engine.
 """
 
 from __future__ import annotations
@@ -26,24 +26,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 
 
-def mjx_available() -> bool:
-    try:
-        from mujoco import mjx  # noqa: F401
-
-        return True
-    except Exception:
-        return False
-
-
 def main(selected=None):
     failures = []
     for fname in sorted(os.listdir(HERE)):
         if not fname.endswith(".ipynb"):
             continue
         if selected and fname not in selected:
-            continue
-        if fname == "mujoco_example.ipynb" and not mjx_available():
-            print(f"SKIP {fname} (mujoco-mjx not installed)", flush=True)
             continue
         path = os.path.join(HERE, fname)
         nb = nbformat.read(path, as_version=4)

@@ -1,4 +1,4 @@
-"""Batched MuJoCo-MJX environments with the same surface as the ODE envs.
+"""Batched MuJoCo environments with the same surface as the ODE envs.
 
 Behavior-compatible with
 ``/root/reference/exciting_environments/mujoco_wrapper.py``: wraps a compiled
@@ -8,7 +8,12 @@ none — construction fails until the user supplies them), and steps through
 ``mjx.step`` under ``jax.vmap``.
 
 MJX is already TPU-native (pure JAX); this wrapper adds the batching,
-normalization and registry conventions of this framework on top.
+normalization and registry conventions of this framework on top.  Beyond the
+reference, a plain-``mujoco`` CPU backend (``backend="cpu"``) steps the C
+engine on the host through ``jax.pure_callback`` with an identical functional
+surface, so the wrapper runs end-to-end where the ``mujoco-mjx`` extra is not
+installed (state is then the minimal :class:`MjCpuData` pytree instead of
+``mjx.Data``; host stepping is CPU-only and not differentiable).
 """
 
 from __future__ import annotations
@@ -31,8 +36,23 @@ except ImportError:  # pragma: no cover - depends on installed extras
     mjx = None
     MJX_AVAILABLE = False
 
+import numpy as np
+
 from exciting_environments_tpu.core.structures import pytree_dataclass
 from exciting_environments_tpu.utils import MinMaxNormalization
+
+
+@pytree_dataclass
+class MjCpuData:
+    """Minimal simulation state for the plain-``mujoco`` CPU backend: the
+    integrated coordinates plus actuator activations and time — everything
+    ``mujoco.mj_step`` carries across steps (derived quantities are
+    recomputed by the engine each step)."""
+
+    qpos: object
+    qvel: object
+    act: object
+    time: object
 
 
 def dict_to_pytree_dataclass(class_name: str, data: Dict[str, Any]):
@@ -85,6 +105,10 @@ class MujucoWrapper:
             derived from actuator ctrl ranges if omitted.
         batch_size: number of parallel simulations.
         tau: simulation step; must equal ``model.opt.timestep``.
+        backend: ``"mjx"`` (device-native ``mjx.step``, the reference's
+            path), ``"cpu"`` (host ``mujoco.mj_step`` via
+            ``jax.pure_callback``), or ``"auto"`` (mjx when installed,
+            else cpu).
     """
 
     def __init__(
@@ -94,13 +118,22 @@ class MujucoWrapper:
         action_normalization=None,
         batch_size: int = 8,
         tau: float = None,
+        backend: str = "auto",
     ):
-        if not MJX_AVAILABLE:
+        if backend == "auto":
+            backend = "mjx" if MJX_AVAILABLE else "cpu"
+        if backend not in ("mjx", "cpu"):
+            raise ValueError(f"backend must be 'mjx', 'cpu' or 'auto', got {backend!r}")
+        if backend == "mjx" and not MJX_AVAILABLE:
             raise ImportError(
                 "MujucoWrapper requires the mujoco-mjx package (`pip install mujoco-mjx`); "
-                "only the base mujoco bindings are installed."
+                "only the base mujoco bindings are installed. Pass backend='cpu' to step "
+                "the C engine on the host instead."
             )
-        self.mjx_model = mjx.put_model(mujoco_model)
+        self.backend = backend
+        self.mjx_model = mjx.put_model(mujoco_model) if backend == "mjx" else None
+        if backend == "cpu":
+            self._scratch_data = mujoco.MjData(mujoco_model)
         if not tau:
             self.tau = mujoco_model.opt.timestep
         else:
@@ -228,13 +261,77 @@ class MujucoWrapper:
         static_params: object
 
     # ------------------------------------------------------------------
+    # backend dispatch: mjx.Data on device vs MjCpuData + host callback
+    # ------------------------------------------------------------------
+
+    def _make_data(self):
+        """Fresh default simulation state for the active backend."""
+        if self.backend == "mjx":
+            return mjx.make_data(self.mjx_model)
+        m = self.mujoco_model
+        dtype = jnp.result_type(float)
+        return MjCpuData(
+            qpos=jnp.asarray(m.qpos0, dtype=dtype),
+            qvel=jnp.zeros(m.nv, dtype=dtype),
+            act=jnp.zeros(m.na, dtype=dtype),
+            time=jnp.zeros((), dtype=dtype),
+        )
+
+    def _with_qpos_qvel(self, data, qpos, qvel):
+        if self.backend == "mjx":
+            return data.replace(qpos=qpos, qvel=qvel)
+        return MjCpuData(qpos=qpos, qvel=qvel, act=data.act, time=data.time)
+
+    def _cpu_step_host(self, qpos, qvel, act, time, ctrl):
+        """One ``mj_step`` per sample on the host, over any leading batch
+        dims (``pure_callback`` hands batched operands under ``vmap`` with
+        ``vmap_method="expand_dims"``)."""
+        m, d = self.mujoco_model, self._scratch_data
+        qpos, qvel, act, time, ctrl = (np.asarray(a) for a in (qpos, qvel, act, time, ctrl))
+        lead = time.shape
+        B = int(np.prod(lead)) if lead else 1
+        qp = qpos.reshape(B, m.nq).astype(np.float64)
+        qv = qvel.reshape(B, m.nv).astype(np.float64)
+        ac = act.reshape(B, m.na).astype(np.float64)
+        tt = time.reshape(B).astype(np.float64)
+        ct = ctrl.reshape(B, m.nu).astype(np.float64)
+        out_qp, out_qv, out_ac = np.empty_like(qp), np.empty_like(qv), np.empty_like(ac)
+        out_t = np.empty_like(tt)
+        for i in range(B):
+            d.qpos[:] = qp[i]
+            d.qvel[:] = qv[i]
+            d.act[:] = ac[i]
+            d.time = tt[i]
+            d.ctrl[:] = ct[i]
+            mujoco.mj_step(m, d)
+            out_qp[i], out_qv[i], out_ac[i], out_t[i] = d.qpos, d.qvel, d.act, d.time
+        return (
+            out_qp.reshape(qpos.shape).astype(qpos.dtype),
+            out_qv.reshape(qvel.shape).astype(qvel.dtype),
+            out_ac.reshape(act.shape).astype(act.dtype),
+            out_t.reshape(time.shape).astype(time.dtype),
+        )
+
+    def _cpu_step(self, data, action):
+        result_shapes = tuple(
+            jax.ShapeDtypeStruct(jnp.shape(leaf), jnp.result_type(leaf))
+            for leaf in (data.qpos, data.qvel, data.act, data.time)
+        )
+        qpos, qvel, act, time = jax.pure_callback(
+            self._cpu_step_host, result_shapes,
+            data.qpos, data.qvel, data.act, data.time, action,
+            vmap_method="expand_dims",
+        )
+        return MjCpuData(qpos=qpos, qvel=qvel, act=act, time=time)
+
+    # ------------------------------------------------------------------
     # functional API (mirrors CoreEnvironment)
     # ------------------------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
     def init_state(self, env_properties, rng=None, vmap_helper=None):
-        """Fresh ``mjx.Data``; random qpos/qvel when an rng is given."""
-        mjx_data = mjx.make_data(self.mjx_model)
+        """Fresh simulation state; random qpos/qvel when an rng is given."""
+        mjx_data = self._make_data()
         if rng is not None:
             # independent keys per draw (the reference reuses one subkey,
             # mujoco_wrapper.py:201-203, making qvel a copy of qpos whenever
@@ -244,8 +341,7 @@ class MujucoWrapper:
             qvel_norm = jax.random.uniform(key, (self.qvel_dim,), minval=-1, maxval=1)
             qpos = self.denormalize_components(qpos_norm, env_properties.physical_normalizations.qpos)
             qvel = self.denormalize_components(qvel_norm, env_properties.physical_normalizations.qvel)
-            mjx_data = mjx_data.replace(qpos=qpos)
-            mjx_data = mjx_data.replace(qvel=qvel)
+            mjx_data = self._with_qpos_qvel(mjx_data, qpos, qvel)
         return mjx_data
 
     @partial(jax.jit, static_argnums=0)
@@ -280,9 +376,11 @@ class MujucoWrapper:
         """Reset to default, random, or a provided flat qpos+qvel vector."""
         if initial_qpos_qvel is not None:
             assert initial_qpos_qvel.shape[0] == self.qpos_dim + self.qvel_dim
-            data = mjx.make_data(self.mjx_model)
-            data = data.replace(qpos=initial_qpos_qvel[0 : self.qpos_dim])
-            data = data.replace(qvel=initial_qpos_qvel[self.qpos_dim :])
+            data = self._with_qpos_qvel(
+                self._make_data(),
+                initial_qpos_qvel[0 : self.qpos_dim],
+                initial_qpos_qvel[self.qpos_dim :],
+            )
         else:
             data = self.init_state(env_properties, rng)
         obs = self.generate_observation(data, env_properties)
@@ -290,13 +388,17 @@ class MujucoWrapper:
 
     @partial(jax.jit, static_argnums=0)
     def step(self, mjx_data, action_norm, env_properties):
-        """One ``mjx.step`` with a normalized actuator command."""
+        """One engine step with a normalized actuator command
+        (``mjx.step`` on the mjx backend, host ``mj_step`` on cpu)."""
         assert action_norm.shape == (self.action_dim,), (
             f"The action needs to be of shape (action_dim,) which is "
             f"{(self.action_dim,)}, but {action_norm.shape} is given"
         )
         action = self.denormalize_action(action_norm, env_properties)
-        data = mjx.step(self.mjx_model, mjx_data.replace(ctrl=action))
+        if self.backend == "mjx":
+            data = mjx.step(self.mjx_model, mjx_data.replace(ctrl=action))
+        else:
+            data = self._cpu_step(mjx_data, action)
         obs = self.generate_observation(data, env_properties)
         return obs, data
 
@@ -341,8 +443,7 @@ class MujucoWrapper:
         qvel_norm = obs[self.qpos_dim : self.qpos_dim + self.qvel_dim]
         qpos = self.denormalize_components(qpos_norm, env_properties.physical_normalizations.qpos)
         qvel = self.denormalize_components(qvel_norm, env_properties.physical_normalizations.qvel)
-        data = mjx.make_data(self.mjx_model)
-        return data.replace(qpos=qpos, qvel=qvel)
+        return self._with_qpos_qvel(self._make_data(), qpos, qvel)
 
     @partial(jax.jit, static_argnums=0)
     def vmap_generate_state_from_observation(self, obs, key=None):

@@ -38,13 +38,10 @@ def model():
     return mujoco.MjModel.from_xml_string(PENDULUM_XML)
 
 
-needs_mjx = pytest.mark.skipif(not MJX_AVAILABLE, reason="mujoco-mjx not installed")
-
-
 @pytest.fixture(scope="module")
 def wrapper(model):
-    if not MJX_AVAILABLE:
-        pytest.skip("mujoco-mjx not installed")
+    # backend="auto": mjx where the extra is installed, the plain-mujoco
+    # host-callback backend otherwise — either way the full step path runs
     qvel = {"hinge_angular_velocity": MinMaxNormalization(min=-10.0, max=10.0)}
     qvel_dc, _ = dict_to_pytree_dataclass("qvel", qvel)
     base = MujucoWrapper.__new__(MujucoWrapper)
@@ -64,14 +61,16 @@ def test_normalization_synthesis(model):
 
 
 def test_nan_gate(model):
-    """Construction must fail fast: missing mjx -> ImportError; otherwise
-    missing qvel normalizations -> ValueError."""
+    """Construction must fail fast on either backend: missing qvel
+    normalizations -> ValueError; backend='mjx' without the extra ->
+    ImportError."""
+    with pytest.raises(ValueError, match="physical_normalizations"):
+        MujucoWrapper(model, batch_size=2)
     if not MJX_AVAILABLE:
         with pytest.raises(ImportError, match="mujoco-mjx"):
-            MujucoWrapper(model, batch_size=2)
-    else:
-        with pytest.raises(ValueError, match="physical_normalizations"):
-            MujucoWrapper(model, batch_size=2)
+            MujucoWrapper(model, batch_size=2, backend="mjx")
+    with pytest.raises(ValueError, match="backend"):
+        MujucoWrapper(model, batch_size=2, backend="gpu")
 
 
 def test_reset_and_step_shapes(wrapper):

@@ -1351,3 +1351,798 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
         ),
     )
     return observations, last_state
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop policy-in-kernel rollout for the PMSM drive.
+#
+# The open-loop kernel exploits that the whole inverter constraint is
+# state-independent given the action sequence (pre-pass, _constrained_
+# voltages).  A closed loop breaks that: the policy's action at step t
+# depends on the state at step t, so the constraint — Park rotation at the
+# deadtime-advanced angle, hexagon sector clip, rotation back — moves INSIDE
+# the kernel as elementwise tile arithmetic (:func:`_hex_constrain`), and the
+# electrical angle + deadtime buffers become VMEM-carried state planes
+# alongside the currents.  The per-step observation is built with the exact
+# ``generate_observation`` arithmetic (reference ``pmsm_env.py:898-920``):
+# normalized currents/omega/torque/buffers plus raw cos/sin of the angle and
+# the normalized tracked references; the observation torque is recomputed
+# from the currents each step, which shares the step's first-stage LUT
+# gather (states produced by ``reset``/``step`` store exactly this value).
+#
+# Accuracy: unlike the open-loop paths the constraint arithmetic here is
+# structured differently from the scan (explicit mul/add rotations vs the
+# scan's K=2 dot contractions, in-kernel vs XLA trig) — agreement is
+# closeness-gated, not bitwise.  Near a hexagon sector boundary a 1-ulp
+# angle difference can flip the sector bit; with the clip inactive the
+# flip is harmless (rotate-up/rotate-back composes to identity ± ulp), and
+# with it active it is a genuine (measure-zero) branch discontinuity shared
+# by any two float programs of the constraint.
+# ---------------------------------------------------------------------------
+
+
+def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
+    """Elementwise :meth:`PMSM.constraint_denormalization` over same-shape
+    arrays (tiles in-kernel, ``(B,)`` leaves in the plain backward step):
+    denormalize the policy action, rotate to alpha/beta at the deadtime-
+    advanced angle, clip into the voltage hexagon, rotate back
+    (``pmsm_env.py:655-669``; sector table via the exact multilinear
+    combination of :func:`ops.pmsm_fast._multilinear_table`)."""
+    from exciting_environments_tpu.ops.pmsm_fast import _multilinear_table
+    from exciting_environments_tpu.ops.transforms import ROTATION_IM, ROTATION_RE
+
+    (mnd, mxd), (mnq, mxq) = act_norms
+    u_d = (a_d + 1) / 2 * (mxd - mnd) + mnd
+    u_q = (a_q + 1) / 2 * (mxq - mnq) + mnq
+    scale = 1 / (u_dc / 2)
+    nd = u_d * scale
+    nq = u_q * scale
+
+    adv = eps + omega * tau * (deadtime + 0.5)
+    adv = adv % (2 * jnp.pi)
+    adv = adv + (adv > jnp.pi) * (-2 * jnp.pi)
+
+    # dq -> alpha/beta: q = t_dq_alpha_beta(-adv)
+    ca = jnp.cos(-adv)
+    sa = jnp.sin(-adv)
+    alpha = ca * nd + sa * nq
+    beta = -sa * nd + ca * nq
+
+    angle = jnp.arctan2(beta, alpha)
+    dtype = alpha.dtype
+    cks = 2 / 3 * np.pi * np.arange(3)
+    b0 = (jnp.sin(angle - cks[0]) >= 0).astype(dtype)
+    b1 = (jnp.sin(angle - cks[1]) >= 0).astype(dtype)
+    b2 = (jnp.sin(angle - cks[2]) >= 0).astype(dtype)
+    rot_re = _multilinear_table(ROTATION_RE, b0, b1, b2)
+    rot_im = _multilinear_table(ROTATION_IM, b0, b1, b2)
+    ra = alpha * rot_re - beta * rot_im
+    rb = alpha * rot_im + beta * rot_re
+    ra = jnp.clip(ra, -2 / 3, 2 / 3)
+    rb = jnp.clip(rb, 0, 2 / 3 * np.sqrt(3.0))
+    oa = ra * rot_re + rb * rot_im
+    ob = rb * rot_re - ra * rot_im
+
+    # alpha/beta -> dq: q_inv = t_dq_alpha_beta(adv)
+    cb = jnp.cos(adv)
+    sb = jnp.sin(adv)
+    half_dc = u_dc / 2
+    u_con_d = (cb * oa + sb * ob) * half_dc
+    u_con_q = (-sb * oa + cb * ob) * half_dc
+    return u_con_d, u_con_q
+
+
+def _make_cl_kernel(
+    chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
+    gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
+    u_dc, emit_u_last,
+):
+    """Closed-loop kernel over refs ``([pparams,] omega, i_d0, i_q0, eps0,
+    bd0, bq0, [V | lin], *refs, i_d, i_q, eps, bd, bq, torque[, u_last_d,
+    u_last_q][, traj x7])``; grid ``(batch_tiles, time_chunks)``, the five
+    state planes carried in revisited output blocks.
+
+    ``obs_norms`` is the six scalar ``(min, max)`` pairs for (i_d, i_q,
+    omega_el, torque, u_d_buffer, u_q_buffer).  Trajectory outputs per save:
+    post-step ``(i_d, i_q, torque)``, the step's constrained voltages
+    ``(u_con_d, u_con_q)`` (the post-step buffers under deadtime) and the
+    policy's normalized actions ``(a_d, a_q)``.  For LUT magnetics the
+    save's torque is deferred to the next step's first-stage gather (same
+    state, same arithmetic — see the open-loop ``reuse`` path)."""
+
+    def lut_channels(V, i_d, i_q):
+        corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
+        return _blend_channels(corners, wx, wy)
+
+    def norm(leaf, idx):
+        mn, mx = obs_norms[idx]
+        return 2 * (leaf - mn) / (mx - mn) - 1
+
+    def kernel(*refs):
+        if n_pp:
+            pp_ref = refs[0]
+            refs = refs[1:]
+            pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
+            pparams = pp_treedef(pp_vec)
+        omega_ref, id_in, iq_in, eps_in, bd_in, bq_in = refs[:6]
+        refs = refs[6:]
+        if saturated:
+            V = refs[0][:]
+            l_d = l_q = None
+        else:
+            V = None
+            l_d = refs[0][0, 0]
+            l_q = refs[0][0, 1]
+        refs = refs[1:]
+        ref_tiles = tuple(r[:] for r in refs[:n_refs])
+        refs = refs[n_refs:]
+        id_out, iq_out, eps_out, bd_out, bq_out, tq_out = refs[:6]
+        refs = refs[6:]
+        if emit_u_last:
+            uld_out, ulq_out = refs[:2]
+            refs = refs[2:]
+        traj_refs = refs
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            id_out[:] = id_in[:]
+            iq_out[:] = iq_in[:]
+            eps_out[:] = eps_in[:]
+            bd_out[:] = bd_in[:]
+            bq_out[:] = bq_in[:]
+
+        omega = omega_ref[:]
+        rate = _eps_rate(solver, omega)
+        psi_p, dl = lin[2], lin[3]
+
+        def saturated_diff(vals, i_d, i_q, u_d, u_q):
+            l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = vals
+            det = l_dd * l_qq - l_dq * l_qd
+            inv_dd, inv_dq = l_qq / det, -l_dq / det
+            inv_qd, inv_qq = -l_qd / det, l_dd / det
+            rhs_d = u_d - r_s * i_d + omega * psi_q
+            rhs_q = u_q - r_s * i_q - omega * psi_d
+            return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
+
+        def body(i, carry):
+            i_d, i_q, eps, bd, bq = carry
+            if saturated:
+                vals = lut_channels(V, i_d, i_q)
+                torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+                if traj_stride is not None:
+                    # deferred save torque: the state at the top of step i IS
+                    # the post-step state of step i-1, so this gather also
+                    # prices the pending save (chunk-final slot: post-loop)
+                    @pl.when((i > 0) & (i % traj_stride == 0))
+                    def _():
+                        traj_refs[2][i // traj_stride - 1] = torque
+            else:
+                vals = None
+                torque = p15 * (psi_p + dl * i_d) * i_q
+
+            step = k * chunk + i
+            obs = (
+                norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
+                jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
+            ) + ref_tiles
+            a = policy(obs, step, pparams) if n_pp else policy(obs, step)
+            a_d, a_q = a[0], a[1]
+            u_con_d, u_con_q = _hex_constrain(
+                a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime
+            )
+            if deadtime:
+                u_app = (bd, bq)
+                bd1, bq1 = u_con_d, u_con_q
+            else:
+                u_app = (u_con_d, u_con_q)
+                bd1, bq1 = bd, bq
+
+            y_entry = (i_d, i_q)
+
+            def ode(t, y, action):
+                # first stage evaluates at the entry state: reuse the obs
+                # gather (tuple identity is preserved by _rk_step)
+                if saturated:
+                    v = vals if y is y_entry else lut_channels(V, y[0], y[1])
+                    return saturated_diff(v, y[0], y[1], action[0], action[1])
+                i_d_diff = (action[0] + omega * l_q * y[1] - r_s * y[0]) / l_d
+                i_q_diff = (action[1] - omega * (l_d * y[0] + psi_p) - r_s * y[1]) / l_q
+                return (i_d_diff, i_q_diff)
+
+            i_d1, i_q1 = _rk_step(ode, solver, y_entry, u_app, tau, 0.0)
+            eps1 = eps + tau * rate
+            eps1 = ((eps1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+
+            if traj_stride is not None:
+
+                @pl.when((i + 1) % traj_stride == 0)
+                def _():
+                    slot = (i + 1) // traj_stride - 1
+                    traj_refs[0][slot] = i_d1
+                    traj_refs[1][slot] = i_q1
+                    if not saturated:
+                        traj_refs[2][slot] = p15 * (psi_p + dl * i_d1) * i_q1
+                    traj_refs[3][slot] = u_con_d
+                    traj_refs[4][slot] = u_con_q
+                    traj_refs[5][slot] = a_d
+                    traj_refs[6][slot] = a_q
+
+            if emit_u_last:
+
+                @pl.when(i == chunk - 1)
+                def _():
+                    uld_out[:] = u_app[0]
+                    ulq_out[:] = u_app[1]
+
+            return (i_d1, i_q1, eps1, bd1, bq1)
+
+        carry = (id_out[:], iq_out[:], eps_out[:], bd_out[:], bq_out[:])
+        i_d, i_q, eps, bd, bq = jax.lax.fori_loop(0, chunk, body, carry)
+        id_out[:] = i_d
+        iq_out[:] = i_q
+        eps_out[:] = eps
+        bd_out[:] = bd
+        bq_out[:] = bq
+        if saturated:
+            vals = lut_channels(V, i_d, i_q)
+            torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+            if traj_stride is not None:
+                # chunk-final pending save shares this gather
+                traj_refs[2][chunk // traj_stride - 1] = torque
+        else:
+            torque = p15 * (psi_p + dl * i_d) * i_q
+        tq_out[:] = torque
+
+    return kernel
+
+
+def _pmsm_cl_launch(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    y0, omega, ref_leaves, pp_flat, vflat,
+):
+    """Tile the operands and launch the closed-loop PMSM kernel (primal)."""
+    batch = y0[0].shape[0]
+    if batch % TILE != 0:
+        raise ValueError(f"batch {batch} must be a multiple of {TILE}")
+    if traj_stride is not None and n_steps % traj_stride != 0:
+        raise ValueError("n_steps must be divisible by obs_stride")
+    total_rows = batch // LANES
+    rows = SUBLANES
+    n_batch_tiles = total_rows // rows
+    n_refs = len(ref_leaves)
+    n_pp = 0 if pp_flat is None else pp_flat.shape[0]
+    emit_u_last = solver.fsal
+
+    dtype = y0[0].dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    if traj_stride is None:
+        chunk = n_steps
+    else:
+        # bound the per-leaf trajectory block (7 leaves) to ~2 MB each
+        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
+        chunk = 1
+        for c in range(1, n_steps + 1):
+            if (
+                n_steps % c == 0
+                and c % traj_stride == 0
+                and c // traj_stride <= max_saves
+            ):
+                chunk = c
+        if chunk % traj_stride != 0:
+            raise ValueError("no time chunk compatible with obs_stride; use a smaller stride")
+    n_time_chunks = n_steps // chunk
+
+    state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
+    tile = lambda leaf: jnp.asarray(leaf).reshape(total_rows, LANES)
+
+    in_specs = []
+    operands = []
+    if n_pp:
+        in_specs.append(pl.BlockSpec((1, n_pp), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(pp_flat, dtype)[None, :])
+    in_specs += [state_block() for _ in range(6)]
+    operands += [tile(omega)] + [tile(leaf) for leaf in y0]
+    if saturated:
+        zeros = (0,) * vflat.ndim
+        in_specs.append(pl.BlockSpec(vflat.shape, lambda b, k, z=zeros: z, memory_space=pltpu.VMEM))
+        operands.append(vflat)
+    else:
+        in_specs.append(pl.BlockSpec((1, 2), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
+        operands.append(jnp.array([[lin[0], lin[1]]], dtype=dtype))
+    for leaf in ref_leaves:
+        in_specs.append(state_block())
+        operands.append(tile(leaf))
+
+    n_final = 6 + (2 if emit_u_last else 0)
+    out_specs = [state_block() for _ in range(n_final)]
+    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_final)]
+    if traj_stride is not None:
+        saves_per_chunk = chunk // traj_stride
+        n_saves = n_steps // traj_stride
+        out_specs += [
+            pl.BlockSpec((saves_per_chunk, rows, LANES), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM)
+            for _ in range(7)
+        ]
+        out_shape += [jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype) for _ in range(7)]
+
+    kernel = _make_cl_kernel(
+        chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
+        gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
+        act_norms, u_dc, emit_u_last,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_batch_tiles, n_time_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+    final = tuple(o.reshape(batch) for o in out[:6])
+    u_last = tuple(o.reshape(batch) for o in out[6:n_final]) if emit_u_last else None
+    if traj_stride is None:
+        return final, None, u_last
+    n_saves = n_steps // traj_stride
+    traj = tuple(
+        jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in out[n_final:]
+    )
+    return final, traj, u_last
+
+
+def _plain_pmsm_cl_step(
+    saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
+    deadtime, obs_norms, act_norms, u_dc,
+):
+    """The closed-loop kernel's per-step computation in plain (differentiable)
+    JAX over ``(B,)`` leaves; returns ``(carry1, (a_d, a_q, u_con_d,
+    u_con_q))``."""
+    ode, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
+
+    def norm(leaf, idx):
+        mn, mx = obs_norms[idx]
+        return 2 * (leaf - mn) / (mx - mn) - 1
+
+    def step(carry, t_step, refs, pparams, omega):
+        i_d, i_q, eps, bd, bq = carry
+        torque = torque_fn((i_d, i_q))
+        obs = (
+            norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
+            jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
+        ) + refs
+        a = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+        a_d, a_q = a[0], a[1]
+        u_con_d, u_con_q = _hex_constrain(
+            a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime
+        )
+        if deadtime:
+            u_app = (bd, bq)
+            bd1, bq1 = u_con_d, u_con_q
+        else:
+            u_app = (u_con_d, u_con_q)
+            bd1, bq1 = bd, bq
+        i_d1, i_q1 = _rk_step(
+            lambda tt, yy, act: ode(tt, yy, act, omega),
+            solver, (i_d, i_q), u_app, tau, 0.0,
+        )
+        rate = _eps_rate(solver, omega)
+        eps1 = eps + tau * rate
+        eps1 = ((eps1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        return (i_d1, i_q1, eps1, bd1, bq1), (a_d, a_q, u_con_d, u_con_q)
+
+    return step
+
+
+_N_PMSM_CL_STATIC = 17
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_CL_STATIC)))
+def _pmsm_cl_core(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+):
+    """Differentiable closed-loop core: one kernel launch forward; backward
+    by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
+    scheme as :func:`_pmsm_core_diff` / ``stepper._cl_core``).  Cotangents
+    flow to the initial state planes, omega, the normalized references and
+    the policy-parameter vector; the FSAL ``u_last`` outputs are
+    informational (zero pull-back, like the scan's re-initialized carry)."""
+    return _pmsm_cl_launch(
+        n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride,
+        gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
+        u_dc, y0, omega, ref_leaves, pp_flat, vflat,
+    )
+
+
+def _pmsm_cl_core_fwd(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+):
+    from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
+
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    final, saves, u_last = _pmsm_cl_launch(
+        n_steps, tau, saturated, solver, r_s, lin, p15, geom, ckpt,
+        gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
+        u_dc, y0, omega, ref_leaves, pp_flat, vflat,
+    )
+    if traj_stride is None:
+        out = (final, None, u_last)
+    else:
+        skip = traj_stride // ckpt
+        out = (final, tuple(s[:, skip - 1 :: skip] for s in saves), u_last)
+    return out, (y0, omega, ref_leaves, pp_flat, lut_vals, saves)
+
+
+def _pmsm_cl_core_bwd(
+    n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
+    interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    res, g,
+):
+    from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
+
+    y0, omega, ref_leaves, pp_flat, lut_vals, saves = res
+    g_final, g_traj, _g_u_last = g  # u_last: informational FSAL carry
+    batch = y0[0].shape[0]
+    dtype = y0[0].dtype
+    ckpt = _ckpt_stride(n_steps, traj_stride)
+    n_seg = n_steps // ckpt
+    has_pp = pp_flat is not None
+    save_id, save_iq, _save_tq, save_ucd, save_ucq, _sa, _sb = saves
+
+    _, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
+    inner = _plain_pmsm_cl_step(
+        saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
+        deadtime, obs_norms, act_norms, u_dc,
+    )
+
+    # pre-step electrical angles (state-independent replay, as everywhere)
+    rate = _eps_rate(solver, omega)
+
+    def eps_body(eps, _):
+        nxt = eps + tau * rate
+        nxt = ((nxt + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        return nxt, eps
+
+    _, eps_seq = jax.lax.scan(eps_body, y0[2], None, length=n_steps, unroll=8)
+    eps_starts = eps_seq[::ckpt]  # (n_seg, B)
+
+    # segment-start carries: currents from the checkpoints; buffers are the
+    # previous segment-end constrained voltages under deadtime, else frozen
+    id_starts = jnp.concatenate([y0[0][None], jnp.moveaxis(save_id[:, :-1], 1, 0)], axis=0)
+    iq_starts = jnp.concatenate([y0[1][None], jnp.moveaxis(save_iq[:, :-1], 1, 0)], axis=0)
+    if deadtime:
+        bd_starts = jnp.concatenate([y0[3][None], jnp.moveaxis(save_ucd[:, :-1], 1, 0)], axis=0)
+        bq_starts = jnp.concatenate([y0[4][None], jnp.moveaxis(save_ucq[:, :-1], 1, 0)], axis=0)
+    else:
+        bd_starts = jnp.broadcast_to(y0[3][None], (n_seg, batch))
+        bq_starts = jnp.broadcast_to(y0[4][None], (n_seg, batch))
+    starts = (id_starts, iq_starts, eps_starts, bd_starts, bq_starts)
+    ts_seg = jnp.asarray(np.arange(n_steps, dtype=np.int64).reshape(n_seg, ckpt))
+
+    # final-state cotangent: torque output pulls back through the pointwise
+    # map at the final currents
+    g_id_f, g_iq_f, g_eps_f, g_bd_f, g_bq_f, g_tq_f = g_final
+    y_final = (save_id[:, -1], save_iq[:, -1])
+    _, tq_vjp = jax.vjp(torque_fn, y_final)
+    (g_from_tq,) = tq_vjp(g_tq_f)
+    g_y = (g_id_f + g_from_tq[0], g_iq_f + g_from_tq[1], g_eps_f, g_bd_f, g_bq_f)
+
+    # per-save cotangents scattered onto their segments
+    zeros_seg = lambda: jnp.zeros((n_seg, batch), dtype=dtype)
+    if g_traj is not None:
+        g_id_t, g_iq_t, g_tq_t, g_ucd_t, g_ucq_t, g_ad_t, g_aq_t = g_traj
+        skip = traj_stride // ckpt
+        save_states = (
+            jnp.moveaxis(save_id, 1, 0)[skip - 1 :: skip],
+            jnp.moveaxis(save_iq, 1, 0)[skip - 1 :: skip],
+        )
+
+        def tq_pull(y, gt):
+            _, vf = jax.vjp(torque_fn, y)
+            return vf(gt)[0]
+
+        g_tq_pull = jax.vmap(tq_pull)(save_states, jnp.moveaxis(g_tq_t, 1, 0))
+        scatter = lambda leaf: zeros_seg().at[skip - 1 :: skip].set(leaf)
+        g_save_seg = (
+            scatter(jnp.moveaxis(g_id_t, 1, 0) + g_tq_pull[0]),
+            scatter(jnp.moveaxis(g_iq_t, 1, 0) + g_tq_pull[1]),
+            zeros_seg(),  # saved angles are reconstructed outside the kernel
+            zeros_seg(),
+            zeros_seg(),
+        )
+        g_aux_seg = tuple(
+            scatter(jnp.moveaxis(leaf, 1, 0))
+            for leaf in (g_ad_t, g_aq_t, g_ucd_t, g_ucq_t)
+        )
+    else:
+        g_save_seg = tuple(zeros_seg() for _ in range(5))
+        g_aux_seg = tuple(zeros_seg() for _ in range(4))
+
+    def seg_apply(y_start, t_s, refs, pp, om):
+        ppy = pp_treedef(pp) if has_pp else None
+
+        def body(carry, t_step):
+            carry1, aux = inner(carry, t_step, refs, ppy, om)
+            return carry1, aux
+
+        y_end, aux_all = jax.lax.scan(body, y_start, t_s)
+        # only the segment's last step can be a save (ckpt divides traj_stride)
+        a_d, a_q, ucd, ucq = (leaf[-1] for leaf in aux_all)
+        return y_end, (a_d, a_q, ucd, ucq)
+
+    g_refs0 = tuple(jnp.zeros_like(jnp.asarray(r)) for r in ref_leaves)
+    g_pp0 = jnp.zeros_like(pp_flat) if has_pp else jnp.zeros((0,), dtype)
+    g_om0 = jnp.zeros_like(omega)
+
+    def bwd_body(carry, xs):
+        g_y, g_refs, g_pp, g_om = carry
+        start_s, t_s, g_save_s, g_aux_s = xs
+        g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
+        _, vjp_fn = jax.vjp(
+            lambda y, r, pp, om: seg_apply(y, t_s, r, pp, om),
+            start_s, ref_leaves,
+            pp_flat if has_pp else jnp.zeros((0,), dtype), omega,
+        )
+        gy_in, gr, gpp, gom = vjp_fn((g_y, g_aux_s))
+        g_refs = tuple(a + b for a, b in zip(g_refs, gr))
+        return (gy_in, g_refs, g_pp + gpp, g_om + gom), None
+
+    (g_y0, g_refs, g_pp, g_omega), _ = jax.lax.scan(
+        bwd_body,
+        (g_y, g_refs0, g_pp0, g_om0),
+        (starts, ts_seg, g_save_seg, g_aux_seg),
+        reverse=True,
+    )
+    return (
+        g_y0,
+        g_omega,
+        g_refs,
+        g_pp if has_pp else None,
+        None,
+        jnp.zeros_like(lut_vals),
+    )
+
+
+_pmsm_cl_core.defvjp(_pmsm_cl_core_fwd, _pmsm_cl_core_bwd)
+
+
+def supports_pmsm_fused_closed_loop(env) -> bool:
+    """Scope of the closed-loop PMSM kernel: :func:`supports_pmsm_fused`
+    plus scalar physical normalizations (they fold into the in-kernel
+    observation arithmetic as compile-time constants)."""
+    if not supports_pmsm_fused(env):
+        return False
+    norms = jax.tree_util.tree_leaves(env.env_properties.physical_normalizations)
+    return all(np.isscalar(leaf) for leaf in norms)
+
+
+def pmsm_fused_closed_loop(
+    env,
+    init_state,
+    policy,
+    n_steps: int,
+    obs_stride: int = None,
+    gather: str = "int8",
+    interpret: bool = False,
+    return_traj_states: bool = False,
+    policy_params=None,
+):
+    """Closed-loop PMSM rollout with the policy evaluated INSIDE the fused
+    drive kernel.
+
+    ``policy(obs_tuple, step[, params]) -> (a_d, a_q)`` runs on ``(rows,
+    128)`` tiles every control step; the observation tuple follows
+    :meth:`PMSM.generate_observation`'s column order — normalized ``(i_d,
+    i_q, omega_el, torque)``, raw ``(cos_eps, sin_eps)``, normalized
+    buffers, then the normalized tracked references (constant along the
+    rollout).  The inverter constraint (Park rotation at the deadtime-
+    advanced angle, hexagon sector clip) is applied to the policy's action
+    in-kernel; under deadtime the constrained voltage enters the carried
+    buffer while the buffered voltage drives the plant — exactly
+    :meth:`PMSM.step`'s semantics (reference ``pmsm_env.py:851-883``).
+
+    With ``policy_params`` the policy signature is ``policy(obs, t,
+    params)`` and the rollout is differentiable w.r.t. the parameter
+    pytree, the initial state and the references (checkpointed-recompute
+    VJP).  Returns ``(obs, final_state)``, or with ``obs_stride``
+    ``(obs_traj, actions_traj, final_state)`` (``actions_traj`` the
+    normalized policy outputs); ``return_traj_states`` additionally yields
+    the reconstructed per-save states.  Raises out of scope — a closed loop
+    has no open-loop fallback (use ``RolloutCollector.collect_policy``).
+    """
+    if not supports_pmsm_fused_closed_loop(env):
+        raise ValueError(
+            "pmsm_fused_closed_loop out of kernel scope (requires "
+            "supports_pmsm_fused plus scalar physical normalizations); use "
+            "RolloutCollector.collect_policy for the scan path"
+        )
+    impl = env.__dict__.get("_pmsm_cl_impl")
+    if impl is None:
+        impl = jax.jit(
+            functools.partial(_pmsm_cl_impl, env),
+            static_argnames=(
+                "policy", "n_steps", "obs_stride", "gather", "interpret",
+                "return_traj_states",
+            ),
+        )
+        env.__dict__["_pmsm_cl_impl"] = impl
+    return impl(
+        init_state,
+        policy_params,
+        policy=policy,
+        n_steps=n_steps,
+        obs_stride=obs_stride,
+        gather=gather,
+        interpret=interpret,
+        return_traj_states=return_traj_states,
+    )
+
+
+def _pmsm_cl_impl(
+    env, init_state, policy_params, *, policy, n_steps, obs_stride, gather,
+    interpret, return_traj_states,
+):
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import _cached_unravel
+
+    props = env.env_properties
+    params = props.static_params
+    deadtime = int(params.deadtime)
+    saturated = bool(props.saturated)
+    phys = init_state.physical_state
+    dtype = jnp.asarray(phys.i_d).dtype
+    batch = env.batch_size
+
+    f = lambda v: float(np.asarray(v, dtype=dtype))
+    r_s = f(params.r_s)
+    u_dc = f(params.u_dc)
+    p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
+    if saturated:
+        lin = (1.0, 1.0, 0.0, 0.0)
+        lut = env._lut
+        if gather == "int8" and dtype == jnp.float32:
+            vflat = jnp.asarray(_split_int8x4(_lut_operand(lut, np.float32)))
+        elif gather == "dot" and dtype == jnp.float32:
+            vflat = jnp.asarray(_split_bf16x3(_lut_operand(lut, np.float32)))
+        else:
+            vflat = jnp.asarray(_lut_operand(lut, dtype))
+        geom = (
+            f(lut.x0), f(lut.dx), f(lut.y0), f(lut.dy),
+            int(lut.nx), int(lut.ny),
+            _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
+        )
+    else:
+        l_d, l_q, psi_p = f(params.l_d), f(params.l_q), f(params.psi_p)
+        dl = float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype))
+        lin = (l_d, l_q, psi_p, dl)
+        vflat = None
+        geom = None
+
+    pn = props.physical_normalizations
+    obs_norms = tuple(
+        (float(getattr(pn, name).min), float(getattr(pn, name).max))
+        for name in ("i_d", "i_q", "omega_el", "torque", "u_d_buffer", "u_q_buffer")
+    )
+    an = props.action_normalizations
+    act_norms = (
+        (float(an.u_d.min), float(an.u_d.max)),
+        (float(an.u_q.min), float(an.u_q.max)),
+    )
+
+    proto = jnp.zeros(batch, dtype=dtype)
+    bcast = lambda leaf: jnp.broadcast_to(jnp.asarray(leaf, dtype), proto.shape)
+    omega = bcast(phys.omega_el)
+    y0 = (
+        bcast(phys.i_d), bcast(phys.i_q), bcast(phys.epsilon),
+        bcast(phys.u_d_buffer), bcast(phys.u_q_buffer),
+    )
+    # normalized tracked references, constant along the rollout
+    ref_leaves = tuple(
+        bcast(getattr(pn, name).normalize(jnp.asarray(getattr(init_state.reference, name))))
+        for name in env.control_state
+    )
+
+    pp_flat = pp_unravel = None
+    if policy_params is not None:
+        pp_flat, pp_unravel = _cached_unravel(policy_params)
+
+    lut_vals = (
+        jnp.asarray(env._lut.values, dtype) if saturated else jnp.zeros((0,), dtype)
+    )
+    final, traj, u_last = _pmsm_cl_core(
+        n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
+        obs_stride, gather, interpret, policy, pp_unravel, deadtime,
+        obs_norms, act_norms, u_dc,
+        y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+    )
+    i_d, i_q, eps_final, buf_d, buf_q, torque = final
+
+    solver_state = None
+    if u_last is not None:
+        # informational FSAL carry (step() re-initializes it) — kept out of
+        # the differentiation path like the scan's fresh-init semantics
+        u_app_last = jax.lax.stop_gradient(jnp.stack(u_last, axis=1))
+        solver_state = _pmsm_final_solver_state(
+            env, saturated,
+            jax.lax.stop_gradient(i_d), jax.lax.stop_gradient(i_q),
+            jax.lax.stop_gradient(eps_final), u_app_last, omega,
+        )
+    final_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(
+            u_d_buffer=buf_d,
+            u_q_buffer=buf_q,
+            epsilon=eps_final,
+            i_d=i_d,
+            i_q=i_q,
+            torque=torque,
+            omega_el=omega,
+        ),
+        additions=env.Additions(
+            solver_state=solver_state,
+            active_solver_state=jnp.full(batch, True),
+        ),
+    )
+    obs_final = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        final_state, props
+    )
+    if obs_stride is None:
+        return obs_final, final_state
+
+    i_d_t, i_q_t, torque_t, ucd_t, ucq_t, a_d_t, a_q_t = traj
+    n_saves = n_steps // obs_stride
+
+    # saved post-step angles: the same state-independent replay as the
+    # open-loop trajectory reconstruction (bitwise vs the scan path's angles)
+    rate = _eps_rate(env._solver, omega)
+
+    def body(eps, _):
+        eps = eps + env.tau * rate
+        eps = ((eps + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        return eps, eps
+
+    _, eps_seq = jax.lax.scan(body, y0[2], None, length=n_steps, unroll=8)
+    eps_saves = jnp.moveaxis(eps_seq[obs_stride - 1 :: obs_stride], 0, 1)
+
+    if deadtime:
+        buf_d_t, buf_q_t = ucd_t, ucq_t
+    else:
+        buf_d_t = jnp.broadcast_to(y0[3][:, None], (batch, n_saves))
+        buf_q_t = jnp.broadcast_to(y0[4][:, None], (batch, n_saves))
+
+    traj_state = structures.replace(
+        init_state,
+        physical_state=env.PhysicalState(
+            u_d_buffer=buf_d_t,
+            u_q_buffer=buf_q_t,
+            epsilon=eps_saves,
+            i_d=i_d_t,
+            i_q=i_q_t,
+            torque=torque_t,
+            omega_el=jnp.broadcast_to(omega[:, None], (batch, n_saves)),
+        ),
+        PRNGKey=(
+            lambda key: jnp.broadcast_to(key[:, None, ...], (batch, n_saves) + key.shape[1:])
+        )(jnp.asarray(init_state.PRNGKey)),
+        additions=env.Additions(
+            solver_state=None,
+            active_solver_state=jnp.full((batch, n_saves), True),
+        ),
+        reference=jax.tree_util.tree_map(
+            lambda leaf: jnp.broadcast_to(jnp.asarray(leaf)[:, None], (batch, n_saves)),
+            init_state.reference,
+        ),
+    )
+    obs_traj = jax.vmap(
+        jax.vmap(env.generate_observation, in_axes=(0, None)),
+        in_axes=(0, env.in_axes_env_properties),
+    )(traj_state, props)
+    actions_traj = jnp.stack([a_d_t, a_q_t], axis=-1)
+    if return_traj_states:
+        return obs_traj, actions_traj, traj_state, final_state
+    return obs_traj, actions_traj, final_state

@@ -579,7 +579,7 @@ class CoreEnvironment:
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
-                          policy_params=None):
+                          policy_params=None, return_traj_states: bool = False):
         """Closed-loop rollout with the policy evaluated INSIDE the fused
         Pallas kernel on (rows, 128) tiles — the whole observation -> action
         -> step loop VMEM-resident, zero action traffic (see
@@ -592,7 +592,7 @@ class CoreEnvironment:
         return env_fused_closed_loop(
             self, init_state, policy, n_steps,
             obs_stride=obs_stride, interpret=interpret,
-            policy_params=policy_params,
+            policy_params=policy_params, return_traj_states=return_traj_states,
         )
 
     @partial(jax.jit, static_argnums=0)

@@ -634,6 +634,27 @@ class PMSM(CoreEnvironment):
             obs = obs[:, ::obs_stride]
         return obs, last
 
+    def fused_closed_loop(self, init_state, policy, n_steps: int,
+                          obs_stride: int = None, interpret: bool = False,
+                          policy_params=None, return_traj_states: bool = False,
+                          gather: str = "int8"):
+        """Closed-loop rollout with the policy evaluated INSIDE the fused
+        drive kernel: the inverter constraint moves in-kernel and angle +
+        deadtime buffers become VMEM-carried planes (see
+        :func:`...ops.pallas.pmsm_stepper.pmsm_fused_closed_loop` for the
+        tile-policy/observation contract).  Differentiable w.r.t.
+        ``policy_params``; raises out of kernel scope (no open-loop
+        fallback)."""
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+            pmsm_fused_closed_loop,
+        )
+
+        return pmsm_fused_closed_loop(
+            self, init_state, policy, n_steps,
+            obs_stride=obs_stride, gather=gather, interpret=interpret,
+            return_traj_states=return_traj_states, policy_params=policy_params,
+        )
+
     def fast_rollout(self, init_state, actions, time_major: bool = False,
                      interpret: bool = False, gather: str = "dot"):
         """Trig-free fast-math rollout (rotation-carry semantics) through the

@@ -1408,12 +1408,17 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
     alpha = ca * nd + sa * nq
     beta = -sa * nd + ca * nq
 
-    angle = jnp.arctan2(beta, alpha)
+    # Sector bits: sign of sin(atan2(beta, alpha) - k*120deg).  Mosaic has no
+    # atan2 lowering, so use the algebraically identical linear test
+    # r*sin(theta - c) = beta*cos(c) - alpha*sin(c) with r = |(alpha, beta)| > 0
+    # (cos(120deg) = -1/2 exact; rounding differs from the scan's
+    # transcendental form only within ~1 ulp of a sector boundary — the
+    # measure-zero branch discontinuity discussed above).
     dtype = alpha.dtype
-    cks = 2 / 3 * np.pi * np.arange(3)
-    b0 = (jnp.sin(angle - cks[0]) >= 0).astype(dtype)
-    b1 = (jnp.sin(angle - cks[1]) >= 0).astype(dtype)
-    b2 = (jnp.sin(angle - cks[2]) >= 0).astype(dtype)
+    s120 = np.sqrt(3.0) / 2
+    b0 = (beta >= 0).astype(dtype)
+    b1 = (-0.5 * beta - s120 * alpha >= 0).astype(dtype)
+    b2 = (-0.5 * beta + s120 * alpha >= 0).astype(dtype)
     rot_re = _multilinear_table(ROTATION_RE, b0, b1, b2)
     rot_im = _multilinear_table(ROTATION_IM, b0, b1, b2)
     ra = alpha * rot_re - beta * rot_im

@@ -128,7 +128,10 @@ class ShardedEnv:
             shadow = object.__new__(type(self.env))
             shadow.__dict__.update(self.env.__dict__)
             shadow.batch_size = local_batch
-            for key in ("_pmsm_fused_impl", "_pmsm_fused_sim_ahead_impl", "_fused_tile_ode"):
+            for key in (
+                "_pmsm_fused_impl", "_pmsm_fused_sim_ahead_impl",
+                "_pmsm_cl_impl", "_fused_tile_ode",
+            ):
                 shadow.__dict__.pop(key, None)
             self._fused_shadow = shadow
         return shadow
@@ -339,13 +342,22 @@ class ShardedEnv:
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
         elementwise over tiles, so sharding it is trivially zero-communication.
         Raises out of scope — a closed loop has no open-loop fallback."""
+        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+            pmsm_fused_closed_loop,
+            supports_pmsm_fused_closed_loop,
+        )
         from exciting_environments_tpu.ops.pallas.stepper import (
             env_fused_closed_loop,
             supports_fused_closed_loop,
         )
 
         env = self.env
-        if not (supports_fused_closed_loop(env) and (env.batch_size // self.mesh.size) % 1024 == 0):
+        is_pmsm = hasattr(env, "constraint_denormalization")
+        in_scope = (
+            supports_pmsm_fused_closed_loop(env) if is_pmsm
+            else supports_fused_closed_loop(env)
+        )
+        if not (in_scope and (env.batch_size // self.mesh.size) % 1024 == 0):
             raise ValueError(
                 "fused_closed_loop out of scope for this sharded env (kernel "
                 "scope, scalar normalizations, or per-shard tiling)"
@@ -353,6 +365,13 @@ class ShardedEnv:
         shadow = self._local_shadow()
 
         def local(state):
+            if is_pmsm:
+                return pmsm_fused_closed_loop(
+                    shadow, state, policy, n_steps,
+                    obs_stride=obs_stride, interpret=interpret,
+                    gather="take" if interpret else "int8",
+                    policy_params=policy_params,
+                )
             return env_fused_closed_loop(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,

@@ -253,3 +253,78 @@ def test_policy_gradient_through_closed_loop_kernel():
         g = jax.grad(loss_fused)(p)
         p = {k: v - 2.0 * g[k] for k, v in p.items()}
     assert float(loss_fused(p)) < l0
+
+
+@pytest.mark.slow
+def test_pmsm_policy_gradient_through_closed_loop_kernel():
+    """Policy gradients through the closed-loop DRIVE kernel: parameter
+    gradients of a current-tracking loss match the scan closed loop (which
+    backprops through PMSM.step's inverter constraint + magnetics) and a few
+    descent steps improve tracking.  Saturated BRUSA exercises the LUT-gather
+    VJP inside the recompute segments."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_closed_loop
+
+    B, T = 1024, 8
+    env = excenvs.PMSM(
+        batch_size=B, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        control_state=["i_d", "i_q"],
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), B))
+    s0 = structures.replace(
+        s0,
+        reference=structures.replace(
+            s0.reference,
+            i_d=jnp.linspace(-200.0, -10.0, B),
+            i_q=jnp.linspace(-150.0, 150.0, B),
+        ),
+    )
+
+    def policy(obs, t, p):
+        a_d = -p["kd"] * (obs[0] - obs[8]) - p["kx"] * obs[1]
+        a_q = -p["kq"] * (obs[1] - obs[9]) + p["kx"] * obs[0]
+        return (a_d, a_q)
+
+    params = {"kd": jnp.asarray(0.6), "kq": jnp.asarray(0.6), "kx": jnp.asarray(0.05)}
+
+    def loss_fused(p):
+        obs, acts, _ = pmsm_fused_closed_loop(
+            env, s0, policy, T, obs_stride=1, gather="take", interpret=True,
+            policy_params=p,
+        )
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 8]) ** 2 + (obs[:, :, 1] - obs[:, :, 9]) ** 2)
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def loss_scan(p):
+        def body(carry, _):
+            st, obs = carry
+            a = jnp.stack(
+                (
+                    -p["kd"] * (obs[:, 0] - obs[:, 8]) - p["kx"] * obs[:, 1],
+                    -p["kq"] * (obs[:, 1] - obs[:, 9]) + p["kx"] * obs[:, 0],
+                ),
+                axis=-1,
+            )
+            obs, st = step_b(st, a, env.env_properties)
+            return (st, obs), obs
+
+        (_, _), obs_t = jax.lax.scan(body, (s0, obs0), None, length=T)
+        obs_t = jnp.swapaxes(obs_t, 0, 1)
+        return jnp.mean(
+            (obs_t[:, :, 0] - obs_t[:, :, 8]) ** 2 + (obs_t[:, :, 1] - obs_t[:, :, 9]) ** 2
+        )
+
+    gf = jax.grad(loss_fused)(params)
+    gs = jax.grad(loss_scan)(params)
+    for k in params:
+        assert abs(float(gf[k]) - float(gs[k])) <= 1e-9 * max(abs(float(gs[k])), 1e-9), k
+
+    p = dict(params)
+    l0 = float(loss_fused(p))
+    for _ in range(8):
+        g = jax.grad(loss_fused)(p)
+        p = {k: v - 0.5 * g[k] for k, v in p.items()}
+    assert float(loss_fused(p)) < l0

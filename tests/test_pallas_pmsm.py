@@ -335,3 +335,90 @@ def test_fused_pmsm_int8_gather_exact():
             np.asarray(getattr(last_i.physical_state, n)),
             np.asarray(getattr(last_t.physical_state, n)), err_msg=n,
         )
+
+
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [
+        (False, excenvs.MotorVariant.DEFAULT),
+        (True, excenvs.MotorVariant.BRUSA),
+    ],
+)
+@pytest.mark.slow
+def test_pmsm_fused_closed_loop_matches_scan(saturated, variant):
+    """The policy-in-kernel closed drive loop equals a scan closed loop
+    driving the same PI-style current controller through vmap_step
+    (reference semantics bar: the GymWrapper loop, gym_wrapper.py:88-130,
+    with PMSM.step's inverter constraint, pmsm_env.py:851-883)."""
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=saturated, motor_variant=variant,
+        control_state=["i_d", "i_q"],
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(30), BATCH))
+    s0 = structures.replace(
+        s0,
+        reference=structures.replace(
+            s0.reference,
+            i_d=jnp.linspace(-200.0, -10.0, BATCH),
+            i_q=jnp.linspace(-150.0, 150.0, BATCH),
+        ),
+    )
+
+    def policy_tile(obs, t):
+        a_d = -0.7 * (obs[0] - obs[8]) - 0.1 * obs[1]
+        a_q = -0.7 * (obs[1] - obs[9]) + 0.1 * obs[0]
+        return (a_d, a_q)
+
+    obs_f, acts_f, last_f = env.fused_closed_loop(
+        s0, policy_tile, T, obs_stride=1, interpret=True, gather="take"
+    )
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        st, obs = carry
+        a = jnp.stack(
+            (
+                -0.7 * (obs[:, 0] - obs[:, 8]) - 0.1 * obs[:, 1],
+                -0.7 * (obs[:, 1] - obs[:, 9]) + 0.1 * obs[:, 0],
+            ),
+            axis=-1,
+        )
+        obs, st = step_b(st, a, env.env_properties)
+        return (st, obs), (obs, a)
+
+    (last_s, _), (obs_s, acts_s) = jax.lax.scan(body, (s0, obs0), None, length=T)
+    obs_s = jnp.swapaxes(obs_s, 0, 1)
+    acts_s = jnp.swapaxes(acts_s, 0, 1)
+    assert bool(jnp.isfinite(obs_s).all()), "scan reference produced non-finite obs"
+    assert bool(jnp.isfinite(obs_f).all()), "kernel produced non-finite obs"
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=1e-9, atol=1e-9)
+    _assert_state_close(last_s, last_f, rtol=1e-9, atol=1e-9)
+
+    # final-only mode agrees with the last saved observation
+    obs_fin, last_fin = env.fused_closed_loop(
+        s0, policy_tile, T, interpret=True, gather="take"
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_fin), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_pmsm_fused_closed_loop_out_of_scope_raises():
+    """A closed loop has no open-loop fallback: out-of-scope envs raise."""
+    small = excenvs.PMSM(
+        batch_size=16, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        control_state=["i_d", "i_q"],
+    )
+    _, ss = small.vmap_reset(jax.random.split(jax.random.PRNGKey(5), 16))
+
+    def policy_tile(obs, t):
+        return (-0.5 * obs[0], -0.5 * obs[1])
+
+    with pytest.raises(ValueError, match="scope"):
+        small.fused_closed_loop(ss, policy_tile, 4, interpret=True)

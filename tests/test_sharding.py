@@ -474,3 +474,52 @@ def test_sharded_fused_closed_loop(mesh):
     obs_s = jnp.swapaxes(obs_s, 0, 1)
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
     assert not last_f.physical_state.theta.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_sharded_pmsm_fused_closed_loop(mesh):
+    """The closed-loop DRIVE kernel routes per shard (linear magnetics, 8
+    shards x 1024 rows) and matches the single-device scan closed loop."""
+    from exciting_environments_tpu.core import structures
+
+    batch, T = 8192, 4
+    env = excenvs.PMSM(
+        batch_size=batch, motor_variant=excenvs.MotorVariant.DEFAULT,
+        control_state=["i_d", "i_q"],
+    )
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(11), batch))
+    state = structures.replace(
+        state,
+        reference=structures.replace(
+            state.reference,
+            i_d=jnp.linspace(-200.0, -10.0, batch),
+            i_q=jnp.linspace(-150.0, 150.0, batch),
+        ),
+    )
+    state = senv.shard(state)
+
+    def policy_tile(obs, t):
+        return (-0.6 * (obs[0] - obs[8]), -0.6 * (obs[1] - obs[9]))
+
+    obs_f, acts_f, last_f = senv.fused_closed_loop(
+        state, policy_tile, T, obs_stride=1, interpret=True
+    )
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        st, obs = carry
+        a = jnp.stack(
+            (-0.6 * (obs[:, 0] - obs[:, 8]), -0.6 * (obs[:, 1] - obs[:, 9])), axis=-1
+        )
+        obs, st = step_b(st, a, env.env_properties)
+        return (st, obs), obs
+
+    (_, _), obs_s = jax.lax.scan(body, (state, obs0), None, length=T)
+    obs_s = jnp.swapaxes(obs_s, 0, 1)
+    assert bool(jnp.isfinite(obs_s).all())
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-9, atol=1e-9)
+    assert not last_f.physical_state.i_d.sharding.is_fully_replicated

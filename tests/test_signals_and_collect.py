@@ -163,3 +163,48 @@ def test_collect_policy_fused_matches_scan_collector():
         b = np.asarray(getattr(tb_f, name)).astype(np.float64)
         assert a.shape == b.shape, (name, a.shape, b.shape)
         np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+@pytest.mark.slow
+def test_collector_policy_fused_pmsm():
+    """collect_policy_fused routes PMSM through the closed-loop drive kernel;
+    observations equal the kernel's and rewards/flags are evaluated on the
+    reconstructed per-step states."""
+    from exciting_environments_tpu.core import structures
+
+    B, T = 1024, 6
+    env = excenvs.PMSM(
+        batch_size=B, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        control_state=["i_d", "i_q"],
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(21), B))
+    s0 = structures.replace(
+        s0,
+        reference=structures.replace(
+            s0.reference,
+            i_d=jnp.linspace(-200.0, -10.0, B),
+            i_q=jnp.linspace(-150.0, 150.0, B),
+        ),
+    )
+
+    def policy_tile(obs, t):
+        return (-0.6 * (obs[0] - obs[8]), -0.6 * (obs[1] - obs[9]))
+
+    traj, final_state = RolloutCollector(env).collect_policy_fused(
+        policy_tile, s0, T, interpret=True
+    )
+    assert traj.observations.shape == (B, T, len(env.obs_description))
+    assert traj.actions.shape == (B, T, 2)
+    assert traj.rewards.shape == (B, T, 1)
+    assert bool(jnp.isfinite(traj.observations).all())
+    assert bool(jnp.isfinite(traj.rewards).all())
+
+    obs_k, acts_k, last_k = env.fused_closed_loop(
+        s0, policy_tile, T, obs_stride=1, interpret=True, gather="take"
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj.observations), np.asarray(obs_k), rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(final_state.physical_state.i_d), np.asarray(last_k.physical_state.i_d)
+    )

@@ -328,3 +328,65 @@ def test_pmsm_policy_gradient_through_closed_loop_kernel():
         g = jax.grad(loss_fused)(p)
         p = {k: v - 0.5 * g[k] for k, v in p.items()}
     assert float(loss_fused(p)) < l0
+
+
+@pytest.mark.slow
+def test_mlp_policy_in_kernel_grad_matches_scan():
+    """A small unrolled MLP as the in-kernel policy (README claim): weight
+    MATRICES ride the SMEM parameter stream via ravel_pytree, static-index
+    loops unroll the layer arithmetic over the observation planes, and
+    jax.grad w.r.t. all weights matches the scan closed loop."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    B, T, H = 1024, 6, 4
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(5), B))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, B))
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    params = {
+        "w1": 0.3 * jax.random.normal(k1, (3, H)),
+        "b1": jnp.zeros((H,)),
+        "w2": 0.3 * jax.random.normal(k2, (H,)),
+        "b2": jnp.zeros(()),
+    }
+
+    def mlp_tile(obs, t, p):
+        # obs: tuple of 3 planes -> hidden via static-index unrolled loops
+        h = [jnp.tanh(sum(obs[i] * p["w1"][i, j] for i in range(3)) + p["b1"][j])
+             for j in range(H)]
+        return (sum(h[j] * p["w2"][j] for j in range(H)) + p["b2"],)
+
+    def loss_fused(p):
+        obs, acts, _ = env_fused_closed_loop(
+            env, s0, mlp_tile, T, obs_stride=1, interpret=True, policy_params=p
+        )
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 2]) ** 2)
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def loss_scan(p):
+        def body(carry, _):
+            st, obs = carry
+            h = jnp.tanh(obs @ p["w1"] + p["b1"])
+            a = (h @ p["w2"] + p["b2"])[:, None]
+            obs, st = step_b(st, a, env.env_properties)
+            return (st, obs), obs
+
+        (_, _), obs_t = jax.lax.scan(body, (s0, obs0), None, length=T)
+        obs_t = jnp.swapaxes(obs_t, 0, 1)
+        return jnp.mean((obs_t[:, :, 0] - obs_t[:, :, 2]) ** 2)
+
+    lf, ls = float(loss_fused(params)), float(loss_scan(params))
+    assert abs(lf - ls) <= 1e-10 * max(abs(ls), 1e-10)
+    gf = jax.grad(loss_fused)(params)
+    gs = jax.grad(loss_scan)(params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(gs[k]), rtol=1e-8, atol=1e-12, err_msg=k
+        )

@@ -226,24 +226,19 @@ def run():
                 )
                 for n in ("i_d", "i_q", "epsilon", "torque", "u_d_buffer", "u_q_buffer")
             )
-            # chain the links inside ONE jit: eager links each ship their full
-            # output State back through the relay (~0.3 s apiece)
-            @jax.jit
-            def pmsm_chain(st, a_stack):
-                for i in range(len(p_actions)):
-                    st = pmsm_fused_rollout(penv, st, a_stack[i])[1]
-                return st.physical_state.i_d
-
-            a_stack = jnp.stack(p_actions)
-            out = pmsm_chain(pstate_b, a_stack)
-            jax.block_until_ready(out)
-            t_best = float("inf")
-            for rep, st0 in ((1, pstate), (2, pstate_b)):
-                t0 = time.perf_counter()
-                fence = float(jnp.mean(pmsm_chain(st0, a_stack * (1.0 + 1e-3 * rep))))
-                t_best = min(t_best, time.perf_counter() - t0)
-                _finite(fence)
-            pmsm_fused_value = BATCH * p_steps * len(p_actions) / t_best
+            # same chained-marginal methodology as every other path: each
+            # link consumes the previous link's final state (cache-proof),
+            # warm-up state never reused, hard fence on a reduced scalar.
+            # (The former hand-rolled chain timed an eagerly-compiled input
+            # multiply and warmed up behind the relay's lying
+            # block_until_ready, under-reading ~4x.)
+            _, pstate_w = penv.vmap_reset(jax.random.split(jax.random.PRNGKey(5), BATCH))
+            t_link, _ = _time_chained(
+                lambda st, a: pmsm_fused_rollout(penv, st, a)[1],
+                pstate_w, [pstate_b, pstate], p_actions,
+                lambda st: st.physical_state.i_d,
+            )
+            pmsm_fused_value = BATCH * p_steps / t_link
         except Exception:
             pass  # the secondary figure must never take down the headline
 

@@ -43,3 +43,30 @@ def rollout_path(env, obs_stepsize: float = None, action_stepsize: float = None)
     ):
         return "fused"
     return "scan"
+
+
+def select_closed_loop(env, interpret: bool):
+    """The single closed-loop kernel dispatch rule, shared by
+    :meth:`~exciting_environments_tpu.parallel.mesh.ShardedEnv.fused_closed_loop`
+    and :meth:`RolloutCollector.collect_policy_fused`.
+
+    Returns ``(kernel_fn, extra_kwargs)`` — the PMSM drive kernel with its
+    interpret-aware gather choice for in-scope PMSM envs, the generic
+    closed-loop kernel for in-scope classic envs, ``(None, {})`` when out of
+    kernel scope (a closed loop has no open-loop fallback: callers raise).
+    """
+    from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+
+    from .pmsm_stepper import (
+        pmsm_fused_closed_loop,
+        supports_pmsm_fused_closed_loop,
+    )
+    from .stepper import env_fused_closed_loop, supports_fused_closed_loop
+
+    if isinstance(env, PMSM):
+        if not supports_pmsm_fused_closed_loop(env):
+            return None, {}
+        return pmsm_fused_closed_loop, {"gather": "take" if interpret else "int8"}
+    if not supports_fused_closed_loop(env):
+        return None, {}
+    return env_fused_closed_loop, {}

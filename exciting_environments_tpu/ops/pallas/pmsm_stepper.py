@@ -1625,18 +1625,15 @@ def _pmsm_cl_launch(
     if traj_stride is None:
         chunk = n_steps
     else:
-        # bound the per-leaf trajectory block (7 leaves) to ~2 MB each
+        # bound the per-leaf trajectory block (7 leaves) to ~2 MB each;
+        # chunk = traj_stride always satisfies the constraints (n_steps is
+        # divisible by traj_stride per the check above, saves-per-chunk 1),
+        # so the search cannot come up empty
         max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
-        chunk = 1
-        for c in range(1, n_steps + 1):
-            if (
-                n_steps % c == 0
-                and c % traj_stride == 0
-                and c // traj_stride <= max_saves
-            ):
+        chunk = traj_stride
+        for c in range(traj_stride, n_steps + 1, traj_stride):
+            if n_steps % c == 0 and c // traj_stride <= max_saves:
                 chunk = c
-        if chunk % traj_stride != 0:
-            raise ValueError("no time chunk compatible with obs_stride; use a smaller stride")
     n_time_chunks = n_steps // chunk
 
     state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
@@ -1806,14 +1803,7 @@ def _pmsm_cl_core_bwd(
     )
 
     # pre-step electrical angles (state-independent replay, as everywhere)
-    rate = _eps_rate(solver, omega)
-
-    def eps_body(eps, _):
-        nxt = eps + tau * rate
-        nxt = ((nxt + jnp.pi) % (2 * jnp.pi)) - jnp.pi
-        return nxt, eps
-
-    _, eps_seq = jax.lax.scan(eps_body, y0[2], None, length=n_steps, unroll=8)
+    eps_seq, _ = _eps_trajectory(y0[2], omega, tau, n_steps, solver)
     eps_starts = eps_seq[::ckpt]  # (n_seg, B)
 
     # segment-start carries: currents from the checkpoints; buffers are the
@@ -2102,16 +2092,13 @@ def _pmsm_cl_impl(
     i_d_t, i_q_t, torque_t, ucd_t, ucq_t, a_d_t, a_q_t = traj
     n_saves = n_steps // obs_stride
 
-    # saved post-step angles: the same state-independent replay as the
-    # open-loop trajectory reconstruction (bitwise vs the scan path's angles)
-    rate = _eps_rate(env._solver, omega)
-
-    def body(eps, _):
-        eps = eps + env.tau * rate
-        eps = ((eps + jnp.pi) % (2 * jnp.pi)) - jnp.pi
-        return eps, eps
-
-    _, eps_seq = jax.lax.scan(body, y0[2], None, length=n_steps, unroll=8)
+    # saved post-step angles: _eps_trajectory's pre-step sequence shifted by
+    # one plus its final angle — the same state-independent replay the
+    # open-loop trajectory reconstruction uses (bitwise-gated vs the scan on
+    # device; on the XLA CPU backend the shared helper's unroll factor can
+    # shift FMA contraction by ~1 ulp vs the scan, within the closeness gate)
+    eps_pre, eps_final = _eps_trajectory(y0[2], omega, env.tau, n_steps, env._solver)
+    eps_seq = jnp.concatenate([eps_pre[1:], eps_final[None]], axis=0)
     eps_saves = jnp.moveaxis(eps_seq[obs_stride - 1 :: obs_stride], 0, 1)
 
     if deadtime:

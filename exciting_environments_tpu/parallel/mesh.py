@@ -342,22 +342,11 @@ class ShardedEnv:
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
         elementwise over tiles, so sharding it is trivially zero-communication.
         Raises out of scope — a closed loop has no open-loop fallback."""
-        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
-            pmsm_fused_closed_loop,
-            supports_pmsm_fused_closed_loop,
-        )
-        from exciting_environments_tpu.ops.pallas.stepper import (
-            env_fused_closed_loop,
-            supports_fused_closed_loop,
-        )
+        from exciting_environments_tpu.ops.pallas import select_closed_loop
 
         env = self.env
-        is_pmsm = hasattr(env, "constraint_denormalization")
-        in_scope = (
-            supports_pmsm_fused_closed_loop(env) if is_pmsm
-            else supports_fused_closed_loop(env)
-        )
-        if not (in_scope and (env.batch_size // self.mesh.size) % 1024 == 0):
+        kernel, extra = select_closed_loop(env, interpret)
+        if kernel is None or (env.batch_size // self.mesh.size) % 1024 != 0:
             raise ValueError(
                 "fused_closed_loop out of scope for this sharded env (kernel "
                 "scope, scalar normalizations, or per-shard tiling)"
@@ -365,17 +354,10 @@ class ShardedEnv:
         shadow = self._local_shadow()
 
         def local(state):
-            if is_pmsm:
-                return pmsm_fused_closed_loop(
-                    shadow, state, policy, n_steps,
-                    obs_stride=obs_stride, interpret=interpret,
-                    gather="take" if interpret else "int8",
-                    policy_params=policy_params,
-                )
-            return env_fused_closed_loop(
+            return kernel(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,
-                policy_params=policy_params,
+                policy_params=policy_params, **extra,
             )
 
         spec = P(self.axis_name)

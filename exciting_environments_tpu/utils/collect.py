@@ -165,26 +165,20 @@ class RolloutCollector:
 
     @partial(jax.jit, static_argnums=(0, 1, 3, 4))
     def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret, policy_params):
-        from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
-            pmsm_fused_closed_loop,
-            supports_pmsm_fused_closed_loop,
-        )
+        from exciting_environments_tpu.ops.pallas import select_closed_loop
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
 
         env = self.env
-        if hasattr(env, "constraint_denormalization") and supports_pmsm_fused_closed_loop(env):
-            obs, actions, traj_state, final_state = pmsm_fused_closed_loop(
-                env, state, policy_tile, n_steps, obs_stride=1,
-                gather="take" if interpret else "int8",
-                interpret=interpret, return_traj_states=True,
-                policy_params=policy_params,
-            )
-        else:
-            obs, actions, traj_state, final_state = env_fused_closed_loop(
-                env, state, policy_tile, n_steps, obs_stride=1,
-                interpret=interpret, return_traj_states=True,
-                policy_params=policy_params,
-            )
+        kernel, extra = select_closed_loop(env, interpret)
+        if kernel is None:
+            # out of kernel scope: let the generic entry point raise its
+            # descriptive error (a closed loop has no open-loop fallback)
+            kernel = env_fused_closed_loop
+        obs, actions, traj_state, final_state = kernel(
+            env, state, policy_tile, n_steps, obs_stride=1,
+            interpret=interpret, return_traj_states=True,
+            policy_params=policy_params, **extra,
+        )
         in_axes = env.in_axes_env_properties
         props = env.env_properties
         reward = jax.vmap(

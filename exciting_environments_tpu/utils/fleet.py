@@ -97,6 +97,74 @@ def _select_rollout(env_or_sharded, interpret: bool):
     return run, env, "scan"
 
 
+def _select_closed_loop(env_or_sharded, policy, interpret: bool):
+    """The fastest supported CLOSED-loop path as ``(state, n_steps,
+    policy_params) -> (final_obs, final_state)`` plus its name (one of
+    ``"sharded_closed_loop"``, ``"pmsm_closed_loop_fused"``,
+    ``"closed_loop_fused"``, ``"closed_loop_scan"``).
+
+    The policy keeps the tile contract everywhere — ``policy(obs_tuple,
+    step[, params]) -> action component tuple`` with ``obs_tuple`` indexable
+    per observation column — so the same policy runs in-kernel and, for
+    out-of-scope environments, over ``(B,)`` observation columns in the scan
+    fallback (elementwise policies behave identically on both shapes).
+    """
+    import functools
+
+    from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+    from exciting_environments_tpu.ops.pallas import select_closed_loop
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    if isinstance(env_or_sharded, ShardedEnv):
+        senv = env_or_sharded
+
+        def run(state, n_steps, policy_params):
+            return senv.fused_closed_loop(
+                state, policy, n_steps, interpret=interpret,
+                policy_params=policy_params,
+            )
+
+        return run, senv.env, "sharded_closed_loop"
+
+    env = env_or_sharded
+    kernel, extra = (
+        select_closed_loop(env, interpret)
+        if (interpret or jax.default_backend() != "cpu")
+        else (None, {})
+    )
+    if kernel is not None:
+
+        def run(state, n_steps, policy_params):
+            return kernel(
+                env, state, policy, n_steps, interpret=interpret,
+                policy_params=policy_params, **extra,
+            )
+
+        name = "pmsm_closed_loop_fused" if isinstance(env, PMSM) else "closed_loop_fused"
+        return run, env, name
+
+    # scan fallback: the tile policy runs on (B,) observation columns
+    in_ax = env.in_axes_env_properties
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(state, n_steps, policy_params):
+        props = env.env_properties
+        obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
+        step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+        def body(carry, t):
+            st, obs = carry
+            cols = tuple(obs[:, i] for i in range(obs.shape[1]))
+            a = policy(cols, t, policy_params) if policy_params is not None else policy(cols, t)
+            obs, st = step_b(st, jnp.stack(a, axis=-1), props)
+            return (st, obs), None
+
+        (last, obs), _ = jax.lax.scan(body, (state, obs0), jnp.arange(n_steps))
+        return obs, last
+
+    return run, env, "closed_loop_scan"
+
+
 class FleetRunner:
     """Chunked fleet data-generation loop.
 
@@ -125,6 +193,7 @@ class FleetRunner:
         interpret: bool = False,
     ):
         self._rollout, self._base_env, self.rollout_path = _select_rollout(env, interpret)
+        self._interpret = interpret
         # surface the selection once — a scan fallback is a 10-100x
         # performance cliff the user should see, not discover from timings
         logging.getLogger(__name__).info(
@@ -164,41 +233,79 @@ class FleetRunner:
         Returns:
             the final state.
         """
-        batch = self._base_env.batch_size
         for k in range(n_chunks):
             actions = action_source(k)
             t0 = time.perf_counter()
             obs, state = self._rollout(state, actions)
-            # fence: fold the chunk's observations into the running stats and
-            # read back one scalar — the only host<->device traffic per chunk
-            self.obs_stats = running_update(self.obs_stats, obs, axis=(0,))
-            if not bool(jnp.isfinite(self.obs_stats.mean).all()):
-                raise FloatingPointError(
-                    f"fleet chunk {k}: non-finite observation statistics "
-                    "(enable utils.profiling.debug_nans to localize)"
-                )
-            self.time_window = window_push(self.time_window, time.perf_counter() - t0)
-            self.chunks_run += 1
-            self.env_steps += batch * chunk_steps
-
-            if self.writer is not None:
-                record = {"final_obs": obs}
-                if self.write_actions:
-                    record["actions"] = actions
-                self.writer.append(record, name=f"chunk_{self.chunks_run:06d}")
-            if (
-                self.checkpoint_dir
-                and self.checkpoint_every
-                and (k + 1) % self.checkpoint_every == 0
-            ):
-                from exciting_environments_tpu.utils.checkpoint import save_state
-
-                save_state(
-                    state, os.path.join(self.checkpoint_dir, f"fleet_{self.chunks_run:06d}")
-                )
-            if metric_hook is not None:
-                metric_hook(k, obs, state)
+            record = {"final_obs": obs}
+            if self.write_actions:
+                record["actions"] = actions
+            self._after_chunk(k, obs, state, chunk_steps, t0, record, metric_hook)
         return state
+
+    def run_policy(
+        self,
+        state,
+        policy_tile: Callable,
+        n_chunks: int,
+        chunk_steps: int,
+        policy_params=None,
+        metric_hook: Callable = None,
+    ):
+        """Closed-loop variant of :meth:`run`: instead of an external action
+        source, ``policy_tile(obs, step[, params])`` (the tile-policy
+        contract of :func:`...pallas.stepper.env_fused_closed_loop`) drives
+        each chunk — in-kernel on the fused paths, over ``(B,)`` observation
+        columns on the scan fallback.  The selected path is cached per
+        policy object and surfaced via :attr:`closed_loop_path`; all chunk
+        bookkeeping (running statistics, NaN gate, sink, checkpoints)
+        matches :meth:`run`.
+        """
+        cached = getattr(self, "_closed_loop", None)
+        if cached is None or cached[0] is not policy_tile:
+            run_fn, _, name = _select_closed_loop(self.env, policy_tile, self._interpret)
+            self.closed_loop_path = name
+            logging.getLogger(__name__).info(
+                "FleetRunner: selected closed-loop path %r for %s",
+                name, type(self._base_env).__name__,
+            )
+            self._closed_loop = cached = (policy_tile, run_fn)
+        run_fn = cached[1]
+        for k in range(n_chunks):
+            t0 = time.perf_counter()
+            obs, state = run_fn(state, chunk_steps, policy_params)
+            self._after_chunk(
+                k, obs, state, chunk_steps, t0, {"final_obs": obs}, metric_hook
+            )
+        return state
+
+    def _after_chunk(self, k, obs, state, chunk_steps, t0, record, metric_hook):
+        # fence: fold the chunk's observations into the running stats and
+        # read back one scalar — the only host<->device traffic per chunk
+        self.obs_stats = running_update(self.obs_stats, obs, axis=(0,))
+        if not bool(jnp.isfinite(self.obs_stats.mean).all()):
+            raise FloatingPointError(
+                f"fleet chunk {k}: non-finite observation statistics "
+                "(enable utils.profiling.debug_nans to localize)"
+            )
+        self.time_window = window_push(self.time_window, time.perf_counter() - t0)
+        self.chunks_run += 1
+        self.env_steps += self._base_env.batch_size * chunk_steps
+
+        if self.writer is not None:
+            self.writer.append(record, name=f"chunk_{self.chunks_run:06d}")
+        if (
+            self.checkpoint_dir
+            and self.checkpoint_every
+            and (k + 1) % self.checkpoint_every == 0
+        ):
+            from exciting_environments_tpu.utils.checkpoint import save_state
+
+            save_state(
+                state, os.path.join(self.checkpoint_dir, f"fleet_{self.chunks_run:06d}")
+            )
+        if metric_hook is not None:
+            metric_hook(k, obs, state)
 
     def summary(self) -> dict:
         """Loop readout: per-channel observation statistics plus throughput."""

@@ -99,3 +99,116 @@ def test_fleet_select_fallback():
     _, state = env.vmap_reset()
     obs, last = run(state, 0.2 * jnp.ones((24, 4, 1)))
     assert obs.shape == (24, 2)
+
+
+def _pd_policy(obs, t):
+    return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+
+def test_fleet_runner_closed_loop_fused():
+    """run_policy drives chunks through the closed-loop kernel; stats and
+    bookkeeping match the open-loop contract."""
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(5), BATCH))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, BATCH))
+    )
+    runner = FleetRunner(env, interpret=True)
+    seen = []
+    state = runner.run_policy(
+        state, _pd_policy, n_chunks=3, chunk_steps=6,
+        metric_hook=lambda k, obs, st: seen.append(k),
+    )
+    assert runner.closed_loop_path == "closed_loop_fused"
+    assert seen == [0, 1, 2]
+    s = runner.summary()
+    assert s["chunks"] == 3 and s["env_steps"] == 3 * BATCH * 6
+    assert np.isfinite(np.asarray(s["obs_mean"])).all()
+
+
+def test_fleet_runner_closed_loop_scan_fallback_matches_kernel():
+    """Out-of-tiling-scope envs ride the scan closed loop with the SAME tile
+    policy contract; trajectories match the kernel path on a tiled env."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.utils.fleet import _select_closed_loop
+
+    small = excenvs.Pendulum(batch_size=24, control_state=["theta"])
+    run, _, path = _select_closed_loop(small, _pd_policy, interpret=True)
+    assert path == "closed_loop_scan"
+    _, st = small.vmap_reset(jax.random.split(jax.random.PRNGKey(6), 24))
+    st = structures.replace(
+        st, reference=structures.replace(st.reference, theta=jnp.linspace(-1, 1, 24))
+    )
+    obs_scan, last_scan = run(st, 5, None)
+    assert obs_scan.shape == (24, 3)
+
+    big = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    runk, _, pathk = _select_closed_loop(big, _pd_policy, interpret=True)
+    assert pathk == "closed_loop_fused"
+    _, stb = big.vmap_reset(jax.random.split(jax.random.PRNGKey(6), BATCH))
+    stb = structures.replace(
+        stb,
+        reference=structures.replace(
+            stb.reference,
+            theta=jnp.concatenate([jnp.linspace(-1, 1, 24)] * (BATCH // 24 + 1))[:BATCH],
+        ),
+    )
+    # compare the first 24 envs: identical initial states and references
+    stb = jax.tree_util.tree_map(
+        lambda big_leaf, small_leaf: big_leaf.at[:24].set(small_leaf)
+        if hasattr(big_leaf, "at") and big_leaf.shape[:1] == (BATCH,)
+        else big_leaf,
+        stb, jax.tree_util.tree_map(lambda l: l, st),
+    )
+    obs_k, _ = runk(stb, 5, None)
+    np.testing.assert_allclose(
+        np.asarray(obs_k[:24]), np.asarray(obs_scan), rtol=1e-10, atol=1e-10
+    )
+
+
+@pytest.mark.slow
+def test_fleet_runner_closed_loop_pmsm():
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        control_state=["i_d", "i_q"],
+    )
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(7), BATCH))
+    state = structures.replace(
+        state,
+        reference=structures.replace(
+            state.reference,
+            i_d=jnp.linspace(-200.0, -10.0, BATCH),
+            i_q=jnp.linspace(-150.0, 150.0, BATCH),
+        ),
+    )
+    runner = FleetRunner(env, interpret=True)
+
+    def pi(obs, t):
+        return (-0.6 * (obs[0] - obs[8]), -0.6 * (obs[1] - obs[9]))
+
+    state = runner.run_policy(state, pi, n_chunks=2, chunk_steps=4)
+    assert runner.closed_loop_path == "pmsm_closed_loop_fused"
+    assert runner.summary()["chunks"] == 2
+
+
+@pytest.mark.slow
+def test_fleet_runner_closed_loop_sharded():
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    env = excenvs.Pendulum(batch_size=8192, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(8), 8192))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, 8192))
+    )
+    state = senv.shard(state)
+    runner = FleetRunner(senv, interpret=True)
+    state = runner.run_policy(state, _pd_policy, n_chunks=2, chunk_steps=4)
+    assert runner.closed_loop_path == "sharded_closed_loop"
+    assert not jax.tree_util.tree_leaves(state)[0].sharding.is_fully_replicated

@@ -453,3 +453,60 @@ def test_fused_closed_loop_matches_scan_policy():
     _, ss = small.vmap_reset()
     with pytest.raises(ValueError, match="scope"):
         env_fused_closed_loop(small, ss, policy_tile, 4)
+
+
+@pytest.mark.slow
+def test_fused_closed_loop_per_batch_params():
+    """Domain-randomized closed loop: (batch,)-shaped heterogeneous parameter
+    leaves stream as tile operands in the CLOSED-loop kernel too — one policy
+    controls a batch of physically different plants, matching the scan loop,
+    and policy-parameter gradients average over the plant distribution."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        env_fused_closed_loop,
+        supports_fused_closed_loop,
+    )
+
+    lengths = 1.0 + jnp.arange(BATCH) / BATCH  # l in [1, 2)
+    env = excenvs.Pendulum(
+        batch_size=BATCH, control_state=["theta"],
+        static_params={"l": lengths, "g": 9.81, "m": 1},
+    )
+    assert supports_fused_closed_loop(env)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(40), BATCH))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1, 1, BATCH))
+    )
+
+    def policy(obs, t, p):
+        return (-p["kp"] * (obs[0] - obs[2]) - p["kd"] * obs[1],)
+
+    params = {"kp": jnp.asarray(0.8), "kd": jnp.asarray(0.3)}
+
+    def loss_fused(p):
+        obs, acts, _ = env_fused_closed_loop(
+            env, s0, policy, 10, obs_stride=1, interpret=True, policy_params=p
+        )
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 2]) ** 2)
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def loss_scan(p):
+        def body(carry, _):
+            st, obs = carry
+            a = (-p["kp"] * (obs[:, 0] - obs[:, 2]) - p["kd"] * obs[:, 1])[:, None]
+            obs, st = step_b(st, a, env.env_properties)
+            return (st, obs), obs
+
+        (_, _), obs_t = jax.lax.scan(body, (s0, obs0), None, length=10)
+        obs_t = jnp.swapaxes(obs_t, 0, 1)
+        return jnp.mean((obs_t[:, :, 0] - obs_t[:, :, 2]) ** 2)
+
+    lf, ls = float(loss_fused(params)), float(loss_scan(params))
+    assert abs(lf - ls) <= 1e-10 * max(abs(ls), 1e-10)
+    gf = jax.grad(loss_fused)(params)
+    gs = jax.grad(loss_scan)(params)
+    for k in params:
+        assert abs(float(gf[k]) - float(gs[k])) <= 1e-9 * max(abs(float(gs[k])), 1e-9), k

@@ -212,3 +212,34 @@ def test_fleet_runner_closed_loop_sharded():
     state = runner.run_policy(state, _pd_policy, n_chunks=2, chunk_steps=4)
     assert runner.closed_loop_path == "sharded_closed_loop"
     assert not jax.tree_util.tree_leaves(state)[0].sharding.is_fully_replicated
+
+
+def test_fleet_runner_closed_loop_policy_params():
+    """run_policy threads a parameter pytree through both the kernel path and
+    the scan fallback (same tile contract)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.utils.fleet import _select_closed_loop
+
+    def pd_p(obs, t, p):
+        return (-p["kp"] * (obs[0] - obs[2]) - p["kd"] * obs[1],)
+
+    params = {"kp": jnp.asarray(0.8), "kd": jnp.asarray(0.3)}
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(9), BATCH))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, BATCH))
+    )
+    runner = FleetRunner(env, interpret=True)
+    runner.run_policy(state, pd_p, n_chunks=1, chunk_steps=5, policy_params=params)
+    assert runner.closed_loop_path == "closed_loop_fused"
+
+    small = excenvs.Pendulum(batch_size=24, control_state=["theta"])
+    run, _, path = _select_closed_loop(small, pd_p, interpret=True)
+    assert path == "closed_loop_scan"
+    _, st = small.vmap_reset(jax.random.split(jax.random.PRNGKey(9), 24))
+    st = structures.replace(
+        st, reference=structures.replace(st.reference, theta=jnp.linspace(-1, 1, 24))
+    )
+    obs, last = run(st, 5, params)
+    assert obs.shape == (24, 3) and bool(jnp.isfinite(obs).all())

@@ -656,7 +656,7 @@ class PMSM(CoreEnvironment):
         )
 
     def fast_rollout(self, init_state, actions, time_major: bool = False,
-                     interpret: bool = False, gather: str = "dot"):
+                     interpret: bool = False, gather: str = "int8"):
         """Trig-free fast-math rollout (rotation-carry semantics) through the
         fully-fused kernel when Pallas is available
         (:mod:`...ops.pallas.pmsm_fast_kernel`); returns the final ``State``."""

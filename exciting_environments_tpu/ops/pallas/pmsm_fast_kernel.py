@@ -17,7 +17,8 @@ applies the fast-math semantics of
   sector rotation is the exact multilinear 0/1 combination of the rotation
   table;
 * the magnetics are the linear model or the measured LUTs via the same
-  exactly-split bf16 one-hot MXU gather as the exact kernel.
+  same exact one-hot MXU gathers as the exact kernel (int8x4 byte planes
+  by default, bf16x3 via gather="dot").
 
 Everything except the action stream (8 bytes/env-step) stays in VMEM for
 the whole horizon.  Accuracy matches the XLA fast path (identical
@@ -47,6 +48,7 @@ from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
     _lut_operand,
     _round_up,
     _split_bf16x3,
+    _split_int8x4,
     supports_pmsm_fused,
 )
 from exciting_environments_tpu.ops.pmsm_fast import _multilinear_table
@@ -67,7 +69,7 @@ def _hex_clip_tiles(alpha, beta, dtype):
     ra = alpha * rot_re - beta * rot_im
     rb = alpha * rot_im + beta * rot_re
     ra = jnp.clip(ra, -2.0 / 3.0, 2.0 / 3.0)
-    rb = jnp.clip(rb, 0.0, 2.0 / 3.0 * np.sqrt(3.0))
+    rb = jnp.clip(rb, 0.0, float(2.0 / 3.0 * np.sqrt(3.0)))
     oa = ra * rot_re + rb * rot_im
     ob = rb * rot_re - ra * rot_im
     return oa, ob
@@ -217,7 +219,7 @@ def pmsm_fast_fused_rollout(
     init_state,
     actions_norm,
     time_major: bool = False,
-    gather: str = "dot",
+    gather: str = "int8",
     interpret: bool = False,
 ):
     """Trig-free fused Pallas rollout of a PMSM drive.
@@ -253,7 +255,9 @@ def pmsm_fast_fused_rollout(
             int(lut.nx), int(lut.ny),
             _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
         )
-        if gather == "dot" and dtype == jnp.float32:
+        if gather == "int8" and dtype == jnp.float32:
+            vflat = jnp.asarray(_split_int8x4(_lut_operand(lut, np.float32)))
+        elif gather == "dot" and dtype == jnp.float32:
             vflat = jnp.asarray(_split_bf16x3(_lut_operand(lut, np.float32)))
         else:
             vflat = jnp.asarray(_lut_operand(lut, dtype))

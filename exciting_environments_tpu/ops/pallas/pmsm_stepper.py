@@ -1415,7 +1415,7 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
     # transcendental form only within ~1 ulp of a sector boundary — the
     # measure-zero branch discontinuity discussed above).
     dtype = alpha.dtype
-    s120 = np.sqrt(3.0) / 2
+    s120 = float(np.sqrt(3.0) / 2)
     b0 = (beta >= 0).astype(dtype)
     b1 = (-0.5 * beta - s120 * alpha >= 0).astype(dtype)
     b2 = (-0.5 * beta + s120 * alpha >= 0).astype(dtype)
@@ -1424,7 +1424,7 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
     ra = alpha * rot_re - beta * rot_im
     rb = alpha * rot_im + beta * rot_re
     ra = jnp.clip(ra, -2 / 3, 2 / 3)
-    rb = jnp.clip(rb, 0, 2 / 3 * np.sqrt(3.0))
+    rb = jnp.clip(rb, 0, float(2 / 3 * np.sqrt(3.0)))
     oa = ra * rot_re + rb * rot_im
     ob = rb * rot_re - ra * rot_im
 

@@ -70,7 +70,7 @@ def hex_clip_fast(alpha, beta):
     ra = alpha * rot_re - beta * rot_im
     rb = alpha * rot_im + beta * rot_re
     ra = jnp.clip(ra, -2.0 / 3.0, 2.0 / 3.0)
-    rb = jnp.clip(rb, 0.0, 2.0 / 3.0 * np.sqrt(3.0))
+    rb = jnp.clip(rb, 0.0, float(2.0 / 3.0 * np.sqrt(3.0)))
     oa = ra * rot_re + rb * rot_im
     ob = rb * rot_re - ra * rot_im
     return oa, ob

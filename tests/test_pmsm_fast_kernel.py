@@ -98,3 +98,28 @@ def test_fast_kernel_rejects_out_of_scope():
     _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
     with pytest.raises(ValueError):
         pmsm_fast_fused_rollout(env, state, jnp.zeros((BATCH, 4, 2)), interpret=True)
+
+
+@pytest.mark.slow
+def test_fast_kernel_int8_gather_exact_vs_take():
+    """The int8x4 byte-plane gather (the compiled default) is bitwise against
+    direct indexing on every backend — same guarantee as the exact kernel
+    (integer one-hot contraction, bitwise re-pack, no FP arithmetic)."""
+    env, state, actions = _pair(True, excenvs.MotorVariant.BRUSA)
+    state = jax.tree_util.tree_map(
+        lambda leaf: leaf.astype(jnp.float32)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float64
+        else leaf,
+        state,
+    )
+    actions = actions.astype(jnp.float32)
+    last_t = pmsm_fast_fused_rollout(env, state, actions, gather="take", interpret=True)
+    env2 = excenvs.PMSM(
+        batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA
+    )
+    last_i = pmsm_fast_fused_rollout(env2, state, actions, gather="int8", interpret=True)
+    for n in FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(last_i.physical_state, n)),
+            np.asarray(getattr(last_t.physical_state, n)), err_msg=n,
+        )

@@ -137,7 +137,7 @@ class ShardedEnv:
         return shadow
 
     def _run_sharded(self, local_fn, init_state, actions_norm, time_major):
-        """Run ``local_fn(state, actions) -> (a, b)`` per shard under the mesh.
+        """Run ``local_fn(state, actions) -> outputs`` per shard under the mesh.
 
         ``shard_map`` gives each chip its local batch slice; stepping is
         embarrassingly parallel, so no collectives are inserted.  With
@@ -152,7 +152,7 @@ class ShardedEnv:
             local_fn,
             mesh=self.mesh,
             in_specs=(spec, a_spec),
-            out_specs=(spec, spec),
+            out_specs=spec,  # prefix: every output leaf batch-sharded
             check_vma=False,
         )
         if time_major:
@@ -227,6 +227,7 @@ class ShardedEnv:
         time_major: bool = False,
         interpret: bool = False,
         strict: bool = False,
+        return_traj_states: bool = False,
     ):
         """Run the fused Pallas rollout kernel per shard under the mesh.
 
@@ -255,6 +256,11 @@ class ShardedEnv:
                     "per-shard tiling, or per-batch heterogeneous params); "
                     "strict=True forbids the sharded scan fallback"
                 )
+            if return_traj_states:
+                raise ValueError(
+                    "return_traj_states requires the fused kernel path; this "
+                    "sharded env is out of kernel scope"
+                )
             if time_major:
                 actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
             obs, last = self.vmap_rollout(init_state, actions_norm, obs_stride or n_steps)
@@ -271,12 +277,14 @@ class ShardedEnv:
                     shadow, state, actions,
                     obs_stride=obs_stride, time_major=time_major,
                     gather="take" if interpret else "int8", interpret=interpret,
+                    return_traj_states=return_traj_states,
                 )
         else:
             def local(state, actions):
                 return env_fused_rollout(
                     shadow, state, actions, obs_stride=obs_stride,
                     time_major=time_major, interpret=interpret,
+                    return_traj_states=return_traj_states,
                 )
 
         return self._run_sharded(local, init_state, actions_norm, time_major)
@@ -336,7 +344,7 @@ class ShardedEnv:
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
-                          policy_params=None):
+                          policy_params=None, return_traj_states: bool = False):
         """Policy-in-kernel closed loop per shard: each chip runs its local
         slice's observation -> action -> step loop fully in VMEM (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
@@ -357,7 +365,8 @@ class ShardedEnv:
             return kernel(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,
-                policy_params=policy_params, **extra,
+                policy_params=policy_params,
+                return_traj_states=return_traj_states, **extra,
             )
 
         spec = P(self.axis_name)

@@ -105,9 +105,15 @@ class RolloutCollector:
         from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
         from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+        from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
         env = self.env
-        if isinstance(env, PMSM):
+        if isinstance(env, ShardedEnv):
+            obs, traj_state, final_state = env.fused_rollout(
+                state, actions, obs_stride=1, interpret=interpret,
+                return_traj_states=True,
+            )
+        elif isinstance(env, PMSM):
             obs, traj_state, final_state = pmsm_fused_rollout(
                 env, state, actions, obs_stride=1,
                 gather="take" if interpret else "int8", interpret=interpret,
@@ -167,18 +173,25 @@ class RolloutCollector:
     def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret, policy_params):
         from exciting_environments_tpu.ops.pallas import select_closed_loop
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+        from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
         env = self.env
-        kernel, extra = select_closed_loop(env, interpret)
-        if kernel is None:
-            # out of kernel scope: let the generic entry point raise its
-            # descriptive error (a closed loop has no open-loop fallback)
-            kernel = env_fused_closed_loop
-        obs, actions, traj_state, final_state = kernel(
-            env, state, policy_tile, n_steps, obs_stride=1,
-            interpret=interpret, return_traj_states=True,
-            policy_params=policy_params, **extra,
-        )
+        if isinstance(env, ShardedEnv):
+            obs, actions, traj_state, final_state = env.fused_closed_loop(
+                state, policy_tile, n_steps, obs_stride=1, interpret=interpret,
+                policy_params=policy_params, return_traj_states=True,
+            )
+        else:
+            kernel, extra = select_closed_loop(env, interpret)
+            if kernel is None:
+                # out of kernel scope: let the generic entry point raise its
+                # descriptive error (a closed loop has no open-loop fallback)
+                kernel = env_fused_closed_loop
+            obs, actions, traj_state, final_state = kernel(
+                env, state, policy_tile, n_steps, obs_stride=1,
+                interpret=interpret, return_traj_states=True,
+                policy_params=policy_params, **extra,
+            )
         in_axes = env.in_axes_env_properties
         props = env.env_properties
         reward = jax.vmap(

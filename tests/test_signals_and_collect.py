@@ -208,3 +208,40 @@ def test_collector_policy_fused_pmsm():
     np.testing.assert_array_equal(
         np.asarray(final_state.physical_state.i_d), np.asarray(last_k.physical_state.i_d)
     )
+
+
+@pytest.mark.slow
+def test_collector_fused_on_sharded_env():
+    """Both collector kernel paths route through ShardedEnv's per-shard
+    kernels (regression: they previously treated the facade as a plain env
+    and crashed on _clip_state)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    B = 8192
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(31), B))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, B))
+    )
+    state = senv.shard(state)
+
+    acts = 0.2 * jnp.ones((B, 4, 1))
+    traj, _ = RolloutCollector(senv).collect_fused(state, acts, interpret=True)
+    traj_ref, _ = RolloutCollector(env).collect_fused(state, acts, interpret=True)
+    np.testing.assert_array_equal(np.asarray(traj.observations), np.asarray(traj_ref.observations))
+    np.testing.assert_array_equal(np.asarray(traj.rewards), np.asarray(traj_ref.rewards))
+    assert not traj.observations.sharding.is_fully_replicated
+
+    def policy(obs, t):
+        return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+    traj_cl, _ = RolloutCollector(senv).collect_policy_fused(policy, state, 4, interpret=True)
+    traj_cl_ref, _ = RolloutCollector(env).collect_policy_fused(policy, state, 4, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(traj_cl.observations), np.asarray(traj_cl_ref.observations)
+    )
+    np.testing.assert_array_equal(np.asarray(traj_cl.rewards), np.asarray(traj_cl_ref.rewards))
+    assert not traj_cl.observations.sharding.is_fully_replicated

@@ -1,0 +1,154 @@
+"""Gradient-based controller training through the closed-loop kernels.
+
+The closed-loop Pallas kernels are differentiable w.r.t. an SMEM-streamed
+policy parameter pytree (checkpointed-recompute ``custom_vjp``), which turns
+controller tuning into plain gradient descent with the simulation forward
+pass at kernel speed — a capability the reference's per-step Python loop
+(``gym_wrapper.py:88-130``) cannot express.  This module packages the loop:
+pick the right kernel (generic / PMSM drive / sharded), jit one optax
+value-and-grad step, iterate.
+
+No reference counterpart (the reference exposes no training utilities).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TrainResult(NamedTuple):
+    """Outcome of :func:`train_policy`.
+
+    ``params``: the trained parameter pytree.  ``losses``: per-iteration
+    loss values, shape ``(iterations,)`` (host array).  ``final_loss``:
+    loss of the returned params on a fresh rollout.
+    """
+
+    params: object
+    losses: jnp.ndarray
+    final_loss: float
+
+
+def default_tracking_loss(env):
+    """Mean squared normalized tracking error over the rollout.
+
+    Pairs each tracked ``control_state`` component with its reference
+    column in the observation layout (physical/ode fields first, references
+    appended in ``control_state`` order — both the generic and the PMSM
+    closed-loop kernels follow ``generate_observation``'s column order).
+    """
+    names = list(env.obs_description)
+    pairs = []
+    for i, name in enumerate(env.control_state):
+        ref_col = len(names) - len(env.control_state) + i
+        pairs.append((names.index(name), ref_col))
+    if not pairs:
+        raise ValueError(
+            "default_tracking_loss needs a non-empty control_state; pass an "
+            "explicit loss_fn instead"
+        )
+
+    def loss(obs, acts):
+        return sum(jnp.mean((obs[:, :, a] - obs[:, :, b]) ** 2) for a, b in pairs)
+
+    return loss
+
+
+def train_policy(
+    env,
+    policy,
+    params,
+    state,
+    n_steps: int,
+    iterations: int,
+    optimizer=None,
+    loss_fn: Callable = None,
+    interpret: bool = False,
+) -> TrainResult:
+    """Train ``policy(obs, t, params)`` by backprop through the closed loop.
+
+    Args:
+        env: a :class:`CoreEnvironment` (or PMSM / ``ShardedEnv``) inside
+            closed-loop kernel scope.
+        policy: tile policy taking ``(obs_tuple, step, params)`` and
+            returning the normalized action component tuple.
+        params: initial parameter pytree (gains, small MLP weights, ...).
+        state: batched initial state (references set where tracked).
+        n_steps: rollout length per training iteration.
+        iterations: optimizer steps.
+        optimizer: an optax gradient transformation; defaults to
+            ``optax.adam(0.1)`` (plain gradient descent diverges on stiff
+            drive landscapes — see ``benchmarks/r03/pmsm_policy_grad_device``).
+        loss_fn: ``loss(obs_traj, acts_traj) -> scalar`` over the
+            ``(B, n_steps, obs_dim)`` observation and ``(B, n_steps, A)``
+            normalized-action trajectories; defaults to
+            :func:`default_tracking_loss`.
+        interpret: run the kernels in interpreter mode (CPU testing).
+
+    Returns:
+        :class:`TrainResult`.  Raises when ``env`` is out of closed-loop
+        kernel scope (no scan fallback: training wants the kernel-speed
+        forward pass; use ``jax.grad`` over ``RolloutCollector.collect_policy``
+        manually for out-of-scope environments).
+    """
+    import optax
+
+    from exciting_environments_tpu.ops.pallas import select_closed_loop
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    if optimizer is None:
+        optimizer = optax.adam(0.1)
+    if loss_fn is None:
+        loss_fn = default_tracking_loss(env)
+
+    if isinstance(env, ShardedEnv):
+        def rollout(p):
+            return env.fused_closed_loop(
+                state, policy, n_steps, obs_stride=1, interpret=interpret,
+                policy_params=p,
+            )
+    else:
+        kernel, extra = select_closed_loop(env, interpret)
+        if kernel is None:
+            raise ValueError(
+                "train_policy requires closed-loop kernel scope "
+                "(batch multiple of 1024, scalar normalizations)"
+            )
+
+        def rollout(p):
+            return kernel(
+                env, state, policy, n_steps, obs_stride=1, interpret=interpret,
+                policy_params=p, **extra,
+            )
+
+    def loss(p):
+        obs, acts, _ = rollout(p)
+        return loss_fn(obs, acts)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(p, opt_state):
+        value, grads = jax.value_and_grad(loss)(p)
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, value
+
+    losses = []
+    best = (None, float("inf"))
+    for _ in range(iterations):
+        # `value` is the loss at the PRE-update `params` of this step; keep
+        # the best iterate seen (drive landscapes oscillate under adam)
+        new_params, opt_state, value = train_step(params, opt_state)
+        v = float(value)
+        losses.append(v)
+        if v < best[1]:
+            best = (params, v)
+        params = new_params
+    final_loss = float(vg(params)[0])
+    if best[1] < final_loss and best[0] is not None:
+        params, final_loss = best
+    return TrainResult(params=params, losses=jnp.asarray(losses), final_loss=float(final_loss))

@@ -1,0 +1,76 @@
+"""Controller training through the closed-loop kernels (utils/train.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.core import structures
+from exciting_environments_tpu.utils.train import default_tracking_loss, train_policy
+
+BATCH = 1024
+
+
+def _pendulum_setup():
+    env = excenvs.Pendulum(batch_size=BATCH, tau=1e-2, control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.2, 1.2, BATCH))
+    )
+    return env, s0
+
+
+def _pd(obs, t, p):
+    return (-p["kp"] * (obs[0] - obs[2]) - p["kd"] * obs[1],)
+
+
+@pytest.mark.slow
+def test_train_policy_pendulum_improves():
+    env, s0 = _pendulum_setup()
+    params = {"kp": jnp.asarray(0.1), "kd": jnp.asarray(0.0)}
+    res = train_policy(env, _pd, params, s0, n_steps=24, iterations=10, interpret=True)
+    assert res.losses.shape == (10,)
+    assert res.final_loss <= float(res.losses[0])
+    assert res.final_loss == min(float(res.losses.min()), res.final_loss)
+    # trained gains are finite and the loss history is finite throughout
+    assert all(bool(jnp.isfinite(v)) for v in jax.tree_util.tree_leaves(res.params))
+    assert bool(jnp.isfinite(res.losses).all())
+
+
+@pytest.mark.slow
+def test_train_policy_pmsm_drive():
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        control_state=["i_d", "i_q"],
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+    s0 = structures.replace(
+        s0,
+        reference=structures.replace(
+            s0.reference,
+            i_d=jnp.linspace(-200.0, -10.0, BATCH),
+            i_q=jnp.linspace(-150.0, 150.0, BATCH),
+        ),
+    )
+
+    def pi(obs, t, p):
+        return (-p["kd"] * (obs[0] - obs[8]), -p["kq"] * (obs[1] - obs[9]))
+
+    params = {"kd": jnp.asarray(0.3), "kq": jnp.asarray(0.3)}
+    res = train_policy(env, pi, params, s0, n_steps=16, iterations=8, interpret=True)
+    assert res.final_loss < float(res.losses[0])
+
+
+def test_train_policy_out_of_scope_raises():
+    env = excenvs.Pendulum(batch_size=8, control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 8))
+    with pytest.raises(ValueError, match="scope"):
+        train_policy(env, _pd, {"kp": jnp.asarray(0.1), "kd": jnp.asarray(0.0)},
+                     s0, n_steps=4, iterations=1, interpret=True)
+
+
+def test_default_tracking_loss_requires_control_state():
+    env = excenvs.Pendulum(batch_size=8)
+    with pytest.raises(ValueError, match="control_state"):
+        default_tracking_loss(env)

@@ -264,16 +264,41 @@ def run():
     )
 
 
-if __name__ == "__main__":
-    last_err = None
-    for attempt in range(3):
+def _supervise():
+    """Run the measurement in a child process with a hard timeout.
+
+    A downed relay does not raise — ``jax.devices()`` blocks indefinitely
+    inside PJRT (observed during round 3), which no in-process retry or
+    signal handler can interrupt.  The parent enforces a wall-clock budget
+    per attempt and backs off ~6 min total across attempts."""
+    import os
+    import subprocess
+
+    attempt_budget = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1200"))
+    backoff_scale = float(os.environ.get("BENCH_BACKOFF_SCALE", "1"))
+    last_err = "unknown"
+    for sleep_s in (20, 40, 80, 160, 0):
         try:
-            run()
-            break
-        except Exception as e:  # flaky TPU tunnel: retry in-process
-            last_err = e
-            time.sleep(20)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child"],
+                capture_output=True, text=True, timeout=attempt_budget,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt timed out after {attempt_budget}s (relay down/hung?)"
+        else:
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            last_err = (proc.stderr or proc.stdout or "no output").strip()[-300:]
+        time.sleep(sleep_s * backoff_scale)
+    print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "env-steps/s",
+                      "vs_baseline": 0, "error": str(last_err)[:200]}))
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        run()
     else:
-        print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "env-steps/s",
-                          "vs_baseline": 0, "error": str(last_err)[:200]}))
-        sys.exit(1)
+        _supervise()

@@ -148,13 +148,20 @@ class PMSM(CoreEnvironment):
         super().__init__(batch_size, env_properties=env_properties, tau=tau, solver=solver)
 
         self._action_description = ["u_d", "u_q"]
+        # Matches the ACTUAL generate_observation column order.  The
+        # reference's description list (pmsm_env.py:258-267) disagrees with
+        # its own generate_observation (pmsm_env.py:903-916), which emits
+        # (..., omega_el, torque, cos_eps, sin_eps, ...) — a latent reference
+        # bug; anything pairing columns by name (e.g. a tracking loss on
+        # "torque") silently reads sin_eps there.  Fixed here like the other
+        # documented reference bugs.
         self._obs_description = [
             "i_d",
             "i_q",
-            "cos_eps",
-            "sin_eps",
             "omega_el",
             "torque",
+            "cos_eps",
+            "sin_eps",
             "u_d_buffer",
             "u_q_buffer",
         ]

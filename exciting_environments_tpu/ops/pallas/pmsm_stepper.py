@@ -977,6 +977,11 @@ def _fused_impl(
     phys = init_state.physical_state
     dtype = jnp.asarray(phys.i_d).dtype
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    # validate here, not only in the launch: the VJP forward launches with
+    # the checkpoint stride instead of obs_stride, so an invalid stride must
+    # fail identically with and without a surrounding grad transform
+    if obs_stride is not None and n_steps % obs_stride != 0:
+        raise ValueError("n_steps must be divisible by obs_stride")
 
     # scalar constants folded in the state dtype (matches the runtime
     # scalar arithmetic of the scan path bit-for-bit)
@@ -1992,6 +1997,10 @@ def _pmsm_cl_impl(
     phys = init_state.physical_state
     dtype = jnp.asarray(phys.i_d).dtype
     batch = env.batch_size
+    # validate here, not only in the launch: the VJP forward launches with
+    # the checkpoint stride instead of obs_stride (see _fused_impl)
+    if obs_stride is not None and n_steps % obs_stride != 0:
+        raise ValueError("n_steps must be divisible by obs_stride")
 
     f = lambda v: float(np.asarray(v, dtype=dtype))
     r_s = f(params.r_s)

@@ -495,7 +495,6 @@ def _fused_core_bwd(
         g_final, g_traj = g
 
     acts_tm = actions if time_major else jnp.transpose(actions, (1, 0, 2))  # (T, B, A)
-    acts_next_tm = jnp.concatenate([acts_tm[1:], acts_tm[-1:]], axis=0)
 
     # segment start states: y0 plus every checkpoint but the last, (S, B)/leaf
     starts = tuple(
@@ -503,7 +502,12 @@ def _fused_core_bwd(
         for leaf0, s in zip(y0, saves)
     )
     acts_seg = acts_tm.reshape(n_seg, ckpt, batch, n_action)
-    acts_next_seg = acts_next_tm.reshape(n_seg, ckpt, batch, n_action)
+    if has_next:
+        # only c == 1.0 sim-ahead stages read the next interval's action —
+        # the shifted slab (a full second copy of the actions) is built and
+        # scanned only then
+        acts_next_tm = jnp.concatenate([acts_tm[1:], acts_tm[-1:]], axis=0)
+        acts_next_seg = acts_next_tm.reshape(n_seg, ckpt, batch, n_action)
     ts_seg = (np.arange(n_steps, dtype=np.float64) * tau).reshape(n_seg, ckpt)
     ts_seg = jnp.asarray(ts_seg, dtype=acts_tm.dtype)
 
@@ -539,27 +543,37 @@ def _fused_core_bwd(
 
     def bwd_body(carry, xs):
         g_y, g_params = carry
-        start_s, a_s, an_s, t_s, g_save_s = xs
+        if has_next:
+            start_s, a_s, an_s, t_s, g_save_s = xs
+        else:
+            start_s, a_s, t_s, g_save_s = xs
+            an_s = a_s  # ignored by _plain_step when has_next is False
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
             lambda y, a, an, p: seg_apply(y, a, an, t_s, p), start_s, a_s, an_s, param_leaves
         )
         gy_in, ga, gan, gp = vjp_fn(g_y)
         g_params = tuple(acc + gpl for acc, gpl in zip(g_params, gp))
-        return (gy_in, g_params), (ga, gan)
+        return (gy_in, g_params), ((ga, gan) if has_next else ga)
 
-    (g_y0, g_params), (ga_seg, gan_seg) = jax.lax.scan(
-        bwd_body,
-        (g_final, g_params0),
-        (starts, acts_seg, acts_next_seg, ts_seg, g_save_seg),
-        reverse=True,
+    xs = (
+        (starts, acts_seg, acts_next_seg, ts_seg, g_save_seg)
+        if has_next
+        else (starts, acts_seg, ts_seg, g_save_seg)
+    )
+    (g_y0, g_params), ga_out = jax.lax.scan(
+        bwd_body, (g_final, g_params0), xs, reverse=True
     )
 
-    ga_tm = ga_seg.reshape(n_steps, batch, n_action)
-    gan_tm = gan_seg.reshape(n_steps, batch, n_action)
-    # un-shift the next-action stream's cotangent: next[k] reads actions[k+1]
-    # for k < T-1 and actions[T-1] at the clamped end
-    g_acts_tm = ga_tm.at[1:].add(gan_tm[:-1]).at[-1].add(gan_tm[-1])
+    if has_next:
+        ga_seg, gan_seg = ga_out
+        ga_tm = ga_seg.reshape(n_steps, batch, n_action)
+        gan_tm = gan_seg.reshape(n_steps, batch, n_action)
+        # un-shift the next-action stream's cotangent: next[k] reads
+        # actions[k+1] for k < T-1 and actions[T-1] at the clamped end
+        g_acts_tm = ga_tm.at[1:].add(gan_tm[:-1]).at[-1].add(gan_tm[-1])
+    else:
+        g_acts_tm = ga_out.reshape(n_steps, batch, n_action)
     g_actions = g_acts_tm if time_major else jnp.transpose(g_acts_tm, (1, 0, 2))
     return (g_y0, g_actions, g_params)
 
@@ -595,6 +609,11 @@ def fused_rollout(
     this call triggers the checkpointed-recompute VJP (one kernel launch
     forward, plain-JAX segment pull-backs backward) with gradients w.r.t.
     ``y0``, ``actions`` and ``param_leaves`` matching the scan path."""
+    # validate here, not only in _launch: the VJP forward launches with the
+    # checkpoint stride instead of traj_stride, so an invalid stride must
+    # fail identically with and without a surrounding grad transform
+    if traj_stride is not None and n_steps % traj_stride != 0:
+        raise ValueError("n_steps must be divisible by traj_stride")
     return _fused_core(
         ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
         time_major, sim_ahead, interpret, y0, actions, tuple(param_leaves),
@@ -1099,17 +1118,15 @@ def _cl_launch(
     if traj_stride is None:
         chunk = n_steps
     else:
+        # largest multiple of traj_stride dividing n_steps whose trajectory
+        # block stays within ~2 MB; chunk = traj_stride itself always
+        # qualifies (n_steps % traj_stride == 0 was checked above), so the
+        # kernel only needs its saves-per-chunk >= 1 save branch
         max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * 4))
-        chunk = 1
-        for c in range(1, n_steps + 1):
-            if (
-                n_steps % c == 0
-                and (c % traj_stride == 0 or traj_stride % c == 0)
-                and c // max(traj_stride, 1) <= max_saves
-            ):
+        chunk = traj_stride
+        for c in range(traj_stride, n_steps + 1, traj_stride):
+            if n_steps % c == 0 and c // traj_stride <= max_saves:
                 chunk = c
-        if chunk % traj_stride != 0 and traj_stride % chunk != 0:
-            raise ValueError("no time chunk compatible with traj_stride")
     n_time_chunks = n_steps // chunk
 
     y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)
@@ -1136,11 +1153,8 @@ def _cl_launch(
     out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_state)]
     if traj_stride is not None:
         n_saves = n_steps // traj_stride
-        saves_per_chunk = max(1, chunk // traj_stride)
-        if traj_stride <= chunk:
-            traj_index = lambda b, k: (k, b, 0)
-        else:
-            traj_index = lambda b, k: ((k * chunk) // traj_stride, b, 0)
+        saves_per_chunk = chunk // traj_stride
+        traj_index = lambda b, k: (k, b, 0)
         out_specs += [
             pl.BlockSpec((saves_per_chunk, rows, LANES), traj_index, memory_space=pltpu.VMEM)
             for _ in range(n_state + n_action)
@@ -1407,6 +1421,11 @@ def fused_closed_loop(
     ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
     leaves have shape ``(B, n_steps // traj_stride)``.
     """
+    # validate here, not only in _cl_launch: the VJP forward launches with
+    # the checkpoint stride instead of traj_stride, so an invalid stride must
+    # fail identically with and without a surrounding grad transform
+    if traj_stride is not None and n_steps % traj_stride != 0:
+        raise ValueError("n_steps must be divisible by traj_stride")
     return _cl_core(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,

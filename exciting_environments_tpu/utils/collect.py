@@ -96,7 +96,11 @@ class RolloutCollector:
         """
         from exciting_environments_tpu.ops.pallas import rollout_path
 
-        if rollout_path(self.env) == "scan":
+        # same CPU-backend guard as FleetRunner._select_rollout: compiled
+        # Mosaic kernels only exist on TPU, so without interpret mode the
+        # scan path is the real implementation there
+        on_cpu = not interpret and jax.default_backend() == "cpu"
+        if on_cpu or rollout_path(self.env) == "scan":
             return self.collect(state, actions)
         return self._collect_fused_impl(state, actions, interpret)
 
@@ -124,6 +128,12 @@ class RolloutCollector:
                 env, state, actions, obs_stride=1, interpret=interpret,
                 return_traj_states=True,
             )
+        return self._assemble_batch(obs, actions, traj_state, final_state)
+
+    def _assemble_batch(self, obs, actions, traj_state, final_state):
+        """Rewards/flags on the kernel's reconstructed per-step states, then
+        the :class:`TrajectoryBatch` — shared by both fused collectors."""
+        env = self.env
         in_axes = env.in_axes_env_properties
         props = env.env_properties
         reward = jax.vmap(
@@ -192,30 +202,7 @@ class RolloutCollector:
                 interpret=interpret, return_traj_states=True,
                 policy_params=policy_params, **extra,
             )
-        in_axes = env.in_axes_env_properties
-        props = env.env_properties
-        reward = jax.vmap(
-            jax.vmap(env.generate_reward, in_axes=(0, 0, None)),
-            in_axes=(0, 0, in_axes),
-        )(traj_state, actions, props)
-        terminated = jax.vmap(
-            jax.vmap(env.generate_terminated, in_axes=(0, 0, None)),
-            in_axes=(0, 0, in_axes),
-        )(traj_state, reward, props)
-        truncated = jax.vmap(
-            jax.vmap(env.generate_truncated, in_axes=(0, None)),
-            in_axes=(0, in_axes),
-        )(traj_state, props)
-        return (
-            TrajectoryBatch(
-                observations=obs,
-                actions=actions,
-                rewards=reward,
-                terminated=terminated,
-                truncated=truncated,
-            ),
-            final_state,
-        )
+        return self._assemble_batch(obs, actions, traj_state, final_state)
 
     @partial(jax.jit, static_argnums=(0, 1, 4))
     def collect_policy(self, policy, state, rng, n_steps: int):

@@ -44,6 +44,11 @@ def default_tracking_loss(env):
     pairs = []
     for i, name in enumerate(env.control_state):
         ref_col = len(names) - len(env.control_state) + i
+        if name not in names:
+            raise ValueError(
+                f"control_state component {name!r} not found in "
+                f"obs_description {names}; pass an explicit loss_fn"
+            )
         pairs.append((names.index(name), ref_col))
     if not pairs:
         raise ValueError(
@@ -128,12 +133,13 @@ def train_policy(
         obs, acts, _ = rollout(p)
         return loss_fn(obs, acts)
 
-    vg = jax.jit(jax.value_and_grad(loss))
+    vg = jax.value_and_grad(loss)
+    loss_only = jax.jit(loss)
     opt_state = optimizer.init(params)
 
     @jax.jit
     def train_step(p, opt_state):
-        value, grads = jax.value_and_grad(loss)(p)
+        value, grads = vg(p)
         updates, opt_state = optimizer.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, value
 
@@ -148,7 +154,7 @@ def train_policy(
         if v < best[1]:
             best = (params, v)
         params = new_params
-    final_loss = float(vg(params)[0])
+    final_loss = float(loss_only(params))
     if best[1] < final_loss and best[0] is not None:
         params, final_loss = best
     return TrainResult(params=params, losses=jnp.asarray(losses), final_loss=float(final_loss))

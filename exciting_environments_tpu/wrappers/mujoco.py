@@ -298,6 +298,11 @@ class MujucoWrapper:
         out_qp, out_qv, out_ac = np.empty_like(qp), np.empty_like(qv), np.empty_like(ac)
         out_t = np.empty_like(tt)
         for i in range(B):
+            # reset the shared scratch MjData first: mj_step writes solver
+            # warm-start state (qacc_warmstart, ...) into it, which would
+            # otherwise leak across samples/calls and make this callback
+            # impure (pure_callback may cache/reorder/elide invocations)
+            mujoco.mj_resetData(m, d)
             d.qpos[:] = qp[i]
             d.qvel[:] = qv[i]
             d.act[:] = ac[i]

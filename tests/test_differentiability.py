@@ -136,6 +136,24 @@ def test_fused_rollout_grad_matches_scan():
     assert _rel_dev(gf, gs) < 1e-10
 
 
+def test_fused_rollout_invalid_stride_raises_under_grad_too():
+    """The VJP forward launches with the checkpoint stride, so an
+    n_steps-indivisible obs_stride must fail identically with and without a
+    surrounding grad transform (it used to silently mis-slice under grad)."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    env = excenvs.Pendulum(batch_size=1024)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(7), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(8), (1024, 10, 1), minval=-0.5, maxval=0.5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        env_fused_rollout(env, s0, acts, obs_stride=8, interpret=True)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.grad(
+            lambda a: jnp.sum(env_fused_rollout(env, s0, a, obs_stride=8, interpret=True)[0] ** 2)
+        )(acts)
+
+
 @pytest.mark.slow
 def test_fused_sim_ahead_grad_matches_scan_finer_grid():
     from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead

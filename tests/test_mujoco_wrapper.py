@@ -93,6 +93,25 @@ def test_dynamics_respond_to_torque(wrapper):
     )
 
 
+def test_cpu_step_is_pure(wrapper):
+    """The CPU backend's shared scratch MjData must not leak solver
+    warm-start state across samples/calls: the same (state, action) must map
+    to the same output regardless of what was stepped before (pure_callback
+    may cache/reorder/elide invocations)."""
+    if wrapper.backend != "cpu":
+        pytest.skip("purity trap is specific to the shared-scratch CPU backend")
+    _, state = wrapper.vmap_reset(jax.random.split(jax.random.PRNGKey(5), 4))
+    act = 0.7 * jnp.ones((4, 1))
+    first = wrapper.vmap_step(state, act)
+    # pollute the scratch MjData with a very different trajectory
+    _, other = wrapper.vmap_reset(jax.random.split(jax.random.PRNGKey(9), 4))
+    for _ in range(10):
+        _, other = wrapper.vmap_step(other, -jnp.ones((4, 1)))
+    second = wrapper.vmap_step(state, act)
+    for a, b in zip(jax.tree_util.tree_leaves(first), jax.tree_util.tree_leaves(second)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_single_step_matches_vmap_entry(wrapper):
     _, state = wrapper.vmap_reset()
     single = jax.tree_util.tree_map(lambda x: x[0], state)

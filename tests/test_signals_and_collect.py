@@ -137,6 +137,14 @@ def test_collect_fused_matches_scan_collector():
     tb_b, _ = scol.collect_fused(ss0, sacts)
     np.testing.assert_array_equal(np.asarray(tb_a.rewards), np.asarray(tb_b.rewards))
 
+    # in-scope env WITHOUT interpret on the CPU backend must also fall back
+    # (compiled Mosaic kernels only exist on TPU) instead of crashing in
+    # pallas_call — same guard as FleetRunner._select_rollout
+    tb_c, _ = col.collect_fused(s0, acts)  # interpret defaults to False
+    np.testing.assert_allclose(
+        np.asarray(tb_c.rewards), np.asarray(tb_s.rewards), rtol=1e-10, atol=1e-10
+    )
+
 @pytest.mark.slow
 def test_collect_policy_fused_matches_scan_collector():
     """Closed-loop collection at kernel speed: TrajectoryBatch matches the

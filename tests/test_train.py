@@ -74,3 +74,52 @@ def test_default_tracking_loss_requires_control_state():
     env = excenvs.Pendulum(batch_size=8)
     with pytest.raises(ValueError, match="control_state"):
         default_tracking_loss(env)
+
+
+def test_pmsm_obs_description_matches_observation_columns():
+    """The reference's description list disagrees with its own
+    generate_observation column order (reference pmsm_env.py:258-267 vs
+    :903-916) — anything pairing columns by name silently reads sin_eps where
+    it wants torque.  Pin the fixed ordering against the actual columns."""
+    B = 8
+    env = excenvs.PMSM(batch_size=B, control_state=["torque"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), B))
+    eps = jnp.linspace(0.1, 2.9, B)
+    torque = jnp.linspace(-5.0, 5.0, B)
+    s0 = structures.replace(
+        s0,
+        physical_state=structures.replace(s0.physical_state, epsilon=eps, torque=torque),
+        reference=structures.replace(s0.reference, torque=jnp.zeros(B)),
+    )
+    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        s0, env.env_properties
+    )
+    names = list(env.obs_description)
+    np.testing.assert_allclose(obs[:, names.index("cos_eps")], jnp.cos(eps), rtol=1e-6)
+    np.testing.assert_allclose(obs[:, names.index("sin_eps")], jnp.sin(eps), rtol=1e-6)
+    lim = env.env_properties.physical_normalizations.torque
+    np.testing.assert_allclose(
+        obs[:, names.index("torque")], 2 * (torque - lim.min) / (lim.max - lim.min) - 1, rtol=1e-6
+    )
+    assert names[-1] == "torque_ref"
+
+
+def test_default_tracking_loss_pmsm_torque_pairs_real_column():
+    """Tracking-loss regression: with references equal to the actual torque
+    the loss must be ~0 (the old obs_description pairing read sin_eps)."""
+    B = 8
+    env = excenvs.PMSM(batch_size=B, control_state=["torque"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), B))
+    torque = jnp.linspace(-5.0, 5.0, B)
+    s0 = structures.replace(
+        s0,
+        physical_state=structures.replace(
+            s0.physical_state, epsilon=jnp.linspace(0.3, 2.5, B), torque=torque
+        ),
+        reference=structures.replace(s0.reference, torque=torque),
+    )
+    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        s0, env.env_properties
+    )[:, None, :]  # (B, T=1, obs_dim)
+    loss = default_tracking_loss(env)(obs, None)
+    assert float(loss) < 1e-12

@@ -320,7 +320,18 @@ SOLVER_REGISTRY = {
 
 
 def make_solver(name_or_solver):
-    """Accept an :class:`ODESolver` instance or a registry name."""
+    """Accept an :class:`ODESolver` instance, a registry name, or any object
+    whose class name matches a registry entry — so reference constructor
+    calls like ``Pendulum(solver=diffrax.Tsit5())`` (reference
+    ``pendulum_env.py:60``) work unchanged after swapping the import."""
     if isinstance(name_or_solver, ODESolver):
         return name_or_solver
-    return SOLVER_REGISTRY[str(name_or_solver).lower()]()
+    key = str(name_or_solver).lower()
+    if key not in SOLVER_REGISTRY and not isinstance(name_or_solver, str):
+        key = type(name_or_solver).__name__.lower()
+        key = {"impliciteuler": "implicit_euler"}.get(key, key)
+    if key not in SOLVER_REGISTRY:
+        raise ValueError(
+            f"unknown solver {name_or_solver!r}; known names: {sorted(SOLVER_REGISTRY)}"
+        )
+    return SOLVER_REGISTRY[key]()

@@ -131,6 +131,26 @@ def test_step_loop_matches_trajectory_euler():
 
 def test_make_solver_registry():
     assert isinstance(make_solver("tsit5"), Tsit5)
+
+    # reference-style construction: any foreign object whose class name
+    # matches a registry entry (diffrax.Tsit5() in reference code)
+    class Tsit5Foreign:
+        pass
+
+    Tsit5Foreign.__name__ = "Tsit5"
+    assert isinstance(make_solver(Tsit5Foreign()), Tsit5)
+
+    class ImplicitEuler:  # diffrax spells it without the underscore
+        pass
+
+    from exciting_environments_tpu.ops.solvers import ImplicitEuler as Ours
+
+    assert isinstance(make_solver(ImplicitEuler()), Ours)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="known names"):
+        make_solver("no_such_solver")
     s = Euler()
     assert make_solver(s) is s
 

@@ -662,8 +662,11 @@ def _pmsm_core_diff_bwd(
         for leaf0, s in zip((i_d0, i_q0), (save_id, save_iq))
     )
     u_seg = u_app_tm.reshape(n_seg, ckpt, batch, 2)
-    u_next_tm = jnp.concatenate([u_app_tm[1:], u_app_tm[-1:]], axis=0)
-    u_next_seg = u_next_tm.reshape(n_seg, ckpt, batch, 2)
+    if has_next:
+        # only c == 1.0 sim-ahead stages read the next interval's voltage —
+        # the shifted slab (a full second copy) is built and scanned only then
+        u_next_tm = jnp.concatenate([u_app_tm[1:], u_app_tm[-1:]], axis=0)
+        u_next_seg = u_next_tm.reshape(n_seg, ckpt, batch, 2)
 
     # per-save cotangents scattered onto their segments: the save state IS the
     # checkpoint at the segment end, so its currents cotangent adds to the
@@ -707,22 +710,34 @@ def _pmsm_core_diff_bwd(
 
     def bwd_body(carry, xs):
         g_carry, g_om = carry
-        start_s, u_s, un_s, g_save_s = xs
+        if has_next:
+            start_s, u_s, un_s, g_save_s = xs
+        else:
+            start_s, u_s, g_save_s = xs
+            un_s = u_s  # ignored by seg_apply when has_next is False
         g_carry = tuple(gc + gs for gc, gs in zip(g_carry, g_save_s))
         _, vjp_fn = jax.vjp(seg_apply, start_s, u_s, un_s, omega)
         gy_in, gu, gun, gom = vjp_fn(g_carry)
-        return (gy_in, g_om + gom), (gu, gun)
+        return (gy_in, g_om + gom), ((gu, gun) if has_next else gu)
 
-    ((g_id0, g_iq0), g_omega), (gu_seg, gun_seg) = jax.lax.scan(
-        bwd_body,
-        (g_y, g_omega0),
-        (starts, u_seg, u_next_seg, g_save_seg),
-        reverse=True,
+    xs = (
+        (starts, u_seg, u_next_seg, g_save_seg)
+        if has_next
+        else (starts, u_seg, g_save_seg)
+    )
+    ((g_id0, g_iq0), g_omega), gu_out = jax.lax.scan(
+        bwd_body, (g_y, g_omega0), xs, reverse=True
     )
 
-    gu_tm = gu_seg.reshape(n_steps, batch, 2)
-    gun_tm = gun_seg.reshape(n_steps, batch, 2)
-    g_u = gu_tm.at[1:].add(gun_tm[:-1]).at[-1].add(gun_tm[-1])
+    if has_next:
+        gu_seg, gun_seg = gu_out
+        gu_tm = gu_seg.reshape(n_steps, batch, 2)
+        gun_tm = gun_seg.reshape(n_steps, batch, 2)
+        # un-shift the next-voltage stream's cotangent: next[k] reads u[k+1]
+        # for k < T-1 and u[T-1] at the clamped end
+        g_u = gu_tm.at[1:].add(gun_tm[:-1]).at[-1].add(gun_tm[-1])
+    else:
+        g_u = gu_out.reshape(n_steps, batch, 2)
     g_vflat = None if vflat is None else jnp.zeros_like(vflat)
     return (g_u, g_id0, g_iq0, g_omega, g_vflat, jnp.zeros_like(lut_vals))
 
@@ -1955,6 +1970,8 @@ def pmsm_fused_closed_loop(
     the reconstructed per-save states.  Raises out of scope — a closed loop
     has no open-loop fallback (use ``RolloutCollector.collect_policy``).
     """
+    if return_traj_states and obs_stride is None:
+        raise ValueError("return_traj_states requires obs_stride")
     if not supports_pmsm_fused_closed_loop(env):
         raise ValueError(
             "pmsm_fused_closed_loop out of kernel scope (requires "

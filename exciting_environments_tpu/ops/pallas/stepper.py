@@ -408,15 +408,20 @@ class _RowAction:
 
 
 def _ckpt_stride(n_steps: int, traj_stride) -> int:
-    """Largest divisor of ``traj_stride`` (or ``n_steps``) at most
-    ``~sqrt(n_steps)`` — the checkpoint interval of the backward sweep."""
+    """Checkpoint interval of the backward sweep: the divisor of
+    ``traj_stride`` (or ``n_steps``) minimizing ``n_steps/d + d`` — the sum
+    of kernel-side checkpoint saves and per-segment recompute length.
+
+    The divisor constraint keeps segments equal (the backward scan reshapes
+    the action slab to ``(n_seg, ckpt, ...)``) and, with a trajectory, makes
+    the user's save grid a slice of the checkpoint stream.  Horizons whose
+    strides have no divisor near ``sqrt(n_steps)`` (e.g. a prime
+    ``n_steps``) degrade toward checkpoint-every-step or one whole-horizon
+    segment — pick composite horizons (powers of two are ideal) when
+    differentiating very long rollouts."""
     base = traj_stride if traj_stride is not None else n_steps
-    target = max(1, int(np.sqrt(n_steps)))
-    best = 1
-    for d in range(1, base + 1):
-        if base % d == 0 and d <= target:
-            best = d
-    return best
+    divisors = [d for d in range(1, base + 1) if base % d == 0]
+    return min(divisors, key=lambda d: n_steps / d + d)
 
 
 _N_STATIC = 11  # leading non-differentiable config args of _fused_core
@@ -1122,7 +1127,8 @@ def _cl_launch(
         # block stays within ~2 MB; chunk = traj_stride itself always
         # qualifies (n_steps % traj_stride == 0 was checked above), so the
         # kernel only needs its saves-per-chunk >= 1 save branch
-        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * 4))
+        itemsize = jnp.asarray(y0[0]).dtype.itemsize
+        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
         chunk = traj_stride
         for c in range(traj_stride, n_steps + 1, traj_stride):
             if n_steps % c == 0 and c // traj_stride <= max_saves:
@@ -1473,6 +1479,8 @@ def env_fused_closed_loop(
     replayed through the open-loop scan without re-evaluating the policy
     per step — use ``RolloutCollector.collect_policy`` there).
     """
+    if return_traj_states and obs_stride is None:
+        raise ValueError("return_traj_states requires obs_stride")
     if not supports_fused_closed_loop(env):
         raise ValueError(
             "env_fused_closed_loop out of kernel scope (generic fused scope "
@@ -1541,11 +1549,38 @@ def env_fused_closed_loop(
     else:
         y_final, traj_state_t, traj_act_t = result
 
+    # FSAL carry reconstruction for pytree-structure parity with the scan
+    # path (env.step re-initializes the carry every step, so the VALUE is
+    # informational — see _ode_solver_step).  With a trajectory the last
+    # saved action IS the final step's action (exact); without one the
+    # pre-final-step observation is unavailable, so the carry is evaluated
+    # under the policy's action at the FINAL state — structurally identical.
+    if not env._solver.fsal:
+        solver_carry = None
+    else:
+        if traj_act_t is not None:
+            a_norm_last = tuple(a[:, -1] for a in traj_act_t)
+        else:
+            obs_leaves = tuple(
+                2 * (jnp.asarray(leaf) - mn) / (mx - mn) - 1
+                for leaf, (mn, mx) in zip(y_final, obs_norms)
+            ) + ref_leaves
+            a_norm_last = (
+                policy(obs_leaves, n_steps - 1, policy_params)
+                if policy_params is not None
+                else policy(obs_leaves, n_steps - 1)
+            )
+        a_phys_last = jnp.stack(
+            [(a + 1) / 2 * (mx - mn) + mn for a, (mn, mx) in zip(a_norm_last, act_norms)],
+            axis=-1,
+        )
+        solver_carry = _final_solver_state(env, y_final, a_phys_last)
+
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
         additions=env.Additions(
-            solver_state=None,
+            solver_state=solver_carry,
             active_solver_state=jnp.full(env.batch_size, True),
         ),
     )

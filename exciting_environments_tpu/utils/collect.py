@@ -173,10 +173,52 @@ class RolloutCollector:
         jitted program; the returned ``TrajectoryBatch`` matches
         :meth:`collect_policy`'s contract (post-step observations, the
         policy's normalized actions).  Raises when the environment is out
-        of closed-loop kernel scope.
+        of closed-loop kernel scope.  On the CPU backend without
+        ``interpret`` the same tile-policy contract rides a ``lax.scan``
+        (compiled Mosaic kernels only exist on TPU — same guard as
+        :meth:`collect_fused` and ``FleetRunner``).
         """
+        from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+        if (
+            not interpret
+            and jax.default_backend() == "cpu"
+            and not isinstance(self.env, ShardedEnv)
+        ):
+            return self._collect_policy_scan_impl(policy_tile, state, n_steps, policy_params)
         return self._collect_policy_fused_impl(
             policy_tile, state, n_steps, interpret, policy_params
+        )
+
+    @partial(jax.jit, static_argnums=(0, 1, 3))
+    def _collect_policy_scan_impl(self, policy_tile, state, n_steps, policy_params):
+        """Scan fallback with the fused collector's exact contract: the tile
+        policy evaluated over ``(B,)`` observation columns each step."""
+        env = self.env
+        in_ax = env.in_axes_env_properties
+        props = env.env_properties
+        obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
+        step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+        def body(carry, t):
+            st, obs = carry
+            cols = tuple(obs[:, i] for i in range(obs.shape[1]))
+            a = (
+                policy_tile(cols, t, policy_params)
+                if policy_params is not None
+                else policy_tile(cols, t)
+            )
+            action = jnp.stack(a, axis=-1)
+            obs, st = step_b(st, action, props)
+            return (st, obs), (obs, action, st)
+
+        (final_state, _), (obs, action, traj_state) = jax.lax.scan(
+            body, (state, obs0), jnp.arange(n_steps)
+        )
+        batch_major = lambda x: jnp.swapaxes(x, 0, 1)
+        traj_state = jax.tree_util.tree_map(batch_major, traj_state)
+        return self._assemble_batch(
+            batch_major(obs), batch_major(action), traj_state, final_state
         )
 
     @partial(jax.jit, static_argnums=(0, 1, 3, 4))

@@ -219,6 +219,56 @@ def test_pmsm_fused_grad_matches_scan():
 
 
 @pytest.mark.slow
+def test_fused_sim_ahead_fsal_grad_matches_scan():
+    """FSAL sim-ahead gradients: the c == 1.0 stages read the NEXT interval's
+    action, so the backward pass pulls a cotangent back through the shifted
+    action stream (the has_next branch) — must match the scan path."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_sim_ahead
+
+    env = excenvs.Pendulum(batch_size=1024, solver="tsit5")
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(12), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(13), (1024, 6, 1), minval=-0.7, maxval=0.7)
+
+    gf = jax.grad(
+        lambda a: jnp.sum(
+            env_fused_sim_ahead(env, s0, a, env.tau, env.tau, interpret=True, strict=True)[0] ** 2
+        )
+    )(acts)
+    gs = jax.grad(
+        lambda a: jnp.sum(env.vmap_sim_ahead(s0, a, env.tau, env.tau)[0] ** 2)
+    )(acts)
+    assert _rel_dev(gf, gs) < 1e-8
+    assert float(jnp.max(jnp.abs(gf))) > 0
+
+
+@pytest.mark.slow
+def test_pmsm_fused_sim_ahead_fsal_grad_matches_scan():
+    """Same has_next backward branch through the PMSM drive kernel's
+    trajectory mode with an FSAL solver."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_sim_ahead
+
+    env = excenvs.PMSM(
+        batch_size=1024, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        solver="tsit5",
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(14), 1024))
+    acts = jax.random.uniform(jax.random.PRNGKey(15), (1024, 4, 2), minval=-0.3, maxval=0.3)
+
+    gf = jax.grad(
+        lambda a: jnp.sum(
+            pmsm_fused_sim_ahead(
+                env, s0, a, env.tau, env.tau, gather="take", interpret=True, strict=True
+            )[0] ** 2
+        )
+    )(acts)
+    gs = jax.grad(
+        lambda a: jnp.sum(env.vmap_sim_ahead(s0, a, env.tau, env.tau)[0] ** 2)
+    )(acts)
+    assert _rel_dev(gf, gs) < 1e-6
+    assert float(jnp.max(jnp.abs(gf))) > 0
+
+
+@pytest.mark.slow
 def test_policy_gradient_through_closed_loop_kernel():
     """Policy-gradient at kernel speed: with policy_params the closed-loop
     kernel defines a checkpointed-recompute VJP — gradients w.r.t. the

@@ -453,6 +453,54 @@ def test_fused_closed_loop_matches_scan_policy():
     _, ss = small.vmap_reset()
     with pytest.raises(ValueError, match="scope"):
         env_fused_closed_loop(small, ss, policy_tile, 4)
+    with pytest.raises(ValueError, match="requires obs_stride"):
+        env_fused_closed_loop(env, s0, policy_tile, 12, interpret=True, return_traj_states=True)
+
+
+def test_fused_closed_loop_fsal_state_structure_parity():
+    """For FSAL solvers the closed loop's final state must carry the
+    reconstructed solver carry like every other fused path — not None —
+    so its pytree structure matches the reset/scan state and survives
+    lax.scan carries, state stacking, and checkpoint round-trips."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    env = excenvs.Pendulum(batch_size=BATCH, solver="tsit5", control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(21), BATCH))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, BATCH))
+    )
+
+    def policy_tile(obs, t):
+        return (-0.9 * (obs[0] - obs[2]) - 0.25 * obs[1],)
+
+    ref_struct = jax.tree_util.tree_structure(s0)
+    # trajectory mode: carry reconstructed from the last SAVED action (exact)
+    _, _, last_traj = env_fused_closed_loop(env, s0, policy_tile, 8, obs_stride=1, interpret=True)
+    assert jax.tree_util.tree_structure(last_traj) == ref_struct
+    # final-only mode: carry evaluated under the policy's final-state action
+    # (structurally identical; the value is informational — step() re-inits)
+    _, last_fin = env_fused_closed_loop(env, s0, policy_tile, 8, interpret=True)
+    assert jax.tree_util.tree_structure(last_fin) == ref_struct
+
+    # the trajectory-mode carry must equal the scan path's f(t1, y1) under
+    # the last taken action
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        state, obs = carry
+        a = (-0.9 * (obs[:, 0] - obs[:, 2]) - 0.25 * obs[:, 1])[:, None]
+        obs, state = step_b(state, a, env.env_properties)
+        return (state, obs), None
+
+    (last_s, _), _ = jax.lax.scan(body, (s0, obs0), None, length=8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(last_traj.additions.solver_state),
+        jax.tree_util.tree_leaves(last_s.additions.solver_state),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.slow

@@ -476,6 +476,43 @@ def test_sharded_fused_closed_loop(mesh):
     assert not last_f.physical_state.theta.sharding.is_fully_replicated
 
 
+def test_sharded_closed_loop_policy_grad_matches_plain(mesh):
+    """Policy-parameter gradients through the SHARDED closed loop equal the
+    single-device kernel's: policy_params is closure-captured inside the
+    shard_map body (with check_vma=False), so its transpose — the psum over
+    per-shard parameter cotangents — must come out exactly right."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    batch, T = 2048, 4
+    mesh2 = make_batch_mesh(jax.devices()[:2])
+    env = excenvs.Pendulum(batch_size=batch, control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, batch))
+    )
+    senv = ShardedEnv(env, mesh2)
+
+    def pol(o, t, p):
+        return (-p["kp"] * (o[0] - o[2]) - p["kd"] * o[1],)
+
+    params = {"kp": jnp.asarray(0.5), "kd": jnp.asarray(0.1)}
+
+    def loss_sharded(p):
+        obs, _, _ = senv.fused_closed_loop(s0, pol, T, obs_stride=1, interpret=True, policy_params=p)
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 2]) ** 2)
+
+    def loss_plain(p):
+        obs, _, _ = env_fused_closed_loop(env, s0, pol, T, obs_stride=1, interpret=True, policy_params=p)
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 2]) ** 2)
+
+    vs, gs = jax.value_and_grad(loss_sharded)(params)
+    vp, gp = jax.value_and_grad(loss_plain)(params)
+    np.testing.assert_allclose(float(vs), float(vp), rtol=1e-12)
+    for k in params:
+        np.testing.assert_allclose(float(gs[k]), float(gp[k]), rtol=1e-9, err_msg=k)
+
+
 @pytest.mark.slow
 def test_sharded_pmsm_fused_closed_loop(mesh):
     """The closed-loop DRIVE kernel routes per shard (linear magnetics, 8

@@ -172,6 +172,16 @@ def test_collect_policy_fused_matches_scan_collector():
         assert a.shape == b.shape, (name, a.shape, b.shape)
         np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-10, err_msg=name)
 
+    # interpret=False on the CPU backend must ride the tile-policy scan
+    # fallback (compiled Mosaic kernels only exist on TPU) and agree too
+    tb_c, _ = col.collect_policy_fused(policy_tile, s0, 8)
+    for name in ("observations", "actions", "rewards", "terminated", "truncated"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tb_c, name)).astype(np.float64),
+            np.asarray(getattr(tb_s, name)).astype(np.float64),
+            rtol=1e-10, atol=1e-10, err_msg=name,
+        )
+
 
 @pytest.mark.slow
 def test_collector_policy_fused_pmsm():

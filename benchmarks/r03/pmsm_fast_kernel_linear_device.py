@@ -6,7 +6,11 @@ drive.  The exact open-loop linear path (1.42e9) pays the XLA pre-pass;
 this shows what streaming raw actions into an all-in-kernel step buys.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 

@@ -1641,19 +1641,11 @@ def _pmsm_cl_launch(
     emit_u_last = solver.fsal
 
     dtype = y0[0].dtype
-    itemsize = jnp.dtype(dtype).itemsize
-    if traj_stride is None:
-        chunk = n_steps
-    else:
-        # bound the per-leaf trajectory block (7 leaves) to ~2 MB each;
-        # chunk = traj_stride always satisfies the constraints (n_steps is
-        # divisible by traj_stride per the check above, saves-per-chunk 1),
-        # so the search cannot come up empty
-        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
-        chunk = traj_stride
-        for c in range(traj_stride, n_steps + 1, traj_stride):
-            if n_steps % c == 0 and c // traj_stride <= max_saves:
-                chunk = c
+    # per-leaf trajectory blocks (7 leaves) bounded to ~2 MB each, same
+    # budgeting as the generic closed-loop launch
+    from exciting_environments_tpu.ops.pallas.stepper import _traj_chunk
+
+    chunk = _traj_chunk(n_steps, traj_stride, rows, jnp.dtype(dtype).itemsize)
     n_time_chunks = n_steps // chunk
 
     state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)

@@ -420,8 +420,31 @@ def _ckpt_stride(n_steps: int, traj_stride) -> int:
     segment — pick composite horizons (powers of two are ideal) when
     differentiating very long rollouts."""
     base = traj_stride if traj_stride is not None else n_steps
-    divisors = [d for d in range(1, base + 1) if base % d == 0]
-    return min(divisors, key=lambda d: n_steps / d + d)
+    divisors = set()
+    for d in range(1, int(base**0.5) + 1):
+        if base % d == 0:
+            divisors.update((d, base // d))
+    # tie-break on the smaller divisor — matches the old ascending full
+    # enumeration, and this runs at trace time on every grad trace
+    return min(divisors, key=lambda d: (n_steps / d + d, d))
+
+
+def _traj_chunk(n_steps: int, traj_stride, rows: int, itemsize: int) -> int:
+    """Time-chunk length of a closed-loop launch: the largest multiple of
+    ``traj_stride`` dividing ``n_steps`` whose per-leaf trajectory block
+    (``saves x rows x LANES``) stays within ~2 MB of VMEM — shared by the
+    generic and PMSM closed-loop launchers so their budgeting never
+    diverges.  ``traj_stride`` itself always qualifies (saves-per-chunk 1),
+    so the search cannot come up empty; the whole horizon when no
+    trajectory is streamed."""
+    if traj_stride is None:
+        return n_steps
+    max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
+    chunk = traj_stride
+    for c in range(traj_stride, n_steps + 1, traj_stride):
+        if n_steps % c == 0 and c // traj_stride <= max_saves:
+            chunk = c
+    return chunk
 
 
 _N_STATIC = 11  # leading non-differentiable config args of _fused_core
@@ -1120,19 +1143,7 @@ def _cl_launch(
     # time chunk: bounds the trajectory block size (~2 MB per output leaf);
     # no streamed operand exists, so without trajectory output one chunk
     # spans the whole horizon
-    if traj_stride is None:
-        chunk = n_steps
-    else:
-        # largest multiple of traj_stride dividing n_steps whose trajectory
-        # block stays within ~2 MB; chunk = traj_stride itself always
-        # qualifies (n_steps % traj_stride == 0 was checked above), so the
-        # kernel only needs its saves-per-chunk >= 1 save branch
-        itemsize = jnp.asarray(y0[0]).dtype.itemsize
-        max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
-        chunk = traj_stride
-        for c in range(traj_stride, n_steps + 1, traj_stride):
-            if n_steps % c == 0 and c // traj_stride <= max_saves:
-                chunk = c
+    chunk = _traj_chunk(n_steps, traj_stride, rows, jnp.asarray(y0[0]).dtype.itemsize)
     n_time_chunks = n_steps // chunk
 
     y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)

@@ -24,6 +24,46 @@ import jax.numpy as jnp
 from exciting_environments_tpu.core.structures import pytree_dataclass
 
 
+def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
+                     collect_trajectory: bool):
+    """Closed loop over a tile-contract policy as a ``lax.scan`` — the CPU /
+    out-of-kernel-scope fallback shared by :class:`RolloutCollector` and
+    ``FleetRunner``.
+
+    The policy keeps the in-kernel contract (``policy(obs_tuple, step[,
+    params]) -> action component tuple`` with ``obs_tuple`` indexable per
+    observation column), evaluated here on ``(B,)`` columns.  Returns
+    ``(final_obs, final_state)``, or with ``collect_trajectory`` the
+    batch-major ``(obs, actions, traj_states, final_state)``.
+    """
+    in_ax = env.in_axes_env_properties
+    props = env.env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, t):
+        st, obs = carry
+        cols = tuple(obs[:, i] for i in range(obs.shape[1]))
+        a = (
+            policy_tile(cols, t, policy_params)
+            if policy_params is not None
+            else policy_tile(cols, t)
+        )
+        action = jnp.stack(a, axis=-1)
+        obs, st = step_b(st, action, props)
+        return (st, obs), ((obs, action, st) if collect_trajectory else None)
+
+    (final_state, final_obs), ys = jax.lax.scan(
+        body, (state, obs0), jnp.arange(n_steps)
+    )
+    if not collect_trajectory:
+        return final_obs, final_state
+    obs, action, traj_state = ys
+    batch_major = lambda x: jnp.swapaxes(x, 0, 1)
+    traj_state = jax.tree_util.tree_map(batch_major, traj_state)
+    return batch_major(obs), batch_major(action), traj_state, final_state
+
+
 @pytree_dataclass
 class TrajectoryBatch:
     """On-device trajectory storage, batch-major: every leaf ``(B, T, ...)``."""
@@ -178,13 +218,10 @@ class RolloutCollector:
         (compiled Mosaic kernels only exist on TPU — same guard as
         :meth:`collect_fused` and ``FleetRunner``).
         """
-        from exciting_environments_tpu.parallel.mesh import ShardedEnv
-
-        if (
-            not interpret
-            and jax.default_backend() == "cpu"
-            and not isinstance(self.env, ShardedEnv)
-        ):
+        if not interpret and jax.default_backend() == "cpu":
+            # ShardedEnv included: its attribute forwarding gives the scan
+            # impl everything it needs, and compiled Mosaic kernels cannot
+            # lower on a CPU (virtual-device) mesh any more than single-chip
             return self._collect_policy_scan_impl(policy_tile, state, n_steps, policy_params)
         return self._collect_policy_fused_impl(
             policy_tile, state, n_steps, interpret, policy_params
@@ -194,32 +231,11 @@ class RolloutCollector:
     def _collect_policy_scan_impl(self, policy_tile, state, n_steps, policy_params):
         """Scan fallback with the fused collector's exact contract: the tile
         policy evaluated over ``(B,)`` observation columns each step."""
-        env = self.env
-        in_ax = env.in_axes_env_properties
-        props = env.env_properties
-        obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
-        step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
-
-        def body(carry, t):
-            st, obs = carry
-            cols = tuple(obs[:, i] for i in range(obs.shape[1]))
-            a = (
-                policy_tile(cols, t, policy_params)
-                if policy_params is not None
-                else policy_tile(cols, t)
-            )
-            action = jnp.stack(a, axis=-1)
-            obs, st = step_b(st, action, props)
-            return (st, obs), (obs, action, st)
-
-        (final_state, _), (obs, action, traj_state) = jax.lax.scan(
-            body, (state, obs0), jnp.arange(n_steps)
+        obs, action, traj_state, final_state = tile_policy_scan(
+            self.env, state, n_steps, policy_tile, policy_params,
+            collect_trajectory=True,
         )
-        batch_major = lambda x: jnp.swapaxes(x, 0, 1)
-        traj_state = jax.tree_util.tree_map(batch_major, traj_state)
-        return self._assemble_batch(
-            batch_major(obs), batch_major(action), traj_state, final_state
-        )
+        return self._assemble_batch(obs, action, traj_state, final_state)
 
     @partial(jax.jit, static_argnums=(0, 1, 3, 4))
     def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret, policy_params):

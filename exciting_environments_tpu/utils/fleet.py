@@ -52,6 +52,16 @@ def _select_rollout(env_or_sharded, interpret: bool):
 
     if isinstance(env_or_sharded, ShardedEnv):
         senv = env_or_sharded
+        # same CPU-backend guard as the single-chip lanes below: an in-scope
+        # env would otherwise route to a compiled Mosaic kernel that cannot
+        # lower on a CPU (virtual-device) mesh
+        if not interpret and jax.default_backend() == "cpu":
+
+            def run(state, actions):
+                obs, last = senv.vmap_rollout(state, actions, actions.shape[1])
+                return obs[:, -1], last
+
+            return run, senv.env, "sharded_scan"
 
         def run(state, actions):
             return senv.fused_rollout(state, actions, interpret=interpret)
@@ -117,14 +127,20 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
 
     if isinstance(env_or_sharded, ShardedEnv):
         senv = env_or_sharded
+        # on a CPU (virtual-device) mesh without interpret, fall through to
+        # the scan fallback below on the wrapped env — the sharded kernel
+        # lane would try to compile Mosaic and crash (same guard as the
+        # single-chip lane's select_closed_loop call)
+        if interpret or jax.default_backend() != "cpu":
 
-        def run(state, n_steps, policy_params):
-            return senv.fused_closed_loop(
-                state, policy, n_steps, interpret=interpret,
-                policy_params=policy_params,
-            )
+            def run(state, n_steps, policy_params):
+                return senv.fused_closed_loop(
+                    state, policy, n_steps, interpret=interpret,
+                    policy_params=policy_params,
+                )
 
-        return run, senv.env, "sharded_closed_loop"
+            return run, senv.env, "sharded_closed_loop"
+        env_or_sharded = senv.env
 
     env = env_or_sharded
     kernel, extra = (
@@ -144,23 +160,13 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
         return run, env, name
 
     # scan fallback: the tile policy runs on (B,) observation columns
-    in_ax = env.in_axes_env_properties
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
 
     @functools.partial(jax.jit, static_argnums=1)
     def run(state, n_steps, policy_params):
-        props = env.env_properties
-        obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
-        step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
-
-        def body(carry, t):
-            st, obs = carry
-            cols = tuple(obs[:, i] for i in range(obs.shape[1]))
-            a = policy(cols, t, policy_params) if policy_params is not None else policy(cols, t)
-            obs, st = step_b(st, jnp.stack(a, axis=-1), props)
-            return (st, obs), None
-
-        (last, obs), _ = jax.lax.scan(body, (state, obs0), jnp.arange(n_steps))
-        return obs, last
+        return tile_policy_scan(
+            env, state, n_steps, policy, policy_params, collect_trajectory=False
+        )
 
     return run, env, "closed_loop_scan"
 

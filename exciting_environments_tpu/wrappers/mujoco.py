@@ -18,6 +18,7 @@ installed (state is then the minimal :class:`MjCpuData` pytree instead of
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 from typing import Any, Dict
 
@@ -134,6 +135,9 @@ class MujucoWrapper:
         self.mjx_model = mjx.put_model(mujoco_model) if backend == "mjx" else None
         if backend == "cpu":
             self._scratch_data = mujoco.MjData(mujoco_model)
+            # host callbacks from separately dispatched executables can run
+            # concurrently; the scratch MjData is shared per-wrapper state
+            self._scratch_lock = threading.Lock()
         if not tau:
             self.tau = mujoco_model.opt.timestep
         else:
@@ -297,19 +301,23 @@ class MujucoWrapper:
         ct = ctrl.reshape(B, m.nu).astype(np.float64)
         out_qp, out_qv, out_ac = np.empty_like(qp), np.empty_like(qv), np.empty_like(ac)
         out_t = np.empty_like(tt)
-        for i in range(B):
-            # reset the shared scratch MjData first: mj_step writes solver
-            # warm-start state (qacc_warmstart, ...) into it, which would
-            # otherwise leak across samples/calls and make this callback
-            # impure (pure_callback may cache/reorder/elide invocations)
-            mujoco.mj_resetData(m, d)
-            d.qpos[:] = qp[i]
-            d.qvel[:] = qv[i]
-            d.act[:] = ac[i]
-            d.time = tt[i]
-            d.ctrl[:] = ct[i]
-            mujoco.mj_step(m, d)
-            out_qp[i], out_qv[i], out_ac[i], out_t[i] = d.qpos, d.qvel, d.act, d.time
+        # the scratch MjData is shared per-wrapper mutable state: callbacks
+        # dispatched from different executables (or shards of a partitioned
+        # one) may run on separate runtime threads concurrently
+        with self._scratch_lock:
+            for i in range(B):
+                # reset the shared scratch MjData first: mj_step writes solver
+                # warm-start state (qacc_warmstart, ...) into it, which would
+                # otherwise leak across samples/calls and make this callback
+                # impure (pure_callback may cache/reorder/elide invocations)
+                mujoco.mj_resetData(m, d)
+                d.qpos[:] = qp[i]
+                d.qvel[:] = qv[i]
+                d.act[:] = ac[i]
+                d.time = tt[i]
+                d.ctrl[:] = ct[i]
+                mujoco.mj_step(m, d)
+                out_qp[i], out_qv[i], out_ac[i], out_t[i] = d.qpos, d.qvel, d.act, d.time
         return (
             out_qp.reshape(qpos.shape).astype(qpos.dtype),
             out_qv.reshape(qvel.shape).astype(qvel.dtype),

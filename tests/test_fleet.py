@@ -243,3 +243,34 @@ def test_fleet_runner_closed_loop_policy_params():
     )
     obs, last = run(st, 5, params)
     assert obs.shape == (24, 3) and bool(jnp.isfinite(obs).all())
+
+
+def test_fleet_runner_sharded_cpu_fallback():
+    """On the CPU backend with interpret=False (the default), the sharded
+    lanes must select scan paths — the kernel lanes would try to compile
+    Mosaic and crash (regression: FleetRunner(ShardedEnv(...)).run_policy
+    raised 'Only interpret mode is supported on CPU backend')."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    B = 8192
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(12), B))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, B))
+    )
+    state = senv.shard(state)
+
+    runner = FleetRunner(senv)  # interpret=False on the CPU backend
+    assert runner.rollout_path == "sharded_scan"
+    state = runner.run(state, _actions(senv, 4), n_chunks=1, chunk_steps=4)
+    assert runner.summary()["chunks"] == 1
+
+    def pd(obs, t):
+        return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+    state = runner.run_policy(state, pd, n_chunks=1, chunk_steps=4)
+    assert runner.closed_loop_path == "closed_loop_scan"
+    assert runner.summary()["chunks"] == 2

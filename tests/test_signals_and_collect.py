@@ -263,3 +263,36 @@ def test_collector_fused_on_sharded_env():
     )
     np.testing.assert_array_equal(np.asarray(traj_cl.rewards), np.asarray(traj_cl_ref.rewards))
     assert not traj_cl.observations.sharding.is_fully_replicated
+
+
+def test_collect_policy_fused_sharded_cpu_fallback():
+    """collect_policy_fused on a ShardedEnv with interpret=False on the CPU
+    backend rides the scan fallback like the single-chip case (regression:
+    it routed to the compiled sharded kernel and crashed in pallas_call)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    B = 8192
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(33), B))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, B))
+    )
+    state = senv.shard(state)
+
+    def policy(obs, t):
+        return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+    traj, _ = RolloutCollector(senv).collect_policy_fused(policy, state, 4)
+    traj_ref, _ = RolloutCollector(senv).collect_policy_fused(
+        policy, state, 4, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj.observations), np.asarray(traj_ref.observations),
+        rtol=1e-11, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj.rewards), np.asarray(traj_ref.rewards), rtol=1e-11, atol=1e-12
+    )

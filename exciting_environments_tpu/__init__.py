@@ -29,10 +29,16 @@ from exciting_environments_tpu.wrappers.gym import GymWrapper
 
 
 def __getattr__(name):
-    # MujucoWrapper imports mujoco/mjx lazily so the core package stays usable
-    # on systems without MuJoCo.
+    # MujucoWrapper / GymnasiumVectorEnv import mujoco / gymnasium lazily so
+    # the core package stays usable without the optional extras.
     if name == "MujucoWrapper":
         from exciting_environments_tpu.wrappers.mujoco import MujucoWrapper
 
         return MujucoWrapper
+    if name == "GymnasiumVectorEnv":
+        from exciting_environments_tpu.wrappers.gymnasium_vector import (
+            GymnasiumVectorEnv,
+        )
+
+        return GymnasiumVectorEnv
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

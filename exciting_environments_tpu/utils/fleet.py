@@ -31,6 +31,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from exciting_environments_tpu.parallel.metrics import (
     running_init,
@@ -225,6 +226,7 @@ class FleetRunner:
         n_chunks: int,
         chunk_steps: int,
         metric_hook: Callable = None,
+        max_retries: int = 0,
     ):
         """Run ``n_chunks`` rollout chunks of ``chunk_steps`` steps each.
 
@@ -235,19 +237,24 @@ class FleetRunner:
                 :mod:`ops.signals` generators).
             metric_hook: optional ``hook(chunk_index, final_obs, state)``
                 called after each chunk (e.g. to feed external telemetry).
+            max_retries: elastic recovery — on a transient device/runtime
+                failure, roll the loop back to an in-memory host snapshot of
+                the last completed chunk (state AND statistics) and re-run,
+                up to this many consecutive retries (see :meth:`_drive`).
 
         Returns:
             the final state.
         """
-        for k in range(n_chunks):
+
+        def chunk(k, state):
             actions = action_source(k)
-            t0 = time.perf_counter()
             obs, state = self._rollout(state, actions)
             record = {"final_obs": obs}
             if self.write_actions:
                 record["actions"] = actions
-            self._after_chunk(k, obs, state, chunk_steps, t0, record, metric_hook)
-        return state
+            return obs, state, record
+
+        return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
 
     def run_policy(
         self,
@@ -257,6 +264,7 @@ class FleetRunner:
         chunk_steps: int,
         policy_params=None,
         metric_hook: Callable = None,
+        max_retries: int = 0,
     ):
         """Closed-loop variant of :meth:`run`: instead of an external action
         source, ``policy_tile(obs, step[, params])`` (the tile-policy
@@ -264,8 +272,8 @@ class FleetRunner:
         each chunk — in-kernel on the fused paths, over ``(B,)`` observation
         columns on the scan fallback.  The selected path is cached per
         policy object and surfaced via :attr:`closed_loop_path`; all chunk
-        bookkeeping (running statistics, NaN gate, sink, checkpoints)
-        matches :meth:`run`.
+        bookkeeping (running statistics, NaN gate, sink, checkpoints,
+        ``max_retries`` elastic recovery) matches :meth:`run`.
         """
         cached = getattr(self, "_closed_loop", None)
         if cached is None or cached[0] is not policy_tile:
@@ -277,12 +285,78 @@ class FleetRunner:
             )
             self._closed_loop = cached = (policy_tile, run_fn)
         run_fn = cached[1]
-        for k in range(n_chunks):
-            t0 = time.perf_counter()
+
+        def chunk(k, state):
             obs, state = run_fn(state, chunk_steps, policy_params)
-            self._after_chunk(
-                k, obs, state, chunk_steps, t0, {"final_obs": obs}, metric_hook
-            )
+            return obs, state, {"final_obs": obs}
+
+        return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
+
+    # -- elastic recovery ----------------------------------------------------
+
+    def _snapshot(self, state):
+        """Host-side copy of everything a rollback must restore: the
+        simulation state plus the loop's running statistics and counters
+        (so a replayed chunk is not double-counted)."""
+        to_host = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        return (
+            to_host(state), to_host(self.obs_stats), to_host(self.time_window),
+            self.chunks_run, self.env_steps,
+        )
+
+    def _restore(self, snapshot):
+        """Re-place a snapshot; returns the state to resume from.  The state
+        comes back as ordinary host-backed arrays — every execution path
+        (sharded entry points included) re-places/re-shards its inputs."""
+        to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
+        host_state, obs_stats, time_window, chunks_run, env_steps = snapshot
+        self.obs_stats = to_dev(obs_stats)
+        self.time_window = to_dev(time_window)
+        self.chunks_run = chunks_run
+        self.env_steps = env_steps
+        return to_dev(host_state)
+
+    def _drive(self, state, n_chunks, chunk_steps, chunk_fn, metric_hook, max_retries):
+        """The chunk loop shared by :meth:`run` and :meth:`run_policy`.
+
+        With ``max_retries > 0`` the loop keeps an in-memory host snapshot of
+        the last completed chunk and, when a chunk raises a transient
+        device/runtime error (relay outage, preempted worker, poisoned
+        executable — on this runtime these surface at the statistics
+        readback), rolls state *and* bookkeeping back and re-runs the chunk,
+        up to ``max_retries`` consecutive times.  The NaN gate's
+        ``FloatingPointError`` is never retried: it is deterministic — the
+        replay would produce the same non-finite statistics.  Snapshots cost
+        one device→host copy of the state per chunk, so leave retries at 0
+        for latency-critical sweeps.  If a failure lands after the shard
+        writer appended (the gate fences before the writer, so this takes an
+        IO error), the replayed chunk may duplicate one record name.
+        """
+        snapshot = self._snapshot(state) if max_retries > 0 else None
+        k = 0
+        retries = 0
+        while k < n_chunks:
+            t0 = time.perf_counter()
+            try:
+                obs, new_state, record = chunk_fn(k, state)
+                self._after_chunk(k, obs, new_state, chunk_steps, t0, record, metric_hook)
+            except FloatingPointError:
+                raise
+            except Exception as e:
+                if snapshot is None or retries >= max_retries:
+                    raise
+                retries += 1
+                logging.getLogger(__name__).warning(
+                    "fleet chunk %d failed (%r); retry %d/%d from the last "
+                    "completed chunk", k, e, retries, max_retries,
+                )
+                state = self._restore(snapshot)
+                continue
+            retries = 0
+            state = new_state
+            if snapshot is not None:
+                snapshot = self._snapshot(state)
+            k += 1
         return state
 
     def _after_chunk(self, k, obs, state, chunk_steps, t0, record, metric_hook):

@@ -274,3 +274,109 @@ def test_fleet_runner_sharded_cpu_fallback():
     state = runner.run_policy(state, pd, n_chunks=1, chunk_steps=4)
     assert runner.closed_loop_path == "closed_loop_scan"
     assert runner.summary()["chunks"] == 2
+
+
+def test_fleet_elastic_recovery_retries_transient_failures():
+    """A chunk that raises a transient runtime error is replayed from the
+    last completed chunk's snapshot: the final state and statistics match a
+    failure-free run exactly, nothing is double-counted."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), BATCH))
+    src = _actions(env, 8)
+
+    clean = FleetRunner(env, interpret=True)
+    clean_final = clean.run(state0, src, n_chunks=3, chunk_steps=8)
+
+    flaky = FleetRunner(env, interpret=True)
+    orig = flaky._rollout
+    calls = {"n": 0}
+
+    def rollout(state, actions):
+        calls["n"] += 1
+        if calls["n"] == 2:  # fail the 2nd chunk once
+            raise RuntimeError("injected device failure")
+        return orig(state, actions)
+
+    flaky._rollout = rollout
+    flaky_final = flaky.run(state0, src, n_chunks=3, chunk_steps=8, max_retries=1)
+
+    assert calls["n"] == 4  # 3 chunks + 1 replay
+    for a, b in zip(
+        jax.tree_util.tree_leaves(clean_final), jax.tree_util.tree_leaves(flaky_final)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cs, fs = clean.summary(), flaky.summary()
+    assert fs["chunks"] == cs["chunks"] == 3
+    assert fs["env_steps"] == cs["env_steps"]
+    np.testing.assert_array_equal(np.asarray(cs["obs_mean"]), np.asarray(fs["obs_mean"]))
+
+
+def test_fleet_elastic_recovery_exhausts_and_raises():
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), BATCH))
+    runner = FleetRunner(env, interpret=True)
+
+    def always_fails(state, actions):
+        raise RuntimeError("permanently down")
+
+    runner._rollout = always_fails
+    with pytest.raises(RuntimeError, match="permanently down"):
+        runner.run(state0, _actions(env, 4), n_chunks=2, chunk_steps=4, max_retries=2)
+
+
+def test_fleet_nan_gate_is_never_retried():
+    """FloatingPointError from the NaN gate is deterministic; max_retries
+    must not mask it by replaying the same program."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), BATCH))
+    runner = FleetRunner(env, interpret=True)
+    orig = runner._rollout
+    calls = {"n": 0}
+
+    def nan_rollout(state, actions):
+        calls["n"] += 1
+        obs, state = orig(state, actions)
+        return jnp.full_like(obs, jnp.nan), state
+
+    runner._rollout = nan_rollout
+    with pytest.raises(FloatingPointError):
+        runner.run(state0, _actions(env, 4), n_chunks=1, chunk_steps=4, max_retries=5)
+    assert calls["n"] == 1  # not replayed
+
+
+def test_fleet_elastic_recovery_run_policy():
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(6), BATCH))
+    state0 = structures.replace(
+        state0, reference=structures.replace(state0.reference, theta=jnp.linspace(-1, 1, BATCH))
+    )
+
+    clean = FleetRunner(env, interpret=True)
+    clean_final = clean.run_policy(state0, _pd_policy, n_chunks=3, chunk_steps=4)
+
+    # pre-seed the closed-loop cache with a once-failing wrapper around the
+    # real selected run_fn, so the failure fires inside _drive's chunk loop
+    from exciting_environments_tpu.utils.fleet import _select_closed_loop
+
+    flaky = FleetRunner(env, interpret=True)
+    run_fn = _select_closed_loop(env, _pd_policy, True)[0]
+    calls = {"n": 0}
+
+    def flaky_run(state, n_steps, params):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected")
+        return run_fn(state, n_steps, params)
+
+    flaky._closed_loop = (_pd_policy, flaky_run)
+    flaky.closed_loop_path = "closed_loop_fused"
+    flaky_final = flaky.run_policy(
+        state0, _pd_policy, n_chunks=3, chunk_steps=4, max_retries=1
+    )
+    assert calls["n"] == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(clean_final), jax.tree_util.tree_leaves(flaky_final)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -181,9 +181,10 @@ class FleetRunner:
         writer: optional :class:`~exciting_environments_tpu.io.ShardWriter`;
             each chunk's ``(final_obs, actions?)`` record is appended.
         write_actions: also sink each chunk's action slab (large!).
-        checkpoint_dir: when set, the simulation state is checkpointed every
-            ``checkpoint_every`` chunks (resume with
-            :func:`utils.checkpoint.load_state`).
+        checkpoint_dir: when set, a self-contained checkpoint — simulation
+            state plus the loop's statistics and counters — is written every
+            ``checkpoint_every`` chunks; after a process death, a fresh
+            runner picks up with :meth:`resume`.
         checkpoint_every: checkpoint period in chunks (0 disables).
         window: wall-time window length for the throughput readout.
         interpret: run Pallas kernels in interpreter mode (CPU testing).
@@ -316,6 +317,68 @@ class FleetRunner:
         self.env_steps = env_steps
         return to_dev(host_state)
 
+    # -- checkpoint / resume (process-death recovery) --------------------------
+
+    def _ckpt_payload(self, state):
+        """Self-contained checkpoint pytree: the simulation state plus the
+        loop bookkeeping a resumed runner must carry on (statistics and
+        counters as arrays so both checkpoint backends round-trip them)."""
+        return {
+            "state": state,
+            "obs_stats": self.obs_stats,
+            "chunks_run": np.asarray(self.chunks_run, np.int64),
+            "env_steps": np.asarray(self.env_steps, np.int64),
+        }
+
+    @staticmethod
+    def latest_checkpoint(checkpoint_dir: str):
+        """Path of the newest ``fleet_*`` checkpoint in ``checkpoint_dir``
+        (``.npz`` file or orbax directory), or ``None`` when none exists."""
+        best, best_n = None, -1
+        for name in os.listdir(checkpoint_dir) if os.path.isdir(checkpoint_dir) else ():
+            stem = name[:-4] if name.endswith(".npz") else name
+            if not stem.startswith("fleet_"):
+                continue
+            try:
+                n = int(stem.split("_", 1)[1])
+            except ValueError:
+                continue
+            if n > best_n:
+                best, best_n = os.path.join(checkpoint_dir, name), n
+        return best
+
+    def resume(self, like_state, path: str = None):
+        """Pick up after a process death from an on-disk fleet checkpoint.
+
+        Restores the loop's statistics and counters into this runner and
+        returns ``(state, chunks_done)``.  The caller continues with
+        :meth:`run`/:meth:`run_policy` for the *remaining* chunks; with a
+        chunk-indexed action source, shift it by ``chunks_done``
+        (``lambda k: source(k + chunks_done)``) so the excitation sequence
+        continues where the dead process stopped.
+
+        Args:
+            like_state: a state pytree with the target structure (e.g. from
+                ``env.vmap_reset()``).
+            path: checkpoint to restore; default — the newest ``fleet_*``
+                checkpoint in this runner's ``checkpoint_dir``.
+        """
+        from exciting_environments_tpu.utils.checkpoint import load_state
+
+        if path is None:
+            if not self.checkpoint_dir:
+                raise ValueError("resume() needs a path or a checkpoint_dir")
+            path = self.latest_checkpoint(self.checkpoint_dir)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no fleet_* checkpoint in {self.checkpoint_dir!r}"
+                )
+        payload = load_state(self._ckpt_payload(like_state), path)
+        self.obs_stats = payload["obs_stats"]
+        self.chunks_run = int(payload["chunks_run"])
+        self.env_steps = int(payload["env_steps"])
+        return payload["state"], self.chunks_run
+
     def _drive(self, state, n_chunks, chunk_steps, chunk_fn, metric_hook, max_retries):
         """The chunk loop shared by :meth:`run` and :meth:`run_policy`.
 
@@ -382,7 +445,8 @@ class FleetRunner:
             from exciting_environments_tpu.utils.checkpoint import save_state
 
             save_state(
-                state, os.path.join(self.checkpoint_dir, f"fleet_{self.chunks_run:06d}")
+                self._ckpt_payload(state),
+                os.path.join(self.checkpoint_dir, f"fleet_{self.chunks_run:06d}"),
             )
         if metric_hook is not None:
             metric_hook(k, obs, state)

@@ -67,13 +67,20 @@ def test_fleet_runner_writer_and_checkpoint(tmp_path):
     ckpts = [f for f in os.listdir(ckpt_dir) if f.startswith("fleet_")]
     assert len(ckpts) == 2  # chunks 2 and 4
 
-    # resume from the checkpoint and continue
-    from exciting_environments_tpu.utils.checkpoint import load_state
-
-    restored = load_state(state, os.path.join(ckpt_dir, sorted(ckpts)[-1]))
-    runner2 = FleetRunner(env, interpret=True)
-    runner2.run(restored, _actions(env, 8, seed0=10), n_chunks=1, chunk_steps=8)
-    assert runner2.summary()["chunks"] == 1
+    # process-death resume: a fresh runner restores state AND bookkeeping
+    assert FleetRunner.latest_checkpoint(ckpt_dir).endswith(
+        sorted(ckpts)[-1]
+    ) or FleetRunner.latest_checkpoint(ckpt_dir).endswith(sorted(ckpts)[-1] + ".npz")
+    runner2 = FleetRunner(env, checkpoint_dir=ckpt_dir, interpret=True)
+    restored, done = runner2.resume(state)
+    assert done == 4 and runner2.env_steps == 4 * BATCH * 8
+    np.testing.assert_array_equal(  # statistics carried over exactly
+        np.asarray(runner.summary()["obs_mean"]), np.asarray(runner2.summary()["obs_mean"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    runner2.run(restored, lambda k: _actions(env, 8)(k + done), n_chunks=1, chunk_steps=8)
+    assert runner2.summary()["chunks"] == 5
 
 
 @pytest.mark.slow

@@ -21,6 +21,7 @@ from exciting_environments_tpu.models import (
     MassSpringDamper,
     MotorVariant,
     Pendulum,
+    VanDerPol,
 )
 from exciting_environments_tpu.ops import solvers
 from exciting_environments_tpu.utils import MinMaxNormalization

@@ -46,7 +46,7 @@ def _builtin(name: str) -> Callable:
     return resolver
 
 
-for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM"):
+for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM", "VanDerPol"):
     register(f"{_name}-v0", _builtin(_name))
 
 
@@ -59,6 +59,7 @@ class EnvironmentRegistry(Enum):
     FLUID_TANK = "FluidTank-v0"
     PMSM = "PMSM-v0"
     ACROBOT = "Acrobot-v0"
+    VAN_DER_POL = "VanDerPol-v0"  # beyond-reference stiffness benchmark
 
     def make(self, **env_kwargs):
         """Instantiate the environment class behind this registry id."""

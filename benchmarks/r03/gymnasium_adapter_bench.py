@@ -17,12 +17,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+import jax
 import numpy as np
+
+# the axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so setting env vars here would be inert — pin the true
+# local CPU through the live config instead (see CLAUDE.md / conftest.py)
+jax.config.update("jax_platforms", "cpu")
 
 
 def time_steps(venv, actions, n_steps):

@@ -249,11 +249,12 @@ class FleetRunner:
 
         def chunk(k, state):
             actions = action_source(k)
+            t0 = time.perf_counter()  # host-side slab generation stays untimed
             obs, state = self._rollout(state, actions)
             record = {"final_obs": obs}
             if self.write_actions:
                 record["actions"] = actions
-            return obs, state, record
+            return obs, state, record, t0
 
         return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
 
@@ -288,8 +289,9 @@ class FleetRunner:
         run_fn = cached[1]
 
         def chunk(k, state):
+            t0 = time.perf_counter()
             obs, state = run_fn(state, chunk_steps, policy_params)
-            return obs, state, {"final_obs": obs}
+            return obs, state, {"final_obs": obs}, t0
 
         return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
 
@@ -306,16 +308,26 @@ class FleetRunner:
         )
 
     def _restore(self, snapshot):
-        """Re-place a snapshot; returns the state to resume from.  The state
-        comes back as ordinary host-backed arrays — every execution path
-        (sharded entry points included) re-places/re-shards its inputs."""
+        """Re-place a snapshot; returns the state to resume from."""
         to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
         host_state, obs_stats, time_window, chunks_run, env_steps = snapshot
         self.obs_stats = to_dev(obs_stats)
         self.time_window = to_dev(time_window)
         self.chunks_run = chunks_run
         self.env_steps = env_steps
-        return to_dev(host_state)
+        return self._place(to_dev(host_state))
+
+    def _place(self, state):
+        """Put a host-restored state back on its execution layout.  On a mesh
+        this re-shards explicitly: the fused lanes shard their inputs anyway,
+        but the closed-loop scan fallback steps whatever layout it is handed —
+        without this, one retry would silently drop the whole remaining run
+        to a single device."""
+        from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+        if isinstance(self.env, ShardedEnv):
+            return self.env.shard(state)
+        return state
 
     # -- checkpoint / resume (process-death recovery) --------------------------
 
@@ -377,7 +389,7 @@ class FleetRunner:
         self.obs_stats = payload["obs_stats"]
         self.chunks_run = int(payload["chunks_run"])
         self.env_steps = int(payload["env_steps"])
-        return payload["state"], self.chunks_run
+        return self._place(payload["state"]), self.chunks_run
 
     def _drive(self, state, n_chunks, chunk_steps, chunk_fn, metric_hook, max_retries):
         """The chunk loop shared by :meth:`run` and :meth:`run_policy`.
@@ -391,18 +403,25 @@ class FleetRunner:
         ``FloatingPointError`` is never retried: it is deterministic — the
         replay would produce the same non-finite statistics.  Snapshots cost
         one device→host copy of the state per chunk, so leave retries at 0
-        for latency-critical sweeps.  If a failure lands after the shard
+        for latency-critical sweeps.  The post-chunk snapshot itself runs
+        inside the retry scope: on this runtime execution errors surface at
+        device→host fetches, which may be the snapshot's own readback rather
+        than the statistics fence.  If a failure lands after the shard
         writer appended (the gate fences before the writer, so this takes an
         IO error), the replayed chunk may duplicate one record name.
+
+        ``chunk_fn(k, state) -> (obs, state, record, t0)`` returns its own
+        timing origin so host-side work (e.g. an ``action_source`` building
+        a slab in NumPy) stays out of the throughput readout.
         """
         snapshot = self._snapshot(state) if max_retries > 0 else None
         k = 0
         retries = 0
         while k < n_chunks:
-            t0 = time.perf_counter()
             try:
-                obs, new_state, record = chunk_fn(k, state)
+                obs, new_state, record, t0 = chunk_fn(k, state)
                 self._after_chunk(k, obs, new_state, chunk_steps, t0, record, metric_hook)
+                new_snapshot = self._snapshot(new_state) if snapshot is not None else None
             except FloatingPointError:
                 raise
             except Exception as e:
@@ -417,8 +436,7 @@ class FleetRunner:
                 continue
             retries = 0
             state = new_state
-            if snapshot is not None:
-                snapshot = self._snapshot(state)
+            snapshot = new_snapshot
             k += 1
         return state
 

@@ -387,3 +387,41 @@ def test_fleet_elastic_recovery_run_policy():
         jax.tree_util.tree_leaves(clean_final), jax.tree_util.tree_leaves(flaky_final)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fleet_retry_preserves_mesh_sharding():
+    """A retried chunk on a ShardedEnv must come back mesh-sharded: the
+    closed-loop scan lane steps whatever layout it is handed, so without
+    explicit re-placement one retry silently dropped the rest of the run to
+    a single device."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    B = 8192
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(21), B))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, B))
+    )
+    state = senv.shard(state)
+
+    runner = FleetRunner(senv)  # CPU backend -> closed_loop_scan lane
+    from exciting_environments_tpu.utils.fleet import _select_closed_loop
+
+    run_fn = _select_closed_loop(senv, _pd_policy, False)[0]
+    calls = {"n": 0}
+
+    def flaky_run(state, n_steps, params):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected")
+        return run_fn(state, n_steps, params)
+
+    runner._closed_loop = (_pd_policy, flaky_run)
+    runner.closed_loop_path = "closed_loop_scan"
+    final = runner.run_policy(state, _pd_policy, n_chunks=3, chunk_steps=4, max_retries=1)
+    assert calls["n"] == 4
+    for leaf in jax.tree_util.tree_leaves(final):
+        assert not leaf.sharding.is_fully_replicated, "retry dropped the mesh sharding"

@@ -221,6 +221,16 @@ class PMSM(CoreEnvironment):
     # magnetics
     # ------------------------------------------------------------------
 
+    def generate_interpolators_and_lut(self, pmsm_lut):
+        """Reference-compatible LUT pipeline entry (``pmsm_env.py:316-363``):
+        NaN fill, edge padding and per-quantity interpolators from a raw
+        measured LUT dict.  Returns ``(LUT_interpolators, pmsm_lut)`` exactly
+        like the reference — the interpolators here are closures over the
+        stacked bilinear gather instead of six
+        ``RegularGridInterpolator`` objects."""
+        lut, processed = build_pmsm_lut(pmsm_lut)
+        return lut.as_dict(), processed
+
     def currents_to_torque(self, i_d, i_q, env_properties):
         """Linear-magnetics torque: 1.5 p (psi_p + (l_d - l_q) i_d) i_q."""
         torque = (

@@ -1,0 +1,126 @@
+"""Drop-in API parity against the reference, enforced structurally.
+
+Parses the reference sources (AST only — the reference's diffrax/mjx
+dependency stack need not be importable) and asserts every public method of
+its ``CoreEnvironment``, ``GymWrapper``, ``MujucoWrapper``, each environment
+class, and each module-level utility exists on this framework's counterpart.
+A method the reference adds and this repo misses fails the suite — the
+"switch the import and everything is there" guarantee, kept self-maintaining.
+
+Skipped when the reference tree is not mounted (e.g. CI).
+"""
+
+import ast
+import os
+
+import pytest
+
+REF = "/root/reference/exciting_environments"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted"
+)
+
+import exciting_environments_tpu as excenvs
+
+
+def _public_methods(path, class_name, split_properties=False):
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            defs = [
+                n
+                for n in node.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and not n.name.startswith("_")
+            ]
+            is_prop = lambda n: any(
+                isinstance(d, ast.Name) and d.id == "property" for d in n.decorator_list
+            )
+            if split_properties:
+                return (
+                    sorted(n.name for n in defs if not is_prop(n)),
+                    sorted(n.name for n in defs if is_prop(n)),
+                )
+            return sorted(n.name for n in defs)
+    raise AssertionError(f"{class_name} not found in {path}")
+
+
+def _public_functions(path):
+    tree = ast.parse(open(path).read())
+    return sorted(
+        n.name
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        and not n.name.startswith("_")
+    )
+
+
+def _missing(cls, names):
+    return [n for n in names if not callable(getattr(cls, n, None))]
+
+
+def test_core_environment_surface():
+    names = _public_methods(os.path.join(REF, "core_env.py"), "CoreEnvironment")
+    assert names, "reference surface unexpectedly empty"
+    from exciting_environments_tpu.core.env import CoreEnvironment
+
+    assert _missing(CoreEnvironment, names) == []
+
+
+def test_gym_wrapper_surface():
+    names = _public_methods(os.path.join(REF, "gym_wrapper.py"), "GymWrapper")
+    assert _missing(excenvs.GymWrapper, names) == []
+
+
+def test_mujoco_wrapper_surface():
+    names = _public_methods(os.path.join(REF, "mujoco_wrapper.py"), "MujucoWrapper")
+    from exciting_environments_tpu.wrappers.mujoco import MujucoWrapper
+
+    assert _missing(MujucoWrapper, names) == []
+
+
+@pytest.mark.parametrize(
+    "ref_file, class_name",
+    [
+        ("pendulum/pendulum_env.py", "Pendulum"),
+        ("cart_pole/cart_pole_env.py", "CartPole"),
+        ("acrobot/acrobot_env.py", "Acrobot"),
+        ("mass_spring_damper/mass_spring_damper_env.py", "MassSpringDamper"),
+        ("fluid_tank/fluid_tank_env.py", "FluidTank"),
+        ("pmsm/pmsm_env.py", "PMSM"),
+    ],
+)
+def test_environment_class_surfaces(ref_file, class_name):
+    methods, properties = _public_methods(
+        os.path.join(REF, ref_file), class_name, split_properties=True
+    )
+    kwargs = {"saturated": False} if class_name == "PMSM" else {}
+    inst = getattr(excenvs, class_name)(batch_size=2, **kwargs)
+    assert [n for n in methods if not callable(getattr(inst, n, None))] == []
+    # reference @property members (obs_description, action_description, ...)
+    # are plain attributes here — value access is the compatible surface
+    assert [n for n in properties if not hasattr(inst, n)] == []
+
+
+def test_utils_module_surface():
+    names = _public_functions(os.path.join(REF, "utils.py"))
+    import exciting_environments_tpu.utils as utils
+
+    missing = [n for n in names if not callable(getattr(utils, n, None))]
+    assert missing == []
+
+
+def test_registry_ids_superset():
+    """Every reference registry id constructs here (ours may add more)."""
+    tree = ast.parse(open(os.path.join(REF, "registration.py")).read())
+    ref_ids = sorted(
+        node.value.value
+        for cls in ast.walk(tree)
+        if isinstance(cls, ast.ClassDef) and cls.name == "EnvironmentRegistry"
+        for node in cls.body
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Constant)
+    )
+    assert ref_ids, "no reference registry ids found"
+    from exciting_environments_tpu.core.registration import _REGISTRY
+
+    assert [i for i in ref_ids if i not in _REGISTRY] == []

@@ -124,3 +124,39 @@ def test_registry_ids_superset():
     from exciting_environments_tpu.core.registration import _REGISTRY
 
     assert [i for i in ref_ids if i not in _REGISTRY] == []
+
+
+@pytest.mark.parametrize(
+    "ref_file, class_name",
+    [
+        ("pendulum/pendulum_env.py", "Pendulum"),
+        ("cart_pole/cart_pole_env.py", "CartPole"),
+        ("acrobot/acrobot_env.py", "Acrobot"),
+        ("mass_spring_damper/mass_spring_damper_env.py", "MassSpringDamper"),
+        ("fluid_tank/fluid_tank_env.py", "FluidTank"),
+        ("pmsm/pmsm_env.py", "PMSM"),
+        ("gym_wrapper.py", "GymWrapper"),
+        ("mujoco_wrapper.py", "MujucoWrapper"),
+    ],
+)
+def test_constructor_signature_superset(ref_file, class_name):
+    """Every reference constructor keyword must be accepted here (ours may
+    add more, e.g. fast_math) — reference construction calls run unchanged."""
+    import inspect
+
+    tree = ast.parse(open(os.path.join(REF, ref_file)).read())
+    ref_args = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name == class_name:
+            for n in node.body:
+                if isinstance(n, ast.FunctionDef) and n.name == "__init__":
+                    ref_args = [a.arg for a in n.args.args[1:]] + [
+                        a.arg for a in n.args.kwonlyargs
+                    ]
+    assert ref_args, f"no reference __init__ found for {class_name}"
+    if class_name == "MujucoWrapper":
+        from exciting_environments_tpu.wrappers.mujoco import MujucoWrapper as cls
+    else:
+        cls = getattr(excenvs, class_name)
+    ours = set(inspect.signature(cls.__init__).parameters) - {"self"}
+    assert [a for a in ref_args if a not in ours] == []

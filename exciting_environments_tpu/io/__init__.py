@@ -17,3 +17,12 @@ previous one.
 
 from exciting_environments_tpu.io.dataset import ShardWriter, read_shard
 from exciting_environments_tpu.io.loader import DeviceLoader, ShardIndex, read_shard_lazy
+
+
+def __getattr__(name):
+    # torch interop imports torch lazily; the core io package stays torch-free
+    if name == "TorchShardDataset":
+        from exciting_environments_tpu.io.torch_data import TorchShardDataset
+
+        return TorchShardDataset
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -122,3 +122,45 @@ def test_python_writer_backpressure_bounded(tmp_path):
     w2 = _PyAsyncWriter(tmp_path / "big.bin", max_queue_bytes=16)
     w2.write(b"y" * 4096)
     assert w2.close() == 4096
+
+
+def test_torch_shard_dataset(tmp_path):
+    """Shards load as a standard map-style torch dataset; DataLoader batches
+    stack records; transform hooks build training pairs."""
+    torch = pytest.importorskip("torch")
+    from torch.utils.data import DataLoader
+
+    from exciting_environments_tpu.io import ShardWriter, TorchShardDataset
+
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"shard_{s}.extpu")
+        with ShardWriter(p, use_native=False) as w:
+            for k in range(3):
+                w.append(
+                    {"obs": np.full((4, 2), 10 * s + k, np.float32),
+                     "act": np.full((4, 1), k, np.float32)},
+                    name=f"chunk_{k}",
+                )
+        paths.append(p)
+
+    with TorchShardDataset(paths) as ds:
+        assert len(ds) == 6
+        assert ds.names[0] == "chunk_0" and len(ds.names) == 6
+        item = ds[4]  # shard 1, record 1
+        assert isinstance(item["obs"], torch.Tensor)
+        assert item["obs"].shape == (4, 2) and float(item["obs"][0, 0]) == 11.0
+
+        batches = list(DataLoader(ds, batch_size=3, shuffle=False))
+        assert len(batches) == 2
+        assert batches[0]["obs"].shape == (3, 4, 2)
+        np.testing.assert_array_equal(
+            batches[0]["act"][:, 0, 0].numpy(), np.asarray([0.0, 1.0, 2.0], np.float32)
+        )
+
+    def pair(name, tensors):
+        return tensors["obs"], tensors["act"]
+
+    with TorchShardDataset(paths[0], transform=pair) as ds2:
+        x, y = ds2[0]
+        assert x.shape == (4, 2) and y.shape == (4, 1)

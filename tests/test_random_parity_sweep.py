@@ -34,6 +34,7 @@ ENVS = [
     (excenvs.Acrobot, "g"),
     (excenvs.MassSpringDamper, "k"),
     (excenvs.FluidTank, "c_d"),
+    (excenvs.VanDerPol, "mu"),
 ]
 SOLVERS = ["euler", "heun", "midpoint", "rk4", "tsit5", "dopri5"]
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import mmap
 import queue
+import re
 import struct
 import threading
 
@@ -33,6 +34,18 @@ import numpy as np
 import jax
 
 from exciting_environments_tpu.io.dataset import MAGIC
+
+
+#: leaf paths are jax keystr strings; a flat-dict record's "['obs']" reads
+#: better as plain "obs" (nested pytree paths keep the full keystr)
+_SIMPLE_KEY = re.compile(r"^\['([^'\[\]]+)'\]$")
+
+
+def pretty_leaf_key(path: str) -> str:
+    """Human-friendly leaf key: ``"['obs']"`` -> ``"obs"``; nested pytree
+    paths are returned unchanged."""
+    m = _SIMPLE_KEY.match(path)
+    return m.group(1) if m else path
 
 
 class ShardIndex:

@@ -22,20 +22,9 @@ Example::
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 
-from exciting_environments_tpu.io.loader import ShardIndex
-
-#: leaf paths are jax keystr strings; a flat-dict record's "['obs']" reads
-#: better as plain "obs" (nested pytree paths keep the full keystr)
-_SIMPLE_KEY = re.compile(r"^\['([^'\[\]]+)'\]$")
-
-
-def _pretty_key(path: str) -> str:
-    m = _SIMPLE_KEY.match(path)
-    return m.group(1) if m else path
+from exciting_environments_tpu.io.loader import ShardIndex, pretty_leaf_key as _pretty_key
 
 
 class TorchShardDataset:

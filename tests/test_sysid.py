@@ -124,6 +124,26 @@ def test_fisher_information_zero_for_unexciting_input():
     assert excited.names == ("l", "m")
 
 
+def test_fit_recovers_pmsm_motor_parameters():
+    """Identify R_s / L_d / L_q of a linear-magnetics drive from one recorded
+    current trajectory — the domain workflow the upstream project generates
+    excitation data for (reference ``pmsm_env.py`` simulates, never fits)."""
+    from exciting_environments_tpu.models import PMSM
+
+    env = PMSM(batch_size=4)
+    sp = env.env_properties.static_params
+    true = {"r_s": float(sp.r_s) * 1.4, "l_d": float(sp.l_d) * 0.75, "l_q": float(sp.l_q) * 1.2}
+    props = structures.replace(env.env_properties, static_params=structures.replace(sp, **true))
+    actions = aprbs(jax.random.PRNGKey(0), 1, 256, env.action_dim, hold_min=3, hold_max=12)[0]
+    init_state = env.init_state(props)
+    obs, _, _ = env.sim_ahead(init_state, actions, props, env.tau, env.tau)
+    guess = {"r_s": float(sp.r_s), "l_d": float(sp.l_d), "l_q": float(sp.l_q)}
+    result = fit_parameters(env, actions, obs, guess,
+                            n_starts=8, iterations=500, segment_length=16)
+    for name, val in true.items():
+        assert abs(result.params[name] - val) / val < 1e-6, (name, result.params)
+
+
 def test_optimize_excitation_increases_information():
     env = _env()
     key = jax.random.PRNGKey(2)

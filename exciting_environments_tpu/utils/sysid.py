@@ -111,7 +111,61 @@ def _sim_obs(env, init_state, actions, props, obs_stepsize, action_stepsize):
 def _resolve_grid(env, obs_stepsize, action_stepsize):
     action_stepsize = env.tau if action_stepsize is None else action_stepsize
     obs_stepsize = action_stepsize if obs_stepsize is None else obs_stepsize
+    if obs_stepsize > action_stepsize:
+        raise ValueError(
+            f"obs_stepsize ({obs_stepsize}) must not exceed action_stepsize "
+            f"({action_stepsize}) — sim_ahead samples observations on the finer grid"
+        )
+    ratio = action_stepsize / obs_stepsize
+    if abs(ratio - round(ratio)) > 1e-9 * ratio:
+        raise ValueError(
+            f"action_stepsize/obs_stepsize must be an integer, got {ratio}"
+        )
     return obs_stepsize, action_stepsize
+
+
+def _obs_circular_periods(env):
+    """Per-observation-column period in normalized units (0 = linear column).
+
+    Wrapped-angle states live on a circle: a trajectory crossing the ±π seam
+    one step earlier than the recording differs by a full revolution in
+    linear MSE, which carves spurious local minima into the fit landscape.
+    Columns backed by ``_angle_fields`` therefore get the circular metric
+    ``d - period*round(d/period)``.  Normalization maps Δx to
+    ``2Δx/(max-min)``, so a 2π physical period is ``4π/(max-min)``
+    normalized.  Returns ``None`` when nothing is circular (or when the
+    normalization bounds are per-batch arrays)."""
+    fields = getattr(env, "_physical_field_names", None)
+    angles = set(getattr(env, "_angle_fields", ()) or ())
+    if not fields or not angles:
+        return None
+    periods = []
+    try:
+        for name in fields:
+            if name in angles:
+                norm = getattr(env.env_properties.physical_normalizations, name)
+                periods.append(4.0 * float(jnp.pi) / (float(norm.max) - float(norm.min)))
+            else:
+                periods.append(0.0)
+    except TypeError:  # per-batch normalization bounds: skip circular handling
+        return None
+    periods += [0.0] * len(getattr(env, "control_state", ()) or ())
+    return jnp.asarray(periods)
+
+
+def _default_loss_weights(env):
+    """Zero out tracked-reference observation columns.
+
+    ``sim_ahead`` tiles the initial state's reference through the trajectory
+    and a default/recorded initial state carries NaN references
+    (``core/env.py::_nan_reference``), so reference columns must not enter
+    the fit residual — they describe the *controller's* target, not the
+    plant.  Physical columns keep unit weight."""
+    n_ref = len(getattr(env, "control_state", ()) or ())
+    if n_ref == 0:
+        return None
+    n_obs = len(env.obs_description)
+    return jnp.concatenate([jnp.ones(n_obs - n_ref), jnp.zeros(n_ref)])
 
 
 def _resolve_init_state(env, init_state, observed_obs):
@@ -122,15 +176,14 @@ def _resolve_init_state(env, init_state, observed_obs):
 
 def _resolve_free_point(env, free, relative):
     """(names, values) evaluation point from a dict / name sequence."""
+    names = tuple(free.keys()) if isinstance(free, dict) else tuple(free)
+    _check_free(env, names)  # before any getattr/float so errors stay friendly
     if isinstance(free, dict):
-        names = tuple(free.keys())
         values = jnp.asarray([float(free[n]) for n in names])
     else:
-        names = tuple(free)
         values = jnp.asarray(
             [float(getattr(env.env_properties.static_params, n)) for n in names]
         )
-    _check_free(env, names)
     if relative and not bool(jnp.all(values > 0)):
         raise ValueError(
             "relative=True differentiates w.r.t. log θ and needs strictly positive "
@@ -170,8 +223,10 @@ def fit_parameters(
             layout ``sim_ahead`` returns, reference ``core_env.py:470-480``).
         free: ``{param_name: initial_guess}`` for the parameters to identify;
             every other static param stays at the env's value.
-        init_state: optional known initial :class:`State`; defaults to
-            ``generate_state_from_observation(observed_obs[0])``.
+        init_state: optional known-exact initial :class:`State`; when given
+            it seeds the rollout (single shooting) or segment 0 (multiple
+            shooting — later segments always re-seed from the recording).
+            Defaults to ``generate_state_from_observation(observed_obs[0])``.
         obs_stepsize / action_stepsize: sampling grids (default ``env.tau``).
         n_starts: number of simultaneous multistart candidates (vmapped — one
             rollout program regardless of count).
@@ -181,7 +236,11 @@ def fit_parameters(
         optimizer: optax transformation; default adam under a cosine-decayed
             step size (``optax.adam(cosine_decay_schedule(0.1, iterations))``
             — the decay is what takes the fit from ~1e-5 to ~1e-10 MSE).
-        loss_weights: optional per-observation-column weights ``(obs_dim,)``.
+        loss_weights: optional per-observation-column weights ``(obs_dim,)``;
+            zero-weight columns are fully masked (NaN-safe).  Default: unit
+            weight on physical columns, zero on tracked-reference columns
+            (references describe the controller's target, not the plant, and
+            are NaN for recordings seeded from a default initial state).
         transform: ``"log"`` (default) optimizes ``log θ`` — enforces
             positivity and makes steps scale-relative, the right frame for
             physical constants; ``"none"`` optimizes raw values.
@@ -212,7 +271,6 @@ def fit_parameters(
     obs_stepsize, action_stepsize = _resolve_grid(env, obs_stepsize, action_stepsize)
     observed_obs = jnp.asarray(observed_obs)
     actions = jnp.asarray(actions)
-    init_state = _resolve_init_state(env, init_state, observed_obs)
     if optimizer is None:
         optimizer = optax.adam(optax.cosine_decay_schedule(0.1, iterations))
     if key is None:
@@ -236,7 +294,7 @@ def fit_parameters(
     else:
         theta0 = guess[None, :] * (1.0 + spread * jitter)
 
-    weights = None if loss_weights is None else jnp.asarray(loss_weights)
+    weights = jnp.asarray(loss_weights) if loss_weights is not None else _default_loss_weights(env)
 
     n_act = actions.shape[0]
     sub = int(round(action_stepsize / obs_stepsize))  # observations per action step
@@ -248,6 +306,7 @@ def fit_parameters(
         )
 
     if segment_length is None or segment_length >= n_act:
+        init_state = _resolve_init_state(env, init_state, observed_obs)
         seg_targets = observed_obs[None]                   # (1, n_act*sub+1, obs)
 
         def sim_all(props):
@@ -265,17 +324,30 @@ def fit_parameters(
         seg_states = jax.vmap(
             lambda o: env.generate_state_from_observation(o, env.env_properties)
         )(observed_obs[jnp.arange(n_seg) * (segment_length * sub)])
+        if init_state is not None:
+            # a user-supplied initial state is exact knowledge — segment 0
+            # uses it instead of the (possibly noisy) recorded observation
+            seg_states = jax.tree_util.tree_map(
+                lambda b, s: b.at[0].set(s), seg_states, init_state
+            )
 
         def sim_all(props):
             return jax.vmap(
                 lambda s, a: _sim_obs(env, s, a, props, obs_stepsize, action_stepsize)
             )(seg_states, seg_actions)
 
+    periods = _obs_circular_periods(env)
+
     def loss_one(theta):
         sim = sim_all(_props_with(env, names, from_theta(theta)))
-        err = (sim - seg_targets) ** 2
+        d = sim - seg_targets
+        if periods is not None:
+            d = jnp.where(periods > 0, d - periods * jnp.round(d / jnp.where(periods > 0, periods, 1.0)), d)
+        err = d**2
         if weights is not None:
-            err = err * weights
+            # where (not multiply): zero weight must mask NaN reference
+            # columns, and 0 * NaN is NaN
+            err = jnp.where(weights == 0, 0.0, err * weights)
         return jnp.mean(err)
 
     def total_loss(theta):
@@ -434,7 +506,13 @@ def optimize_excitation(
     if init_actions is None:
         u0 = 0.1 * jax.random.normal(key, (n_steps, env.action_dim))
     else:
-        init_actions = jnp.clip(jnp.asarray(init_actions), -1 + 1e-6, 1 - 1e-6)
+        init_actions = jnp.asarray(init_actions)
+        if init_actions.shape != (n_steps, env.action_dim):
+            raise ValueError(
+                f"init_actions shape {init_actions.shape} does not match "
+                f"(n_steps, action_dim) = {(n_steps, env.action_dim)}"
+            )
+        init_actions = jnp.clip(init_actions, -1 + 1e-6, 1 - 1e-6)
         u0 = jnp.arctanh(init_actions)
 
     eps = 1e-9  # keeps logdet/inv finite while the signal is still uninformative

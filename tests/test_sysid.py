@@ -124,6 +124,42 @@ def test_fisher_information_zero_for_unexciting_input():
     assert excited.names == ("l", "m")
 
 
+def test_fit_on_tracking_env_masks_reference_columns():
+    """Recordings from a tracking env carry NaN reference columns (sim_ahead
+    tiles the initial state's NaN reference); the default loss masks them."""
+    env = Pendulum(batch_size=4, tau=TAU, control_state=["theta"])
+    props = _true_props(env)
+    actions = aprbs(jax.random.PRNGKey(5), 1, 128, 1, hold_min=5, hold_max=20)[0]
+    obs, _, _ = env.sim_ahead(env.init_state(props), actions, props, TAU, TAU)
+    assert bool(jnp.isnan(obs[:, -1]).all())  # the theta reference column
+    result = fit_parameters(env, actions, obs, {"l": 1.0, "m": 1.0},
+                            n_starts=4, iterations=600)
+    assert jnp.isfinite(result.final_loss)
+    assert abs(result.params["l"] - TRUE["l"]) / TRUE["l"] < 1e-3
+
+
+def test_grid_and_shape_validation():
+    env = _env()
+    actions = jnp.zeros((8, 1))
+    observed = jnp.zeros((9, 2))
+    # observations coarser than actions / non-integer ratio are rejected upfront
+    with pytest.raises(ValueError, match="must not exceed"):
+        fit_parameters(env, actions, observed, {"l": 1.0},
+                       obs_stepsize=2 * TAU, action_stepsize=TAU)
+    with pytest.raises(ValueError, match="integer"):
+        fit_parameters(env, actions, observed, {"l": 1.0},
+                       obs_stepsize=0.4 * TAU, action_stepsize=TAU)
+    # sequence-form free names get the same friendly errors as dict form
+    with pytest.raises(ValueError, match="unknown static parameter"):
+        fisher_information(env, actions, ("length",))
+    hetero = Pendulum(batch_size=4, static_params={"g": 9.81, "l": jnp.ones(4), "m": 1.0})
+    with pytest.raises(ValueError, match="per-batch"):
+        fisher_information(hetero, actions, ("l",))
+    # warm-start shape must match the requested design
+    with pytest.raises(ValueError, match="init_actions shape"):
+        optimize_excitation(env, ("l",), 16, init_actions=jnp.zeros((8, 1)))
+
+
 def test_fit_recovers_pmsm_motor_parameters():
     """Identify R_s / L_d / L_q of a linear-magnetics drive from one recorded
     current trajectory — the domain workflow the upstream project generates

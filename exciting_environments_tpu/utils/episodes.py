@@ -1,0 +1,49 @@
+"""Episode-state helpers shared by the RL / MPC / wrapper layers.
+
+An env's ``vmap_reset`` returns states whose ``reference`` fields are NaN
+placeholders (reference semantics, ``core_env.py:361-391``) — the tracking
+reward is only meaningful once references are populated.  The reference's
+``GymWrapper.generate_new_ref`` (``gym_wrapper.py:177-192``) draws them
+from the ``init_state`` distribution; these helpers are the one shared,
+jit-compatible implementation of that convention used by
+``wrappers/gymnasium_vector.py``, ``utils/rl.py`` and ``utils/mpc.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from exciting_environments_tpu.core import structures
+
+
+def draw_references(env, state, key):
+    """Fresh per-episode tracking references for the ``control_state``
+    fields of a batched ``state``, drawn from the env's ``init_state``
+    distribution (the same source as the reference's
+    ``GymWrapper.generate_new_ref``, ``gym_wrapper.py:177-192``)."""
+    if not env.control_state:
+        return state
+
+    def one(state, props, key):
+        init = env.init_state(props, key)
+        with structures.copy_and_mutate(state, validate=False) as new:
+            for name in env.control_state:
+                setattr(new.reference, name, getattr(init.physical_state, name))
+        return new
+
+    keys = jax.random.split(key, env.batch_size)
+    return jax.vmap(one, in_axes=(0, env.in_axes_env_properties, 0))(
+        state, env.env_properties, keys
+    )
+
+
+def reset_with_references(env, key):
+    """Random full-batch reset state with drawn tracking references, plus
+    its observations.  Jit-compatible; returns ``(obs, state)``."""
+    k_env, k_ref = jax.random.split(key)
+    _, state = env.vmap_reset(jax.random.split(k_env, env.batch_size))
+    state = draw_references(env, state, k_ref)
+    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        state, env.env_properties
+    )
+    return obs, state

@@ -41,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from exciting_environments_tpu.core import structures
+from exciting_environments_tpu.utils import episodes
 
 
 class PPOConfig(NamedTuple):
@@ -137,25 +137,7 @@ def _fresh(env, key):
     """Random full-batch reset state with per-episode tracking references
     (drawn from the env's ``init_state`` distribution, the same source as the
     reference's ``GymWrapper.generate_new_ref``) plus its observations."""
-    B = env.batch_size
-    k_env, k_ref = jax.random.split(key)
-    _, state = env.vmap_reset(jax.random.split(k_env, B))
-    if env.control_state:
-
-        def one(state, props, key):
-            init = env.init_state(props, key)
-            with structures.copy_and_mutate(state, validate=False) as new:
-                for name in env.control_state:
-                    setattr(new.reference, name, getattr(init.physical_state, name))
-            return new
-
-        state = jax.vmap(one, in_axes=(0, env.in_axes_env_properties, 0))(
-            state, env.env_properties, jax.random.split(k_ref, B)
-        )
-    obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-        state, env.env_properties
-    )
-    return obs, state
+    return episodes.reset_with_references(env, key)
 
 
 def _env_step(env, state, action, elapsed, max_episode_steps, key):

@@ -39,7 +39,7 @@ from gymnasium import spaces as gym_spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 from gymnasium.vector.utils import batch_space
 
-from exciting_environments_tpu.core import structures
+from exciting_environments_tpu.utils import episodes
 
 
 class GymnasiumVectorEnv(VectorEnv):
@@ -86,37 +86,11 @@ class GymnasiumVectorEnv(VectorEnv):
 
     # -- device programs ----------------------------------------------------
 
-    def _draw_refs(self, state, key):
-        """Fresh per-episode references for the ``control_state`` fields,
-        drawn from the env's ``init_state`` distribution (the same source as
-        ``GymWrapper.generate_new_ref``, but held for the whole episode)."""
-        env = self.env
-        if not env.control_state:
-            return state
-
-        def one(state, props, key):
-            init = env.init_state(props, key)
-            with structures.copy_and_mutate(state, validate=False) as new:
-                for name in env.control_state:
-                    setattr(new.reference, name, getattr(init.physical_state, name))
-            return new
-
-        keys = jax.random.split(key, self.num_envs)
-        return jax.vmap(one, in_axes=(0, env.in_axes_env_properties, 0))(
-            state, env.env_properties, keys
-        )
-
     def _fresh(self, key):
-        """Random full-batch reset state with drawn references plus its
-        observations — the reset program and the step program's reset branch."""
-        env = self.env
-        k_env, k_ref = jax.random.split(key)
-        _, state = env.vmap_reset(jax.random.split(k_env, self.num_envs))
-        state = self._draw_refs(state, k_ref)
-        obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-            state, env.env_properties
-        )
-        return obs, state
+        """Random full-batch reset state with drawn per-episode references
+        plus its observations — the reset program and the step program's
+        reset branch (one shared impl: ``utils/episodes.py``)."""
+        return episodes.reset_with_references(self.env, key)
 
     @partial(jax.jit, static_argnums=0)
     def _reset_program(self, key):

@@ -239,7 +239,14 @@ def _gae(traj, last_value, gamma, lam):
 # ---------------------------------------------------------------------------
 
 
-def train_ppo(env, iterations, key=None, config: PPOConfig = PPOConfig(), params=None):
+def train_ppo(
+    env,
+    iterations,
+    key=None,
+    config: PPOConfig = PPOConfig(),
+    params=None,
+    scan_iterations: bool = False,
+):
     """Train a PPO agent on a batched environment, one dispatch per iteration.
 
     Args:
@@ -251,6 +258,12 @@ def train_ppo(env, iterations, key=None, config: PPOConfig = PPOConfig(), params
         key: PRNG key (default ``PRNGKey(0)``).
         config: :class:`PPOConfig`.
         params: warm-start agent parameters (default :func:`init_agent`).
+        scan_iterations: fold ALL iterations into one ``lax.scan`` — a single
+            device dispatch for the entire training run instead of one per
+            iteration.  Metrics only reach the host at the end; the PRNG
+            stream differs from the per-iteration mode (``split(key, n)``
+            vs a chained split), so trajectories are not bit-identical
+            between the two modes.
 
     Returns:
         :class:`PPOResult`.
@@ -330,17 +343,35 @@ def train_ppo(env, iterations, key=None, config: PPOConfig = PPOConfig(), params
         metrics = jnp.concatenate([jnp.mean(traj["reward"])[None], aux.mean(axis=0)])
         return params, opt_state, carry, metrics
 
-    train_iteration = jax.jit(train_iteration)
-
     obs0, state0 = jax.jit(lambda k: _fresh(env, k))(k_reset)
     carry = (state0, obs0, jnp.zeros((B,), jnp.int32))
 
-    rows = []
-    for _ in range(iterations):
-        key, k = jax.random.split(key)
-        params, opt_state, carry, metrics = train_iteration(params, opt_state, carry, k)
-        rows.append(metrics)
-    rows = jnp.stack(rows) if rows else jnp.zeros((0, 5))
+    if scan_iterations and iterations:
+
+        @jax.jit
+        def run_all(params, opt_state, carry, keys):
+            def f(c, k):
+                p, o, cr, m = train_iteration(*c, k)
+                return (p, o, cr), m
+
+            (params, _, _), rows = jax.lax.scan(
+                f, (params, opt_state, carry), keys
+            )
+            return params, rows
+
+        params, rows = run_all(
+            params, opt_state, carry, jax.random.split(key, iterations)
+        )
+    else:
+        train_iteration = jax.jit(train_iteration)
+        rows = []
+        for _ in range(iterations):
+            key, k = jax.random.split(key)
+            params, opt_state, carry, metrics = train_iteration(
+                params, opt_state, carry, k
+            )
+            rows.append(metrics)
+        rows = jnp.stack(rows) if rows else jnp.zeros((0, 5))
     names = ("mean_reward", "pg_loss", "value_loss", "entropy", "approx_kl")
     return PPOResult(
         params=params,

@@ -36,6 +36,20 @@ def test_ppo_mechanics():
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(res.params))
 
 
+def test_ppo_scan_iterations_mode():
+    """scan_iterations folds the whole run into one program; metrics have the
+    same shape/meaning and training still produces finite parameters."""
+    env = _env()
+    cfg = PPOConfig(n_steps=16, n_epochs=2, n_minibatches=4, max_episode_steps=32)
+    res = train_ppo(env, iterations=3, key=jax.random.PRNGKey(0), config=cfg,
+                    scan_iterations=True)
+    for name, v in res.metrics.items():
+        assert v.shape == (3,), name
+        assert np.isfinite(v).all(), name
+    assert (res.metrics["mean_reward"] <= 0).all()
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(res.params))
+
+
 def test_ppo_minibatch_validation():
     env = _env()
     cfg = PPOConfig(n_steps=3, n_minibatches=7)

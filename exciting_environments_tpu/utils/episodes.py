@@ -16,6 +16,21 @@ import jax
 from exciting_environments_tpu.core import structures
 
 
+def unwrap_sharded(env):
+    """Split a possibly mesh-sharded env facade into ``(core_env, place)``.
+
+    ``place`` puts a batch-leading pytree onto the facade's mesh sharding
+    (identity for a plain env).  The RL/MPC loops run on the unwrapped core
+    env — whose ``env_properties`` the facade already re-placed per shard —
+    and shard their own initial carries with ``place``; from there GSPMD
+    propagates the batch sharding through the whole jitted program."""
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    if isinstance(env, ShardedEnv):
+        return env.env, env.shard
+    return env, lambda tree: tree
+
+
 def draw_references(env, state, key):
     """Fresh per-episode tracking references for the ``control_state``
     fields of a batched ``state``, drawn from the env's ``init_state``

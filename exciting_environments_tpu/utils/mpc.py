@@ -43,6 +43,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from exciting_environments_tpu.utils.episodes import unwrap_sharded
+
 
 class MPPIConfig(NamedTuple):
     """Hyperparameters of the MPPI planner.
@@ -165,6 +167,8 @@ def mppi_plan(env, state, plan, key, config: MPPIConfig = MPPIConfig(), cost_fn=
     Returns:
         The updated mean plan, same shape, clipped to [-1, 1].
     """
+    env, place = unwrap_sharded(env)
+    state, plan = place(state), place(plan)
     _check_cost_setup(env, cost_fn)
     B, H, A = env.batch_size, config.horizon, env.action_dim
     if plan.shape != (B, H, A):
@@ -206,7 +210,10 @@ def run_mppi(
     final entry).  The host sees a single device dispatch.
 
     Args:
-        env: a batched :class:`CoreEnvironment`.
+        env: a batched :class:`CoreEnvironment`, or a mesh-sharded
+            ``ShardedEnv`` — planning is embarrassingly parallel across
+            instances, so the whole loop then runs zero-communication SPMD
+            over the mesh.
         state: batched initial state (from :meth:`vmap_reset`).
         n_steps: control steps to run.
         key: PRNG key (default ``PRNGKey(0)``).
@@ -217,6 +224,7 @@ def run_mppi(
     Returns:
         :class:`MPCResult`.
     """
+    env, place = unwrap_sharded(env)
     _check_cost_setup(env, cost_fn)
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -224,6 +232,7 @@ def run_mppi(
     dtype = jnp.result_type(float)
     if plan is None:
         plan = jnp.zeros((B, H, A), dtype)
+    state, plan = place(state), place(plan)
 
     in_ax = env.in_axes_env_properties
     props = env.env_properties
@@ -289,6 +298,8 @@ def optimize_actions(
     """
     import optax
 
+    env, place = unwrap_sharded(env)
+    state, actions = place(state), place(actions)
     _check_cost_setup(env, cost_fn)
     B, A = env.batch_size, env.action_dim
     if actions.ndim != 3 or actions.shape[0] != B or actions.shape[2] != A:

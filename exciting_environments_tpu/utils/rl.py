@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from exciting_environments_tpu.utils import episodes
+from exciting_environments_tpu.utils.episodes import unwrap_sharded
 
 
 class PPOConfig(NamedTuple):
@@ -250,9 +251,11 @@ def train_ppo(
     """Train a PPO agent on a batched environment, one dispatch per iteration.
 
     Args:
-        env: a batched :class:`CoreEnvironment`; its tracking reward requires
-            ``control_state`` to be set (otherwise every reward is 0 and
-            there is nothing to learn).
+        env: a batched :class:`CoreEnvironment`, or a mesh-sharded
+            ``ShardedEnv`` — the whole training program then runs SPMD over
+            the mesh (batch axis sharded, parameters replicated).  Its
+            tracking reward requires ``control_state`` to be set (otherwise
+            every reward is 0 and there is nothing to learn).
         iterations: PPO iterations (each consumes
             ``config.n_steps * env.batch_size`` environment steps).
         key: PRNG key (default ``PRNGKey(0)``).
@@ -270,6 +273,7 @@ def train_ppo(
     """
     import optax
 
+    env, place = unwrap_sharded(env)
     if key is None:
         key = jax.random.PRNGKey(0)
     k_init, k_reset, key = jax.random.split(key, 3)
@@ -344,7 +348,7 @@ def train_ppo(
         return params, opt_state, carry, metrics
 
     obs0, state0 = jax.jit(lambda k: _fresh(env, k))(k_reset)
-    carry = (state0, obs0, jnp.zeros((B,), jnp.int32))
+    carry = place((state0, obs0, jnp.zeros((B,), jnp.int32)))
 
     if scan_iterations and iterations:
 
@@ -383,18 +387,19 @@ def evaluate_policy(env, params, n_steps, key=None, max_episode_steps=None):
     """Mean per-step reward of the deterministic (mean-action) policy over a
     fresh ``n_steps`` x ``batch_size`` rollout — the evaluation counterpart
     of :func:`train_ppo`'s ``mean_reward`` training metric."""
+    env, place = unwrap_sharded(env)
     if key is None:
         key = jax.random.PRNGKey(0)
+    k_reset, k_roll = jax.random.split(key)
+    obs0, state0 = jax.jit(lambda k: _fresh(env, k))(k_reset)
+    carry = place((state0, obs0, jnp.zeros((env.batch_size,), jnp.int32)))
 
     @jax.jit
-    def run(key):
-        k_reset, k_roll = jax.random.split(key)
-        obs0, state0 = _fresh(env, k_reset)
-        carry = (state0, obs0, jnp.zeros((env.batch_size,), jnp.int32))
+    def run(carry, key):
         _, traj = _rollout(
-            env, params, carry, k_roll, n_steps, max_episode_steps,
+            env, params, carry, key, n_steps, max_episode_steps,
             deterministic=True,
         )
         return jnp.mean(traj["reward"])
 
-    return float(run(key))
+    return float(run(carry, key))

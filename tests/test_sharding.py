@@ -560,3 +560,72 @@ def test_sharded_pmsm_fused_closed_loop(mesh):
     assert bool(jnp.isfinite(obs_s).all())
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-9, atol=1e-9)
     assert not last_f.physical_state.i_d.sharding.is_fully_replicated
+
+
+def test_sharded_mppi_equals_single_device(mesh):
+    """MPPI planning is per-instance independent, so the sharded facade must
+    reproduce the single-device plan (and run_mppi the single-device loop)."""
+    from exciting_environments_tpu.utils import mpc
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    batch = 16
+    cfg = mpc.MPPIConfig(horizon=6, n_samples=16, noise_sigma=0.4, n_iterations=2)
+
+    env = excenvs.Pendulum(batch_size=batch, tau=2e-2, control_state=["theta"])
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0))
+    plan0 = jnp.zeros((batch, 6, 1))
+    plan_ref = mpc.mppi_plan(env, state, plan0, jax.random.PRNGKey(1), cfg)
+    res_ref = mpc.run_mppi(env, state, 4, key=jax.random.PRNGKey(2), config=cfg)
+
+    senv = ShardedEnv(excenvs.Pendulum(batch_size=batch, tau=2e-2,
+                                       control_state=["theta"]), mesh)
+    plan_s = mpc.mppi_plan(senv, state, plan0, jax.random.PRNGKey(1), cfg)
+    res_s = mpc.run_mppi(senv, state, 4, key=jax.random.PRNGKey(2), config=cfg)
+
+    np.testing.assert_allclose(np.asarray(plan_s), np.asarray(plan_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_s.observations),
+                               np.asarray(res_ref.observations),
+                               rtol=1e-12, atol=1e-12)
+    assert not res_s.observations.sharding.is_fully_replicated
+
+
+def test_sharded_ppo_trains(mesh):
+    """train_ppo over a ShardedEnv runs SPMD end-to-end and produces finite
+    metrics/parameters in both dispatch modes."""
+    from exciting_environments_tpu.utils.rl import PPOConfig, evaluate_policy, train_ppo
+
+    senv = ShardedEnv(
+        excenvs.Pendulum(batch_size=16, tau=2e-2, control_state=["theta"]), mesh
+    )
+    cfg = PPOConfig(n_steps=8, n_epochs=2, n_minibatches=4, max_episode_steps=16)
+    for scan_mode in (False, True):
+        res = train_ppo(senv, iterations=2, key=jax.random.PRNGKey(0), config=cfg,
+                        scan_iterations=scan_mode)
+        for name, v in res.metrics.items():
+            assert v.shape == (2,) and np.isfinite(v).all(), (scan_mode, name)
+        assert all(
+            bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(res.params)
+        )
+    val = evaluate_policy(senv, res.params, n_steps=8, max_episode_steps=16)
+    assert np.isfinite(val)
+
+
+def test_sharded_gradient_planner(mesh):
+    """optimize_actions through a ShardedEnv matches the single-device run."""
+    from exciting_environments_tpu.utils import mpc
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    batch = 16
+    env = excenvs.Pendulum(batch_size=batch, tau=2e-2, control_state=["theta"])
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(5))
+    plan0 = jnp.zeros((batch, 8, 1))
+    ref = mpc.optimize_actions(env, state, plan0, iterations=20, learning_rate=0.2)
+
+    senv = ShardedEnv(excenvs.Pendulum(batch_size=batch, tau=2e-2,
+                                       control_state=["theta"]), mesh)
+    res = mpc.optimize_actions(senv, state, plan0, iterations=20, learning_rate=0.2)
+    np.testing.assert_allclose(np.asarray(res.actions), np.asarray(ref.actions),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.costs), np.asarray(ref.costs),
+                               rtol=1e-9)

@@ -42,6 +42,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from exciting_environments_tpu.utils.episodes import unwrap_sharded
 
@@ -134,6 +135,123 @@ def _trajectory_cost(env, state, actions, cost_fn):
     return cost_fn(obs, actions)
 
 
+# ---------------------------------------------------------------------------
+# fused planning backend: candidate rollouts through the Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _tile_env(env, k):
+    """Shadow env with ``batch_size = k * B`` — the MPPI sample axis folded
+    into the batch axis so the fused kernels see one big rollout.  Per-batch
+    heterogeneous property leaves are tiled alongside; cached jitted kernel
+    impls inherited from the wrapped env are dropped (they bake the original
+    batch size into the compiled program, mirroring
+    ``parallel/mesh.py::_local_shadow``)."""
+    cached = env.__dict__.get("_mppi_tiled_shadow")
+    if cached is not None and cached[0] == k:
+        return cached[1]
+    B = env.batch_size
+
+    def tile(leaf):
+        if np.ndim(leaf) > 0 and np.shape(leaf)[0] == B:
+            leaf = jnp.asarray(leaf)
+            return jnp.tile(leaf, (k,) + (1,) * (leaf.ndim - 1))
+        return leaf
+
+    shadow = object.__new__(type(env))
+    shadow.__dict__.update(env.__dict__)
+    shadow.batch_size = k * B
+    shadow.env_properties = jax.tree_util.tree_map(tile, env.env_properties)
+    for key in (
+        "_pmsm_fused_impl", "_pmsm_fused_sim_ahead_impl",
+        "_pmsm_cl_impl", "_fused_tile_ode", "_mppi_tiled_shadow",
+    ):
+        shadow.__dict__.pop(key, None)
+    env.__dict__["_mppi_tiled_shadow"] = (k, shadow)
+    return shadow
+
+
+def planning_path(env, config: MPPIConfig = MPPIConfig(), interpret: bool = False) -> str:
+    """Which backend evaluates MPPI candidate rollouts for ``env``:
+    ``"pmsm_fused"`` / ``"fused"`` (Pallas kernels over the folded
+    ``n_samples x batch`` axis) or ``"scan"`` (the XLA ``lax.scan`` of
+    ``vmap_step``).  Mirrors
+    :func:`exciting_environments_tpu.ops.pallas.rollout_path` semantics
+    including the CPU-backend guard."""
+    from exciting_environments_tpu.ops.pallas import rollout_path
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    if isinstance(env, ShardedEnv):
+        # fused planning under a mesh would need the kernel inside shard_map
+        # (as ShardedEnv.fused_rollout does) — not routed yet; GSPMD still
+        # shards the scan backend
+        return "scan"
+    if not interpret and jax.default_backend() == "cpu":
+        return "scan"
+    return rollout_path(_tile_env(env, config.n_samples))
+
+
+def _fused_trajectory_cost(env, state, cand, cost_fn, interpret):
+    """Candidate costs via the fused kernels: ``cand`` is ``(K, B, H, A)``
+    normalized; the sample axis folds into the batch axis of a tiled shadow
+    env and the whole sweep runs as ONE kernel rollout.  Returns ``(K, B)``."""
+    from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    K, B, H, A = cand.shape
+    big = _tile_env(env, K)
+    state_big = jax.tree_util.tree_map(
+        lambda x: jnp.tile(jnp.asarray(x), (K,) + (1,) * (jnp.asarray(x).ndim - 1)),
+        state,
+    )
+    cand_flat = cand.reshape(K * B, H, A)
+    if isinstance(env, PMSM):
+        obs, traj_state, _ = pmsm_fused_rollout(
+            big, state_big, cand_flat, obs_stride=1,
+            gather="take" if interpret else "int8", interpret=interpret,
+            return_traj_states=True,
+        )
+    else:
+        obs, traj_state, _ = env_fused_rollout(
+            big, state_big, cand_flat, obs_stride=1, interpret=interpret,
+            return_traj_states=True,
+        )
+    if cost_fn is None:
+        reward = jax.vmap(
+            jax.vmap(env.generate_reward, in_axes=(0, 0, None)),
+            in_axes=(0, 0, big.in_axes_env_properties),
+        )(traj_state, cand_flat, big.env_properties)
+        return -jnp.sum(reward.reshape(K * B, -1), axis=1).reshape(K, B)
+    return cost_fn(obs, cand_flat).reshape(K, B)
+
+
+def _resolve_fused(env, config, fused, interpret):
+    """Trace-time backend selection for :func:`mppi_plan` / :func:`run_mppi`.
+
+    Auto mode (``fused=None``) picks the fused backend only for the PMSM
+    drive kernel: measured on a TPU v5 chip the drive sweep is ~17x the
+    scan backend (3.2e8 vs 1.9e7 candidate-env-steps/s, chain scaling
+    verified, ``benchmarks/r03/mpc_fused_device.py``) because each step
+    carries LUT gathers, while for cheap classic ODEs XLA's fused scan is already the
+    faster planner (pendulum: 7.8e9 scan vs 2.7e9 through the generic
+    kernel, whose stride-1 trajectory write is the bottleneck).  Explicit
+    ``fused=True`` forces the kernel backend either way."""
+    if fused is False:
+        return False
+    path = planning_path(env, config, interpret)
+    if path == "scan":
+        if fused:
+            raise ValueError(
+                "fused=True but the fused kernels do not cover this planning "
+                f"configuration (planning_path() == 'scan': CPU backend "
+                "without interpret, batch tiling, per-batch params, state "
+                "layout, or solver family)"
+            )
+        return False
+    return True if fused else path == "pmsm_fused"
+
+
 def _smooth_noise(eps, beta):
     """Exponentially smooth noise along the horizon axis (axis=-2), keeping
     the marginal variance: ``e_t = beta e_{t-1} + sqrt(1-beta^2) n_t``."""
@@ -150,7 +268,16 @@ def _smooth_noise(eps, beta):
     return jnp.moveaxis(jnp.concatenate([eps_t[:1], sm], axis=0), 0, -2)
 
 
-def mppi_plan(env, state, plan, key, config: MPPIConfig = MPPIConfig(), cost_fn=None):
+def mppi_plan(
+    env,
+    state,
+    plan,
+    key,
+    config: MPPIConfig = MPPIConfig(),
+    cost_fn=None,
+    fused: bool = None,
+    interpret: bool = False,
+):
     """One MPPI update of the mean plan (jit-compatible, differentiable-free).
 
     Args:
@@ -163,10 +290,20 @@ def mppi_plan(env, state, plan, key, config: MPPIConfig = MPPIConfig(), cost_fn=
             ``plan.shape[1]``).
         cost_fn: optional ``cost_fn(obs, actions) -> (batch_size,)`` total
             trajectory cost; default = minus the summed env rewards.
+        fused: candidate-rollout backend — ``None`` (auto: the PMSM drive
+            kernel when :func:`planning_path` says ``"pmsm_fused"`` —
+            measured ~17x the scan sweep — and the scan otherwise, which
+            is the faster planner for cheap classic ODEs), ``True``
+            (require the kernels, raise when out of scope), ``False``
+            (always the ``lax.scan`` of ``vmap_step``).  Both backends see
+            identical candidate draws; on TPU hardware the kernels are
+            numerically identical to the scan.
+        interpret: run the kernels in Pallas interpret mode (CPU testing).
 
     Returns:
         The updated mean plan, same shape, clipped to [-1, 1].
     """
+    use_fused = _resolve_fused(env, config, fused, interpret)
     env, place = unwrap_sharded(env)
     state, plan = place(state), place(plan)
     _check_cost_setup(env, cost_fn)
@@ -182,7 +319,10 @@ def mppi_plan(env, state, plan, key, config: MPPIConfig = MPPIConfig(), cost_fn=
         eps = jax.random.normal(key, (config.n_samples, B, H, A), plan.dtype)
         eps = _smooth_noise(eps, config.smoothing) * sigma
         cand = jnp.clip(plan[None] + eps, -1.0, 1.0)
-        costs = jax.vmap(lambda a: _trajectory_cost(env, state, a, cost_fn))(cand)
+        if use_fused:
+            costs = _fused_trajectory_cost(env, state, cand, cost_fn, interpret)
+        else:
+            costs = jax.vmap(lambda a: _trajectory_cost(env, state, a, cost_fn))(cand)
         w = jax.nn.softmax(-costs / config.temperature, axis=0)  # (K, B)
         return jnp.einsum("kb,kbha->bha", w, cand), None
 
@@ -200,6 +340,8 @@ def run_mppi(
     config: MPPIConfig = MPPIConfig(),
     cost_fn: Callable = None,
     plan=None,
+    fused: bool = None,
+    interpret: bool = False,
 ) -> MPCResult:
     """Receding-horizon MPPI control loop as ONE jitted XLA program.
 
@@ -220,10 +362,13 @@ def run_mppi(
         config: :class:`MPPIConfig`.
         cost_fn: optional trajectory cost, see :func:`mppi_plan`.
         plan: optional warm-start plan (default zeros).
+        fused: candidate-rollout backend selection, see :func:`mppi_plan`.
+        interpret: run the kernels in Pallas interpret mode (CPU testing).
 
     Returns:
         :class:`MPCResult`.
     """
+    use_fused = _resolve_fused(env, config, fused, interpret)
     env, place = unwrap_sharded(env)
     _check_cost_setup(env, cost_fn)
     if key is None:
@@ -241,7 +386,8 @@ def run_mppi(
     def control(state, plan, key):
         def step_fn(carry, k):
             state, plan = carry
-            plan = mppi_plan(env, state, plan, k, config, cost_fn)
+            plan = mppi_plan(env, state, plan, k, config, cost_fn,
+                             fused=use_fused, interpret=interpret)
             action = plan[:, 0]
             obs, state = env.vmap_step(state, action)
             reward = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(

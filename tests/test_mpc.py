@@ -139,3 +139,59 @@ def test_gradient_planner_matches_mppi():
     c_mppi = float(mpc._trajectory_cost(env, state, plan_mppi, None).mean())
     res = mpc.optimize_actions(env, state, plan0, iterations=400, learning_rate=0.1)
     assert float(res.costs[-1]) <= c_mppi + 0.05, (float(res.costs[-1]), c_mppi)
+
+
+def test_planning_path_and_strict_fused():
+    env = _env(batch_size=8)
+    state = _state(env)
+    cfg = mpc.MPPIConfig(horizon=4, n_samples=128)  # 128 * 8 = one kernel tile
+    # CPU backend without interpret mode: the compiled kernels don't exist
+    assert mpc.planning_path(env, cfg) == "scan"
+    assert mpc.planning_path(env, cfg, interpret=True) == "fused"
+    # out of kernel scope regardless: batch not tileable
+    assert mpc.planning_path(env, mpc.MPPIConfig(horizon=4, n_samples=100),
+                             interpret=True) == "scan"
+    with pytest.raises(ValueError, match="fused=True"):
+        mpc.mppi_plan(env, state, jnp.zeros((8, 4, 1)), jax.random.PRNGKey(0),
+                      cfg, fused=True)
+
+
+@pytest.mark.slow
+def test_fused_planning_matches_scan():
+    """The fused backend folds the sample axis into the kernel batch; same
+    candidate draws -> the plan must match the scan backend (CPU interpret
+    closeness per the kernel-vs-scan ground rules)."""
+    env = _env(batch_size=8)
+    state = _state(env)
+    cfg = mpc.MPPIConfig(horizon=4, n_samples=128, noise_sigma=0.4, n_iterations=2)
+    plan0 = jnp.zeros((8, 4, 1))
+    p_scan = mpc.mppi_plan(env, state, plan0, jax.random.PRNGKey(1), cfg, fused=False)
+    p_fused = mpc.mppi_plan(env, state, plan0, jax.random.PRNGKey(1), cfg,
+                            fused=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_scan),
+                               rtol=1e-11, atol=1e-12)
+
+    res_f = mpc.run_mppi(env, state, 3, key=jax.random.PRNGKey(2), config=cfg,
+                         fused=True, interpret=True)
+    res_s = mpc.run_mppi(env, state, 3, key=jax.random.PRNGKey(2), config=cfg,
+                         fused=False)
+    np.testing.assert_allclose(np.asarray(res_f.observations),
+                               np.asarray(res_s.observations),
+                               rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_fused_planning_pmsm_matches_scan():
+    """PMSM candidate rollouts ride the drive kernel (deadtime + hexagon
+    constraint inside); plans must match the vmap_step scan backend."""
+    env = excenvs.PMSM(batch_size=8, control_state=["i_d", "i_q"])
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0))
+    cfg = mpc.MPPIConfig(horizon=2, n_samples=128, noise_sigma=0.3, n_iterations=1)
+    assert mpc.planning_path(env, cfg, interpret=True) == "pmsm_fused"
+    plan0 = jnp.zeros((8, 2, 2))
+    p_scan = mpc.mppi_plan(env, state, plan0, jax.random.PRNGKey(1), cfg, fused=False)
+    p_fused = mpc.mppi_plan(env, state, plan0, jax.random.PRNGKey(1), cfg,
+                            fused=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_scan),
+                               rtol=1e-11, atol=1e-12)

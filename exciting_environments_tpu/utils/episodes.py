@@ -52,6 +52,45 @@ def draw_references(env, state, key):
     )
 
 
+def step_with_flags(env, state, action, elapsed=None, max_episode_steps=None):
+    """One ``vmap_step`` plus the Gym-contract reward/flag evaluation —
+    reward on the post-step state under the taken (normalized) action
+    (reference ``gym_wrapper.py:88-130``), per-env ``any()`` over the
+    engine's per-dimension terminated/truncated bools, optional episode
+    time limit.  The one shared stepped-branch implementation behind
+    ``wrappers/gymnasium_vector.py``, ``utils/rl.py`` and ``utils/mpc.py``
+    (unused outputs are dead-code-eliminated under jit).
+
+    Returns ``(obs, state, reward, terminated, truncated, elapsed)`` with
+    ``reward``/flags of shape ``(batch_size,)`` and ``elapsed`` already
+    incremented (``None`` if not passed)."""
+    B = env.batch_size
+    in_ax = env.in_axes_env_properties
+    props = env.env_properties
+
+    obs, state_s = env.vmap_step(state, action)
+    reward_b = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(
+        state_s, action, props
+    )
+    term = (
+        jax.vmap(env.generate_terminated, in_axes=(0, 0, in_ax))(
+            state_s, reward_b, props
+        )
+        .reshape(B, -1)
+        .any(axis=1)
+    )
+    trunc = (
+        jax.vmap(env.generate_truncated, in_axes=(0, in_ax))(state_s, props)
+        .reshape(B, -1)
+        .any(axis=1)
+    )
+    if elapsed is not None:
+        elapsed = elapsed + 1
+        if max_episode_steps is not None:
+            trunc = trunc | (elapsed >= max_episode_steps)
+    return obs, state_s, reward_b.reshape(B), term, trunc, elapsed
+
+
 def reset_with_references(env, key):
     """Random full-batch reset state with drawn tracking references, plus
     its observations.  Jit-compatible; returns ``(obs, state)``."""

@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from exciting_environments_tpu.utils import episodes
 from exciting_environments_tpu.utils.episodes import unwrap_sharded
 
 
@@ -97,7 +98,7 @@ class PlanResult(NamedTuple):
     costs: jnp.ndarray
 
 
-def _check_cost_setup(env, cost_fn):
+def _check_cost_setup(env, cost_fn, state=None):
     if cost_fn is None and not env.control_state:
         raise ValueError(
             "the default planning cost is the negative sum of the env's "
@@ -105,6 +106,23 @@ def _check_cost_setup(env, cost_fn):
             "control_state — construct the env with control_state=[...] "
             "or pass an explicit cost_fn(obs, actions)"
         )
+    # a bare vmap_reset leaves reference fields NaN (reference semantics,
+    # core_env.py:361-391) and the tracking reward of a NaN reference is NaN
+    # for every candidate — catch it here instead of returning NaN plans.
+    # Host-side values only: inside a jit trace the leaves are tracers.
+    if cost_fn is None and state is not None:
+        for name in env.control_state:
+            leaf = getattr(state.reference, name, None)
+            if leaf is not None and not isinstance(leaf, jax.core.Tracer) and bool(
+                jnp.isnan(jnp.asarray(leaf)).any()
+            ):
+                raise ValueError(
+                    f"state.reference.{name} contains NaN — the default "
+                    "planning cost tracks references, which vmap_reset does "
+                    "not draw; populate them first (e.g. "
+                    "utils.episodes.reset_with_references, GymWrapper.reset"
+                    "(rng_ref=...), or set them explicitly) or pass cost_fn"
+                )
 
 
 def _rollout(env, state, actions):
@@ -112,16 +130,14 @@ def _rollout(env, state, actions):
 
     ``actions``: ``(batch, horizon, action_dim)``.  Returns
     ``(obs, rewards)`` batch-major — ``(batch, horizon, obs_dim)`` /
-    ``(batch, horizon)`` — and the final state.
+    ``(batch, horizon)`` — and the final state.  The step semantics are the
+    shared Gym-contract implementation (``episodes.step_with_flags``; the
+    unused flags are dead-code-eliminated under jit).
     """
-    in_ax = env.in_axes_env_properties
-    props = env.env_properties
-    B = env.batch_size
 
     def step_fn(s, a):
-        obs, s = env.vmap_step(s, a)
-        reward = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(s, a, props)
-        return s, (obs, reward.reshape(B))
+        obs, s, reward, _, _, _ = episodes.step_with_flags(env, s, a)
+        return s, (obs, reward)
 
     last, (obs, rew) = jax.lax.scan(step_fn, state, jnp.swapaxes(actions, 0, 1))
     return jnp.swapaxes(obs, 0, 1), jnp.swapaxes(rew, 0, 1), last
@@ -223,7 +239,11 @@ def _fused_trajectory_cost(env, state, cand, cost_fn, interpret):
             in_axes=(0, 0, big.in_axes_env_properties),
         )(traj_state, cand_flat, big.env_properties)
         return -jnp.sum(reward.reshape(K * B, -1), axis=1).reshape(K, B)
-    return cost_fn(obs, cand_flat).reshape(K, B)
+    # identical cost_fn contract on both backends: one (batch, horizon, ...)
+    # call per candidate, so batch-shaped closures / cross-batch reductions
+    # behave the same whichever backend auto-selection picks
+    obs_k = obs.reshape((K, B) + obs.shape[1:])
+    return jax.vmap(cost_fn)(obs_k, cand)
 
 
 def _resolve_fused(env, config, fused, interpret):
@@ -306,7 +326,7 @@ def mppi_plan(
     use_fused = _resolve_fused(env, config, fused, interpret)
     env, place = unwrap_sharded(env)
     state, plan = place(state), place(plan)
-    _check_cost_setup(env, cost_fn)
+    _check_cost_setup(env, cost_fn, state)
     B, H, A = env.batch_size, config.horizon, env.action_dim
     if plan.shape != (B, H, A):
         raise ValueError(
@@ -356,7 +376,11 @@ def run_mppi(
             ``ShardedEnv`` — planning is embarrassingly parallel across
             instances, so the whole loop then runs zero-communication SPMD
             over the mesh.
-        state: batched initial state (from :meth:`vmap_reset`).
+        state: batched initial state.  With the default (tracking-reward)
+            cost its references must be populated —
+            :func:`~exciting_environments_tpu.utils.episodes.reset_with_references`
+            draws them; a bare ``vmap_reset`` leaves them NaN (rejected with
+            a ``ValueError`` here rather than returning NaN plans).
         n_steps: control steps to run.
         key: PRNG key (default ``PRNGKey(0)``).
         config: :class:`MPPIConfig`.
@@ -370,7 +394,7 @@ def run_mppi(
     """
     use_fused = _resolve_fused(env, config, fused, interpret)
     env, place = unwrap_sharded(env)
-    _check_cost_setup(env, cost_fn)
+    _check_cost_setup(env, cost_fn, state)
     if key is None:
         key = jax.random.PRNGKey(0)
     B, H, A = env.batch_size, config.horizon, env.action_dim
@@ -379,8 +403,6 @@ def run_mppi(
         plan = jnp.zeros((B, H, A), dtype)
     state, plan = place(state), place(plan)
 
-    in_ax = env.in_axes_env_properties
-    props = env.env_properties
 
     @jax.jit
     def control(state, plan, key):
@@ -389,10 +411,7 @@ def run_mppi(
             plan = mppi_plan(env, state, plan, k, config, cost_fn,
                              fused=use_fused, interpret=interpret)
             action = plan[:, 0]
-            obs, state = env.vmap_step(state, action)
-            reward = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(
-                state, action, props
-            ).reshape(B)
+            obs, state, reward, _, _, _ = episodes.step_with_flags(env, state, action)
             plan = jnp.concatenate([plan[:, 1:], plan[:, -1:]], axis=1)
             return (state, plan), (obs, action, reward)
 
@@ -446,7 +465,7 @@ def optimize_actions(
 
     env, place = unwrap_sharded(env)
     state, actions = place(state), place(actions)
-    _check_cost_setup(env, cost_fn)
+    _check_cost_setup(env, cost_fn, state)
     B, A = env.batch_size, env.action_dim
     if actions.ndim != 3 or actions.shape[0] != B or actions.shape[2] != A:
         raise ValueError(

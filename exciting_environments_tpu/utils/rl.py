@@ -20,8 +20,10 @@ Design notes (TPU-first):
 * Episode resets happen *inside* the scan (same-step autoreset): terminated
   or truncated instances are re-drawn from ``init_state`` — including fresh
   per-episode tracking references for ``control_state`` fields — without
-  leaving the device.  Bootstrapping is cut at ``done`` by the GAE masks, so
-  the post-reset value estimate never leaks across episode boundaries.
+  leaving the device.  GAE bootstraps on the critic's value of the PRE-reset
+  successor observation, zeroed only at genuine termination: time-limit
+  truncation keeps its bootstrap (no artificial horizon bias) while the
+  post-reset value never leaks across episode boundaries.
 * The policy is a tanh MLP Gaussian with state-independent log-stddev;
   actions are clipped to the engine's normalized [-1, 1] band before
   stepping (log-probabilities are taken at the unclipped sample, the
@@ -143,31 +145,15 @@ def _fresh(env, key):
 
 def _env_step(env, state, action, elapsed, max_episode_steps, key):
     """One vector step with same-step autoreset; returns the transition and
-    the post-(auto)reset carry.  Reward/flag semantics match
-    ``GymnasiumVectorEnv._step_program``."""
+    the post-(auto)reset carry.  Reward/flag semantics are the shared
+    stepped-branch implementation of ``GymnasiumVectorEnv._step_program``
+    (``episodes.step_with_flags``).  ``obs_step`` is the PRE-reset next
+    observation — the true successor of the transition, needed to bootstrap
+    values across time-limit truncations."""
     B = env.batch_size
-    in_ax = env.in_axes_env_properties
-    props = env.env_properties
-
-    obs_s, state_s = env.vmap_step(state, action)
-    reward = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(
-        state_s, action, props
-    ).reshape(B)
-    term = (
-        jax.vmap(env.generate_terminated, in_axes=(0, 0, in_ax))(
-            state_s, reward.reshape(B, 1), props
-        )
-        .reshape(B, -1)
-        .any(axis=1)
+    obs_s, state_s, reward, term, trunc, elapsed = episodes.step_with_flags(
+        env, state, action, elapsed, max_episode_steps
     )
-    trunc = (
-        jax.vmap(env.generate_truncated, in_axes=(0, in_ax))(state_s, props)
-        .reshape(B, -1)
-        .any(axis=1)
-    )
-    elapsed = elapsed + 1
-    if max_episode_steps is not None:
-        trunc = trunc | (elapsed >= max_episode_steps)
     done = term | trunc
 
     obs_r, state_r = _fresh(env, key)
@@ -178,7 +164,7 @@ def _env_step(env, state, action, elapsed, max_episode_steps, key):
     state_n = jax.tree_util.tree_map(sel, state_r, state_s)
     obs_n = sel(obs_r, obs_s)
     elapsed = jnp.where(done, 0, elapsed)
-    return obs_n, state_n, reward, done, elapsed
+    return obs_n, state_n, obs_s, reward, term, done, elapsed
 
 
 def _rollout(env, params, carry, key, n_steps, max_episode_steps, deterministic):
@@ -198,7 +184,7 @@ def _rollout(env, params, carry, key, n_steps, max_episode_steps, deterministic)
             )
             logp = _log_prob(mean, params["log_std"], action)
         value = _mlp_apply(params["critic"], obs)[..., 0]
-        obs_n, state_n, reward, done, elapsed = _env_step(
+        obs_n, state_n, obs_step, reward, term, done, elapsed = _env_step(
             env, state, jnp.clip(action, -1.0, 1.0), elapsed, max_episode_steps, k_reset
         )
         out = {
@@ -206,7 +192,12 @@ def _rollout(env, params, carry, key, n_steps, max_episode_steps, deterministic)
             "action": action,
             "logp": logp,
             "value": value,
+            # V(s_{t+1}) of the TRUE successor (pre-autoreset observation):
+            # bootstraps through time-limit truncations, is zeroed only at
+            # genuine termination
+            "next_value": _mlp_apply(params["critic"], obs_step)[..., 0],
             "reward": reward,
+            "term": term,
             "done": done,
         }
         return (state_n, obs_n, elapsed), out
@@ -214,22 +205,28 @@ def _rollout(env, params, carry, key, n_steps, max_episode_steps, deterministic)
     return jax.lax.scan(step_fn, carry, jax.random.split(key, n_steps))
 
 
-def _gae(traj, last_value, gamma, lam):
-    """Generalized advantage estimation (reverse scan over the horizon);
-    ``done`` cuts bootstrapping at episode boundaries."""
-    next_values = jnp.concatenate([traj["value"][1:], last_value[None]], axis=0)
+def _gae(traj, gamma, lam):
+    """Generalized advantage estimation (reverse scan over the horizon).
+
+    Each stored ``next_value`` is the critic on the PRE-reset successor
+    observation, so the one-step bootstrap is exact everywhere; it is
+    zeroed only at genuine *termination* (time-limit truncation still
+    bootstraps — treating it as terminal would train the critic toward
+    returns artificially cut at the horizon).  Advantage accumulation stops
+    at every episode boundary (``done``), since the next stored transition
+    starts a fresh episode."""
 
     def f(adv_next, x):
-        r, v, v_next, d = x
-        mask = 1.0 - d.astype(v.dtype)
-        delta = r + gamma * v_next * mask - v
-        adv = delta + gamma * lam * mask * adv_next
+        r, v, v_next, term, done = x
+        nonterm = 1.0 - term.astype(v.dtype)
+        delta = r + gamma * v_next * nonterm - v
+        adv = delta + gamma * lam * (1.0 - done.astype(v.dtype)) * adv_next
         return adv, adv
 
     _, advs = jax.lax.scan(
         f,
-        jnp.zeros_like(last_value),
-        (traj["reward"], traj["value"], next_values, traj["done"]),
+        jnp.zeros_like(traj["value"][0]),
+        (traj["reward"], traj["value"], traj["next_value"], traj["term"], traj["done"]),
         reverse=True,
     )
     return advs, advs + traj["value"]
@@ -323,8 +320,7 @@ def train_ppo(
             env, params, carry, k_roll, config.n_steps,
             config.max_episode_steps, deterministic=False,
         )
-        last_value = _mlp_apply(params["critic"], carry[1])[..., 0]
-        advs, rets = _gae(traj, last_value, config.gamma, config.gae_lambda)
+        advs, rets = _gae(traj, config.gamma, config.gae_lambda)
         data = {
             "obs": traj["obs"].reshape(N, -1),
             "action": traj["action"].reshape(N, -1),

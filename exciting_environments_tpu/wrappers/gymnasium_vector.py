@@ -98,28 +98,13 @@ class GymnasiumVectorEnv(VectorEnv):
 
     @partial(jax.jit, static_argnums=0)
     def _step_program(self, state, autoreset, elapsed, action, key):
-        env = self.env
         B = self.num_envs
-        in_ax = env.in_axes_env_properties
-        props = env.env_properties
 
         # stepped branch: env step + reward/flag evaluation (GymWrapper's
-        # gym_step contract: reward on the post-step state under the action)
-        obs_s, state_s = env.vmap_step(state, action)
-        reward_b = jax.vmap(env.generate_reward, in_axes=(0, 0, in_ax))(
-            state_s, action, props
+        # gym_step contract; one shared impl, utils/episodes.py)
+        obs_s, state_s, reward, term, trunc, elapsed_s = episodes.step_with_flags(
+            self.env, state, action, elapsed, self.max_episode_steps
         )
-        term_b = jax.vmap(env.generate_terminated, in_axes=(0, 0, in_ax))(
-            state_s, reward_b, props
-        )
-        trunc_b = jax.vmap(env.generate_truncated, in_axes=(0, in_ax))(state_s, props)
-        reward = reward_b.reshape(B)
-        # per-env flags: any() over the engine's per-dimension bools
-        term = term_b.reshape(B, -1).any(axis=1)
-        trunc = trunc_b.reshape(B, -1).any(axis=1)
-        elapsed_s = elapsed + 1
-        if self.max_episode_steps is not None:
-            trunc = trunc | (elapsed_s >= self.max_episode_steps)
 
         # reset branch (selected per env by the autoreset mask)
         obs_r, state_r = self._fresh(key)

@@ -89,6 +89,15 @@ def test_validation_errors():
     env_no_cs = excenvs.Pendulum(batch_size=4)
     with pytest.raises(ValueError, match="control_state"):
         mpc.mppi_plan(env_no_cs, state, jnp.zeros((4, 10, 1)), jax.random.PRNGKey(0), cfg)
+    # a bare vmap_reset leaves references NaN: planning with the default
+    # cost must reject it instead of returning NaN plans
+    _, bare = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 4))
+    with pytest.raises(ValueError, match="reference"):
+        mpc.run_mppi(env, bare, 2, config=cfg)
+    # ... unless a custom cost_fn ignores the references
+    res = mpc.run_mppi(env, bare, 2, config=mpc.MPPIConfig(horizon=4, n_samples=8),
+                       cost_fn=lambda obs, acts: jnp.sum(acts**2, axis=(1, 2)))
+    assert np.isfinite(np.asarray(res.actions)).all()
 
 
 def _rest_tracking_state(env):

@@ -77,10 +77,12 @@ def test_evaluate_policy_scalar():
     assert val == evaluate_policy(env, params, n_steps=16, max_episode_steps=32)
 
 
-def test_ppo_episode_boundaries_cut_bootstrap():
-    """GAE must not leak value across a done: with gamma=lam=1 and a one-step
-    time limit, every advantage reduces to reward + V(next) - V(obs) where the
-    next value is masked — i.e. exactly reward - V(obs)."""
+def test_ppo_episode_boundaries():
+    """GAE must not leak post-reset values across a done, yet must bootstrap
+    through time-limit truncation: with gamma=lam=1 and a one-step time limit
+    every step is truncated (never terminated), so each advantage reduces to
+    exactly reward + V(true successor) - V(obs) — the accumulation is cut
+    (done) but the bootstrap survives (not terminated)."""
     from exciting_environments_tpu.utils import rl
 
     env = _env(batch_size=4)
@@ -91,12 +93,19 @@ def test_ppo_episode_boundaries_cut_bootstrap():
         lambda p, c, k: rl._rollout(env, p, c, k, 6, 1, False)
     )(params, carry, jax.random.PRNGKey(5))
     assert bool(traj["done"].all())  # one-step time limit: every step is done
-    last_value = jnp.zeros((4,), traj["value"].dtype)
-    advs, rets = rl._gae(traj, last_value, gamma=1.0, lam=1.0)
+    assert not bool(traj["term"].any())  # ... but truncated, not terminated
+    advs, rets = rl._gae(traj, gamma=1.0, lam=1.0)
+    expected = traj["reward"] + traj["next_value"] - traj["value"]
+    np.testing.assert_allclose(np.asarray(advs), np.asarray(expected), rtol=1e-12)
     np.testing.assert_allclose(
-        np.asarray(advs), np.asarray(traj["reward"] - traj["value"]), rtol=1e-12
+        np.asarray(rets), np.asarray(traj["reward"] + traj["next_value"]), rtol=1e-12
     )
-    np.testing.assert_allclose(np.asarray(rets), np.asarray(traj["reward"]), rtol=1e-12)
+    # genuine termination kills the bootstrap: force term=True everywhere
+    traj_term = dict(traj, term=jnp.ones_like(traj["term"]))
+    advs_t, _ = rl._gae(traj_term, gamma=1.0, lam=1.0)
+    np.testing.assert_allclose(
+        np.asarray(advs_t), np.asarray(traj["reward"] - traj["value"]), rtol=1e-12
+    )
 
 
 @pytest.mark.slow

@@ -131,6 +131,7 @@ def train_sac(
     key=None,
     config: SACConfig = SACConfig(),
     params=None,
+    scan_iterations: bool = False,
 ):
     """Train a SAC agent on a batched environment, one dispatch per iteration.
 
@@ -143,6 +144,10 @@ def train_sac(
         key: PRNG key (default ``PRNGKey(0)``).
         config: :class:`SACConfig`.
         params: warm-start parameters (default :func:`init_sac_agent`).
+        scan_iterations: fold ALL iterations (including the ring buffer as
+            scan carry) into one ``lax.scan`` — a single device dispatch for
+            the entire run.  The PRNG stream differs from the per-iteration
+            mode (``split(key, n)`` vs a chained split).
 
     Returns:
         :class:`SACResult`.
@@ -285,7 +290,6 @@ def train_sac(
         )
         return new, opt_state, metrics
 
-    @jax.jit
     def train_iteration(params, opt_state, carry, ptr, total, buffer, key):
         k_collect, k_update = jax.random.split(key)
         carry, ptr, total, buffer, mean_reward = collect(
@@ -322,14 +326,33 @@ def train_sac(
     ptr = jnp.zeros((), jnp.int32)
     total = jnp.zeros((), jnp.int32)
 
-    rows = []
-    for _ in range(iterations):
-        key, k = jax.random.split(key)
-        params, opt_state, carry, ptr, total, buffer, metrics = train_iteration(
-            params, opt_state, carry, ptr, total, buffer, k
+    if scan_iterations and iterations:
+
+        @jax.jit
+        def run_all(params, opt_state, carry, ptr, total, buffer, keys):
+            def f(c, k):
+                out = train_iteration(*c, k)
+                return out[:-1], out[-1]
+
+            (params, *_), rows = jax.lax.scan(
+                f, (params, opt_state, carry, ptr, total, buffer), keys
+            )
+            return params, rows
+
+        params, rows = run_all(
+            params, opt_state, carry, ptr, total, buffer,
+            jax.random.split(key, iterations),
         )
-        rows.append(metrics)
-    rows = jnp.stack(rows) if rows else jnp.zeros((0, 5))
+    else:
+        train_it = jax.jit(train_iteration)
+        rows = []
+        for _ in range(iterations):
+            key, k = jax.random.split(key)
+            params, opt_state, carry, ptr, total, buffer, metrics = train_it(
+                params, opt_state, carry, ptr, total, buffer, k
+            )
+            rows.append(metrics)
+        rows = jnp.stack(rows) if rows else jnp.zeros((0, 5))
     names = ("mean_reward", "q_loss", "actor_loss", "alpha", "entropy")
     return SACResult(
         params=params,

@@ -90,3 +90,17 @@ def test_sac_pendulum_tracking_improves():
     assert trained_ev > init_ev + 0.3, (init_ev, trained_ev)
     m = res.metrics["mean_reward"]
     assert m[-20:].mean() > m[:20].mean() + 0.25
+
+
+def test_sac_scan_iterations_mode():
+    """scan_iterations folds the run (ring buffer as carry) into one program."""
+    env = _env()
+    cfg = SACConfig(n_steps=4, updates_per_iteration=2, update_batch_size=64,
+                    buffer_capacity=4 * 16 * 8, learning_starts=128,
+                    max_episode_steps=32)
+    res = train_sac(env, iterations=4, key=jax.random.PRNGKey(0), config=cfg,
+                    scan_iterations=True)
+    for name, v in res.metrics.items():
+        assert v.shape == (4,) and np.isfinite(v).all(), name
+    assert res.metrics["q_loss"][0] == 0.0 and res.metrics["q_loss"][-1] != 0.0
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(res.params))

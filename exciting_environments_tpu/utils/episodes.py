@@ -91,6 +91,26 @@ def step_with_flags(env, state, action, elapsed=None, max_episode_steps=None):
     return obs, state_s, reward_b.reshape(B), term, trunc, elapsed
 
 
+def cached_jit(env, slot, key, builder):
+    """Per-env cache for jitted closures: a fresh ``@jax.jit`` closure per
+    call would retrace/recompile every time (the jit cache keys on the
+    function object).  ``slot`` is the ``env.__dict__`` cache name, ``key``
+    the static-argument tuple, ``builder`` a zero-arg callable returning the
+    jitted function."""
+    cache = env.__dict__.setdefault(slot, {})
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
+def jitted_reset(env):
+    """Cached jitted :func:`reset_with_references` for ``env``."""
+    return cached_jit(
+        env, "_reset_refs_jit", (),
+        lambda: jax.jit(lambda k: reset_with_references(env, k)),
+    )
+
+
 def reset_with_references(env, key):
     """Random full-batch reset state with drawn tracking references, plus
     its observations.  Jit-compatible; returns ``(obs, state)``."""

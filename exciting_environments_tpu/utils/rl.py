@@ -387,15 +387,19 @@ def evaluate_policy(env, params, n_steps, key=None, max_episode_steps=None):
     if key is None:
         key = jax.random.PRNGKey(0)
     k_reset, k_roll = jax.random.split(key)
-    obs0, state0 = jax.jit(lambda k: _fresh(env, k))(k_reset)
+    obs0, state0 = episodes.jitted_reset(env)(k_reset)
     carry = place((state0, obs0, jnp.zeros((env.batch_size,), jnp.int32)))
 
-    @jax.jit
-    def run(carry, key):
-        _, traj = _rollout(
-            env, params, carry, key, n_steps, max_episode_steps,
-            deterministic=True,
-        )
-        return jnp.mean(traj["reward"])
+    def build():
+        @jax.jit
+        def run(params, carry, key):
+            _, traj = _rollout(
+                env, params, carry, key, n_steps, max_episode_steps,
+                deterministic=True,
+            )
+            return jnp.mean(traj["reward"])
 
-    return float(run(carry, key))
+        return run
+
+    run = episodes.cached_jit(env, "_ppo_eval_impl", (n_steps, max_episode_steps), build)
+    return float(run(params, carry, k_roll))

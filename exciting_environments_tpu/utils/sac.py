@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 from exciting_environments_tpu.utils import episodes
 from exciting_environments_tpu.utils.episodes import unwrap_sharded
-from exciting_environments_tpu.utils.rl import _env_step, _mlp_apply, _mlp_init
+from exciting_environments_tpu.utils.rl import (
+    _env_step,
+    _log_prob,
+    _mlp_apply,
+    _mlp_init,
+)
 
 
 class SACConfig(NamedTuple):
@@ -53,7 +58,7 @@ class SACConfig(NamedTuple):
     gamma: float = 0.99
     polyak: float = 0.995
     learning_rate: float = 3e-4
-    target_entropy: float = None
+    target_entropy: float | None = None
     learning_starts: int = 4096
     max_episode_steps: int | None = None
 
@@ -103,16 +108,13 @@ def _actor_dist(params, obs):
 def _sample_action(params, obs, key):
     """Reparameterized tanh-Gaussian sample and its log-probability."""
     mean, log_std = _actor_dist(params, obs)
-    std = jnp.exp(log_std)
-    u = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
-    a = jnp.tanh(u)
-    logp = jnp.sum(
-        -0.5 * ((u - mean) / std) ** 2 - log_std - 0.5 * math.log(2.0 * math.pi),
-        axis=-1,
+    u = mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape, mean.dtype)
+    # Gaussian density shared with the PPO agent + the tanh change of
+    # variables (numerically stable form)
+    logp = _log_prob(mean, log_std, u) - jnp.sum(
+        2.0 * (math.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=-1
     )
-    # tanh change of variables (numerically stable form)
-    logp -= jnp.sum(2.0 * (math.log(2.0) - u - jax.nn.softplus(-2.0 * u)), axis=-1)
-    return a, logp
+    return jnp.tanh(u), logp
 
 
 def sac_policy_mean(params, obs):
@@ -191,12 +193,16 @@ def train_sac(
     def collect(params, carry, ptr, total, buffer, key):
         """n_steps of experience (same-step autoreset) appended to the ring."""
 
-        def step_fn(c, k):
+        def step_fn(c, xs):
+            k, i = xs
             state, obs, elapsed = c
             k_act, k_rand, k_reset = jax.random.split(k, 3)
             a_pi, _ = _sample_action(params, obs, k_act)
             a_rand = jax.random.uniform(k_rand, a_pi.shape, a_pi.dtype, -1.0, 1.0)
-            action = jnp.where(total < config.learning_starts, a_rand, a_pi)
+            # per-step warmup gate: `total + i * B` transitions were stored
+            # before this step, so learning_starts is honored at step (not
+            # whole-chunk) granularity
+            action = jnp.where(total + i * B < config.learning_starts, a_rand, a_pi)
             obs_n, state_n, obs_step, reward, term, done, elapsed = _env_step(
                 env, state, action, elapsed, config.max_episode_steps, k_reset
             )
@@ -212,7 +218,9 @@ def train_sac(
             return (state_n, obs_n, elapsed), out
 
         carry, traj = jax.lax.scan(
-            step_fn, carry, jax.random.split(key, config.n_steps)
+            step_fn, carry,
+            (jax.random.split(key, config.n_steps),
+             jnp.arange(config.n_steps, dtype=total.dtype)),
         )
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((chunk,) + x.shape[2:]), traj
@@ -313,7 +321,13 @@ def train_sac(
 
         def skip(args):
             params, opt_state = args
-            return params, opt_state, jnp.zeros((4,), dtype)
+            # update-dependent metrics (q_loss, actor_loss, entropy) are 0
+            # during warmup; alpha reports its true value so the temperature
+            # trace is continuous
+            zero = jnp.zeros((), dtype)
+            return params, opt_state, jnp.stack(
+                [zero, zero, jnp.exp(params["log_alpha"]).astype(dtype), zero]
+            )
 
         params, opt_state, upd_metrics = jax.lax.cond(
             total >= config.learning_starts, do_updates, skip, (params, opt_state)
@@ -367,20 +381,24 @@ def evaluate_sac(env, params, n_steps, key=None, max_episode_steps=None):
     if key is None:
         key = jax.random.PRNGKey(0)
     k_reset, k_roll = jax.random.split(key)
-    obs0, state0 = jax.jit(lambda k: episodes.reset_with_references(env, k))(k_reset)
+    obs0, state0 = episodes.jitted_reset(env)(k_reset)
     carry = place((state0, obs0, jnp.zeros((env.batch_size,), jnp.int32)))
 
-    @jax.jit
-    def run(carry, key):
-        def step_fn(c, k):
-            state, obs, elapsed = c
-            action = sac_policy_mean(params, obs)
-            obs_n, state_n, _, reward, _, _, elapsed = _env_step(
-                env, state, action, elapsed, max_episode_steps, k
-            )
-            return (state_n, obs_n, elapsed), reward
+    def build():
+        @jax.jit
+        def run(params, carry, key):
+            def step_fn(c, k):
+                state, obs, elapsed = c
+                action = sac_policy_mean(params, obs)
+                obs_n, state_n, _, reward, _, _, elapsed = _env_step(
+                    env, state, action, elapsed, max_episode_steps, k
+                )
+                return (state_n, obs_n, elapsed), reward
 
-        _, rewards = jax.lax.scan(step_fn, carry, jax.random.split(key, n_steps))
-        return jnp.mean(rewards)
+            _, rewards = jax.lax.scan(step_fn, carry, jax.random.split(key, n_steps))
+            return jnp.mean(rewards)
 
-    return float(run(carry, k_roll))
+        return run
+
+    run = episodes.cached_jit(env, "_sac_eval_impl", (n_steps, max_episode_steps), build)
+    return float(run(params, carry, k_roll))

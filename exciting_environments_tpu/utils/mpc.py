@@ -198,10 +198,10 @@ def planning_path(env, config: MPPIConfig = MPPIConfig(), interpret: bool = Fals
     from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
     if isinstance(env, ShardedEnv):
-        # fused planning under a mesh would need the kernel inside shard_map
-        # (as ShardedEnv.fused_rollout does) — not routed yet; GSPMD still
-        # shards the scan backend
-        return "scan"
+        # fused planning under a mesh runs the kernel per shard inside
+        # shard_map, so the scope question is asked of the per-shard shadow
+        # (local batch = B / mesh.size)
+        env = env._local_shadow()
     if not interpret and jax.default_backend() == "cpu":
         return "scan"
     return rollout_path(_tile_env(env, config.n_samples))
@@ -301,7 +301,12 @@ def mppi_plan(
     """One MPPI update of the mean plan (jit-compatible, differentiable-free).
 
     Args:
-        env: a batched :class:`CoreEnvironment`.
+        env: a batched :class:`CoreEnvironment`, or a mesh-sharded
+            ``ShardedEnv`` — the scan backend then rides GSPMD (bit-identical
+            to the single-device run), while the fused backend runs the
+            kernel per shard inside ``shard_map`` with per-shard
+            decorrelated noise (``fold_in(key, axis_index)``), so its draws
+            intentionally differ from the single-device draws.
         state: batched state to plan from.
         plan: current mean plan, normalized,
             ``(batch_size, horizon, action_dim)``.
@@ -324,8 +329,24 @@ def mppi_plan(
         The updated mean plan, same shape, clipped to [-1, 1].
     """
     use_fused = _resolve_fused(env, config, fused, interpret)
+    if _is_sharded(env) and use_fused:
+        _validate_plan(env.env, config, plan, cost_fn, state)
+        return _shard_mapped(env, _plan_core, config, cost_fn, interpret)(
+            env.shard(state), env.shard(plan), key
+        )
     env, place = unwrap_sharded(env)
     state, plan = place(state), place(plan)
+    _validate_plan(env, config, plan, cost_fn, state)
+    return _plan_core(env, state, plan, key, config, cost_fn, use_fused, interpret)
+
+
+def _is_sharded(env):
+    from exciting_environments_tpu.parallel.mesh import ShardedEnv
+
+    return isinstance(env, ShardedEnv)
+
+
+def _validate_plan(env, config, plan, cost_fn, state):
     _check_cost_setup(env, cost_fn, state)
     B, H, A = env.batch_size, config.horizon, env.action_dim
     if plan.shape != (B, H, A):
@@ -333,6 +354,35 @@ def mppi_plan(
             f"plan must have shape (batch_size, horizon, action_dim) = "
             f"{(B, H, A)}, but {plan.shape} is given"
         )
+
+
+def _shard_mapped(senv, core_fn, config, cost_fn, interpret, extra_static=()):
+    """Wrap a ``core_fn(local_env, state, plan, key, config, cost_fn, True,
+    interpret, *extra_static)`` in ``shard_map`` over the facade's mesh: the
+    fused kernels run per shard on the local shadow env (planning is
+    per-instance independent — zero communication).  The replicated key is
+    decorrelated per shard by folding in the mesh axis index, so sharded
+    noise draws differ from the single-device draws by construction."""
+    from jax.sharding import PartitionSpec as P
+
+    local = senv._local_shadow()
+    spec = P(senv.axis_name)
+
+    def local_fn(state_l, plan_l, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(senv.axis_name))
+        return core_fn(local, state_l, plan_l, key, config, cost_fn, True,
+                       interpret, *extra_static)
+
+    return jax.shard_map(
+        local_fn, mesh=senv.mesh, in_specs=(spec, spec, P()), out_specs=spec,
+        check_vma=False,
+    )
+
+
+def _plan_core(env, state, plan, key, config, cost_fn, use_fused, interpret):
+    """The MPPI update body on a concrete (non-facade) env; jit/shard_map
+    compatible, no validation."""
+    B, H, A = env.batch_size, config.horizon, env.action_dim
     sigma = jnp.broadcast_to(jnp.asarray(config.noise_sigma, plan.dtype), (A,))
 
     def one_iteration(plan, key):
@@ -375,7 +425,9 @@ def run_mppi(
         env: a batched :class:`CoreEnvironment`, or a mesh-sharded
             ``ShardedEnv`` — planning is embarrassingly parallel across
             instances, so the whole loop then runs zero-communication SPMD
-            over the mesh.
+            over the mesh (with the fused backend, the entire receding
+            horizon — plan, step, shift — executes per shard inside
+            ``shard_map`` with per-shard decorrelated noise).
         state: batched initial state.  With the default (tracking-reward)
             cost its references must be populated —
             :func:`~exciting_environments_tpu.utils.episodes.reset_with_references`
@@ -393,40 +445,59 @@ def run_mppi(
         :class:`MPCResult`.
     """
     use_fused = _resolve_fused(env, config, fused, interpret)
-    env, place = unwrap_sharded(env)
-    _check_cost_setup(env, cost_fn, state)
+    sharded_fused = _is_sharded(env) and use_fused
+    core_env, place = unwrap_sharded(env)
     if key is None:
         key = jax.random.PRNGKey(0)
-    B, H, A = env.batch_size, config.horizon, env.action_dim
+    B, H, A = core_env.batch_size, config.horizon, core_env.action_dim
     dtype = jnp.result_type(float)
     if plan is None:
         plan = jnp.zeros((B, H, A), dtype)
+    _validate_plan(core_env, config, plan, cost_fn, state)
     state, plan = place(state), place(plan)
 
+    if sharded_fused:
+        # the whole receding-horizon loop is per-instance independent, so it
+        # runs entirely inside shard_map: per-shard fused kernels, zero
+        # communication across the mesh
+        run = jax.jit(_shard_mapped(env, _control_core, config, cost_fn,
+                                    interpret, extra_static=(n_steps,)))
+    else:
+        @jax.jit
+        def run(state, plan, key):
+            return _control_core(core_env, state, plan, key, config, cost_fn,
+                                 use_fused, interpret, n_steps)
 
-    @jax.jit
-    def control(state, plan, key):
-        def step_fn(carry, k):
-            state, plan = carry
-            plan = mppi_plan(env, state, plan, k, config, cost_fn,
-                             fused=use_fused, interpret=interpret)
-            action = plan[:, 0]
-            obs, state, reward, _, _, _ = episodes.step_with_flags(env, state, action)
-            plan = jnp.concatenate([plan[:, 1:], plan[:, -1:]], axis=1)
-            return (state, plan), (obs, action, reward)
-
-        (state, plan), (obs, act, rew) = jax.lax.scan(
-            step_fn, (state, plan), jax.random.split(key, n_steps)
-        )
-        return obs, act, rew, state, plan
-
-    obs, act, rew, state, plan = control(state, plan, key)
+    obs, act, rew, state, plan = run(state, plan, key)
     return MPCResult(
-        observations=jnp.swapaxes(obs, 0, 1),
-        actions=jnp.swapaxes(act, 0, 1),
-        rewards=jnp.swapaxes(rew, 0, 1),
-        final_state=state,
-        plan=plan,
+        observations=obs, actions=act, rewards=rew, final_state=state, plan=plan
+    )
+
+
+def _control_core(env, state, plan, key, config, cost_fn, use_fused, interpret,
+                  n_steps):
+    """The receding-horizon loop body on a concrete env: plan, apply the
+    first action, shift; one ``lax.scan`` over control steps.  Returns
+    batch-major ``(obs, actions, rewards, final_state, plan)``."""
+
+    def step_fn(carry, k):
+        state, plan = carry
+        plan = _plan_core(env, state, plan, k, config, cost_fn, use_fused,
+                          interpret)
+        action = plan[:, 0]
+        obs, state, reward, _, _, _ = episodes.step_with_flags(env, state, action)
+        plan = jnp.concatenate([plan[:, 1:], plan[:, -1:]], axis=1)
+        return (state, plan), (obs, action, reward)
+
+    (state, plan), (obs, act, rew) = jax.lax.scan(
+        step_fn, (state, plan), jax.random.split(key, n_steps)
+    )
+    return (
+        jnp.swapaxes(obs, 0, 1),
+        jnp.swapaxes(act, 0, 1),
+        jnp.swapaxes(rew, 0, 1),
+        state,
+        plan,
     )
 
 

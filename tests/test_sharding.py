@@ -629,3 +629,41 @@ def test_sharded_gradient_planner(mesh):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(res.costs), np.asarray(ref.costs),
                                rtol=1e-9)
+
+
+@pytest.mark.slow
+def test_sharded_fused_mppi_per_shard_semantics(mesh):
+    """fused MPPI under a ShardedEnv runs the kernel per shard inside
+    shard_map; each shard's plan must equal _plan_core on its local slice
+    with the axis-folded key (pins the decorrelated-noise semantics)."""
+    from exciting_environments_tpu.utils import mpc
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    B = 16  # local batch 2; 512 samples * 2 = one kernel tile
+    cfg = mpc.MPPIConfig(horizon=4, n_samples=512, noise_sigma=0.4, n_iterations=1)
+    env = excenvs.Pendulum(batch_size=B, tau=2e-2, control_state=["theta"])
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0))
+    senv = ShardedEnv(excenvs.Pendulum(batch_size=B, tau=2e-2,
+                                       control_state=["theta"]), mesh)
+    assert mpc.planning_path(senv, cfg, interpret=True) == "fused"
+
+    plan0 = jnp.zeros((B, 4, 1))
+    plan_s = mpc.mppi_plan(senv, state, plan0, jax.random.PRNGKey(1), cfg,
+                           fused=True, interpret=True)
+    assert not plan_s.sharding.is_fully_replicated
+
+    local = senv._local_shadow()
+    for i in (0, 3, 7):
+        sl = slice(2 * i, 2 * i + 2)
+        state_l = jax.tree_util.tree_map(lambda x: x[sl], state)
+        expected = mpc._plan_core(local, state_l, plan0[sl],
+                                  jax.random.fold_in(jax.random.PRNGKey(1), i),
+                                  cfg, None, True, True)
+        np.testing.assert_allclose(np.asarray(plan_s[sl]), np.asarray(expected),
+                                   rtol=1e-11, atol=1e-12)
+
+    res = mpc.run_mppi(senv, state, 3, key=jax.random.PRNGKey(2), config=cfg,
+                       fused=True, interpret=True)
+    assert res.observations.shape == (B, 3, len(env.obs_description))
+    assert bool(jnp.isfinite(res.observations).all())
+    assert bool((res.rewards <= 0).all())

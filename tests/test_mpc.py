@@ -204,3 +204,23 @@ def test_fused_planning_pmsm_matches_scan():
                             fused=True, interpret=True)
     np.testing.assert_allclose(np.asarray(p_fused), np.asarray(p_scan),
                                rtol=1e-11, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_mppi_pmsm_current_control():
+    """Receding-horizon MPPI on the saturated BRUSA drive must track random
+    dq current references to near-zero cost (fixed seeds; the exact step
+    semantics include deadtime + hexagon constraint)."""
+    env = excenvs.PMSM(batch_size=8, saturated=True,
+                       motor_variant=excenvs.MotorVariant.BRUSA,
+                       control_state=["i_d", "i_q"], tau=1e-4)
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(7))
+    cfg = mpc.MPPIConfig(horizon=8, n_samples=32, temperature=0.02,
+                         noise_sigma=0.3, n_iterations=1, smoothing=0.3)
+    res = mpc.run_mppi(env, state, n_steps=40, key=jax.random.PRNGKey(8), config=cfg)
+
+    _, rew_zero, _ = mpc._rollout(env, state, jnp.zeros((8, 40, 2)))
+    zero_mean = float(jnp.mean(rew_zero))
+    settled = float(jnp.mean(res.rewards[:, 20:]))
+    assert settled > -0.05, (zero_mean, settled)
+    assert float(jnp.mean(res.rewards)) > zero_mean + 1.0

@@ -130,3 +130,17 @@ def test_ppo_pendulum_tracking_improves():
     # training reward trend agrees with the evaluation verdict
     m = res.metrics["mean_reward"]
     assert m[-20:].mean() > m[:20].mean() + 0.2
+
+
+def test_ppo_params_checkpoint_roundtrip(tmp_path):
+    """Trained agent parameters are plain pytrees: utils.checkpoint must
+    round-trip them bit-identically (resume/deploy path)."""
+    from exciting_environments_tpu.utils import checkpoint
+
+    env = _env()
+    params = init_agent(env, jax.random.PRNGKey(7))
+    path = str(tmp_path / "agent")
+    checkpoint.save_state(params, path)
+    restored = checkpoint.load_state(params, path)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -130,7 +130,7 @@ class ShardedEnv:
             shadow.batch_size = local_batch
             for key in (
                 "_pmsm_fused_impl", "_pmsm_fused_sim_ahead_impl",
-                "_pmsm_cl_impl", "_fused_tile_ode",
+                "_pmsm_cl_impl", "_fused_tile_ode", "_mppi_tiled_shadow",
             ):
                 shadow.__dict__.pop(key, None)
             self._fused_shadow = shadow

@@ -163,10 +163,12 @@ def _tile_env(env, k):
     impls inherited from the wrapped env are dropped (they bake the original
     batch size into the compiled program, mirroring
     ``parallel/mesh.py::_local_shadow``)."""
-    cached = env.__dict__.get("_mppi_tiled_shadow")
-    if cached is not None and cached[0] == k:
-        return cached[1]
     B = env.batch_size
+    # key on (k, B): a shadow cached on a global-batch env must not leak
+    # into the per-shard local shadow (which copies __dict__), and vice versa
+    cached = env.__dict__.get("_mppi_tiled_shadow")
+    if cached is not None and cached[0] == (k, B):
+        return cached[1]
 
     def tile(leaf):
         if np.ndim(leaf) > 0 and np.shape(leaf)[0] == B:
@@ -183,7 +185,7 @@ def _tile_env(env, k):
         "_pmsm_cl_impl", "_fused_tile_ode", "_mppi_tiled_shadow",
     ):
         shadow.__dict__.pop(key, None)
-    env.__dict__["_mppi_tiled_shadow"] = (k, shadow)
+    env.__dict__["_mppi_tiled_shadow"] = ((k, B), shadow)
     return shadow
 
 
@@ -198,8 +200,16 @@ def planning_path(env, config: MPPIConfig = MPPIConfig(), interpret: bool = Fals
     from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
     if isinstance(env, ShardedEnv):
-        # fused planning under a mesh runs the kernel per shard inside
-        # shard_map, so the scope question is asked of the per-shard shadow
+        # per-batch heterogeneous property leaves are closure constants to
+        # the kernel, not shard_map operands (same rule as
+        # mesh.py::ShardedEnv._fused_in_scope) — slicing them per shard is
+        # not routed, so those configurations ride the sharded scan path
+        if any(
+            np.ndim(leaf) > 0
+            for leaf in jax.tree_util.tree_leaves(env.env.env_properties)
+        ):
+            return "scan"
+        # the scope question is then asked of the per-shard shadow
         # (local batch = B / mesh.size)
         env = env._local_shadow()
     if not interpret and jax.default_backend() == "cpu":

@@ -667,3 +667,48 @@ def test_sharded_fused_mppi_per_shard_semantics(mesh):
     assert res.observations.shape == (B, 3, len(env.obs_description))
     assert bool(jnp.isfinite(res.observations).all())
     assert bool((res.rewards <= 0).all())
+
+
+@pytest.mark.slow
+def test_sharded_fused_mppi_after_global_plan(mesh):
+    """Regression: a tiled shadow cached by planning on the PLAIN env (global
+    batch) must not leak into the facade's per-shard route — the cache is
+    keyed on (n_samples, batch_size) and _local_shadow drops it."""
+    from exciting_environments_tpu.utils import mpc
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    B = 16
+    cfg = mpc.MPPIConfig(horizon=4, n_samples=512, noise_sigma=0.4, n_iterations=1)
+    env = excenvs.Pendulum(batch_size=B, tau=2e-2, control_state=["theta"])
+    # populate the global-batch tiled-shadow cache first
+    assert mpc.planning_path(env, cfg, interpret=True) == "fused"
+    assert "_mppi_tiled_shadow" in env.__dict__
+
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0))
+    senv = ShardedEnv(env, mesh)
+    assert mpc.planning_path(senv, cfg, interpret=True) == "fused"
+    plan = mpc.mppi_plan(senv, state, jnp.zeros((B, 4, 1)), jax.random.PRNGKey(1),
+                         cfg, fused=True, interpret=True)
+    assert bool(jnp.isfinite(plan).all())
+
+
+def test_sharded_fused_mppi_rejects_per_batch_params(mesh):
+    """Per-batch heterogeneous properties are closure constants to the
+    kernel, not shard_map operands: the sharded fused route must refuse them
+    (they ride the GSPMD scan path) even when n_samples == mesh.size makes
+    the tiled shapes line up by accident."""
+    from exciting_environments_tpu.utils import mpc
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    B = 1024
+    env = excenvs.Pendulum(
+        batch_size=B, tau=2e-2, control_state=["theta"],
+        static_params={"l": jnp.linspace(0.5, 2.0, B), "g": 9.81, "m": 1.0},
+    )
+    senv = ShardedEnv(env, mesh)
+    cfg = mpc.MPPIConfig(horizon=4, n_samples=8)  # 8 == mesh.size: shapes align
+    assert mpc.planning_path(senv, cfg, interpret=True) == "scan"
+    _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="fused=True"):
+        mpc.mppi_plan(senv, state, jnp.zeros((B, 4, 1)), jax.random.PRNGKey(1),
+                      cfg, fused=True, interpret=True)

@@ -25,7 +25,7 @@ from exciting_environments_tpu.models import (
 )
 from exciting_environments_tpu.ops import solvers
 from exciting_environments_tpu.utils import MinMaxNormalization
-from exciting_environments_tpu.utils import checkpoint, profiling
+from exciting_environments_tpu.utils import checkpoint, profiling, randomize
 from exciting_environments_tpu.wrappers.gym import GymWrapper
 
 

@@ -1,0 +1,133 @@
+"""Domain randomization (utils/randomize.py): distribution specs, constructor
+integration, jit-safe resampling through the explicit-props step API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.pallas import rollout_path
+from exciting_environments_tpu.utils.randomize import (
+    Choice,
+    LogUniform,
+    Normal,
+    Uniform,
+    randomize_env,
+    resample_env_properties,
+    sample_field,
+    sample_static_params,
+)
+
+KEY = jax.random.PRNGKey(7)
+B = 256
+
+
+def test_distribution_supports():
+    u = sample_field(KEY, B, Uniform(0.5, 2.0))
+    assert u.shape == (B,) and float(u.min()) >= 0.5 and float(u.max()) < 2.0
+
+    lu = sample_field(KEY, B, LogUniform(1e-3, 1e1))
+    assert float(lu.min()) >= 1e-3 and float(lu.max()) < 1e1
+    # log-uniform actually spans the decades (a linear-uniform draw over the
+    # same range would put <0.1% of mass below 1e-2)
+    assert float((lu < 1e-2).mean()) > 0.1
+
+    n = sample_field(KEY, B, Normal(1.0, 0.3, clip=(0.5, 1.5)))
+    assert float(n.min()) >= 0.5 and float(n.max()) <= 1.5
+
+    c = sample_field(KEY, B, Choice((1.0, 2.0, 4.0)))
+    assert set(np.unique(np.asarray(c))) <= {1.0, 2.0, 4.0}
+
+    t = sample_field(KEY, B, (0.0, 1.0))  # plain tuple -> Uniform
+    assert float(t.min()) >= 0.0 and float(t.max()) < 1.0
+
+    f = sample_field(KEY, B, lambda key, b: jnp.full((b,), 3.0))
+    np.testing.assert_array_equal(np.asarray(f), 3.0)
+
+
+def test_invalid_specs():
+    with pytest.raises(ValueError):
+        LogUniform(0.0, 1.0)
+    with pytest.raises(ValueError):
+        sample_field(KEY, B, (1.0, 2.0, 3.0))
+    with pytest.raises(TypeError):
+        sample_field(KEY, B, "uniform")
+    with pytest.raises(ValueError):
+        sample_field(KEY, B, lambda key, b: jnp.zeros((b, 2)))
+
+
+def test_sampling_is_deterministic_and_per_field_stable():
+    spec = {"l": Uniform(0.5, 2.0), "m": LogUniform(0.5, 2.0)}
+    defaults = {"g": 9.81, "l": 2.0, "m": 1.0}
+    p1 = sample_static_params(KEY, B, spec, defaults)
+    p2 = sample_static_params(KEY, B, spec, defaults)
+    np.testing.assert_array_equal(np.asarray(p1["l"]), np.asarray(p2["l"]))
+    assert p1["g"] == 9.81 and np.shape(p1["g"]) == ()
+
+    # per-field subkeys are name-keyed: dropping one field leaves the other
+    # field's draw unchanged, and a different key changes it
+    p3 = sample_static_params(KEY, B, {"l": Uniform(0.5, 2.0)}, defaults)
+    np.testing.assert_array_equal(np.asarray(p1["l"]), np.asarray(p3["l"]))
+    p4 = sample_static_params(jax.random.PRNGKey(8), B, spec, defaults)
+    assert not np.array_equal(np.asarray(p1["l"]), np.asarray(p4["l"]))
+
+    with pytest.raises(ValueError):
+        sample_static_params(KEY, B, {"nope": (0.0, 1.0)}, defaults)
+
+
+def test_randomized_fleet_steps_heterogeneously():
+    env = randomize_env(excenvs.Pendulum, KEY, {"l": Uniform(0.5, 2.0)}, batch_size=B)
+    assert env.env_properties.static_params.l.shape == (B,)
+
+    _, state = env.vmap_reset(jax.random.split(KEY, B))
+    # identical torque from the identical default init state: any divergence
+    # across the batch is the randomized length acting on the dynamics
+    obs, state = env.vmap_step(state, jnp.full((B, 1), 0.5))
+    omega = np.asarray(state.physical_state.omega)
+    assert np.unique(omega).size > B // 2
+
+    # registry-id construction path
+    env2 = randomize_env("Pendulum-v0", KEY, {"l": Uniform(0.5, 2.0)}, batch_size=B)
+    np.testing.assert_array_equal(
+        np.asarray(env2.env_properties.static_params.l),
+        np.asarray(env.env_properties.static_params.l),
+    )
+
+
+def test_randomized_fleet_rides_the_fused_kernel():
+    env = randomize_env(excenvs.Pendulum, KEY, {"l": (0.5, 2.0)}, batch_size=1024)
+    assert rollout_path(env) == "fused"
+
+
+def test_resample_inside_jit_via_explicit_props():
+    env = randomize_env(excenvs.Pendulum, KEY, {"l": Uniform(0.5, 2.0)}, batch_size=B)
+    spec = {"l": Uniform(0.5, 2.0)}
+
+    props1 = resample_env_properties(env, jax.random.PRNGKey(1), spec)
+    props2 = resample_env_properties(env, jax.random.PRNGKey(2), spec)
+    assert props1.static_params.l.shape == (B,)
+    assert not np.array_equal(np.asarray(props1.static_params.l), np.asarray(props2.static_params.l))
+    # non-spec'd fields survive untouched
+    assert float(props1.static_params.g) == 9.81
+
+    _, state = env.vmap_reset(jax.random.split(KEY, B))
+    action = jnp.full((B, 1), 0.5)
+
+    @jax.jit
+    def step_with(props):
+        _, s = jax.vmap(env.step, in_axes=(0, 0, env.in_axes_env_properties))(
+            state, action, props
+        )
+        return s.physical_state.omega
+
+    o1, o2 = step_with(props1), step_with(props2)
+    assert not np.array_equal(np.asarray(o1), np.asarray(o2))
+
+    # resampling a field that was scalar at construction is a structure
+    # change the compiled programs can't absorb -> explicit error
+    plain = excenvs.Pendulum(batch_size=B)
+    with pytest.raises(ValueError, match="per-batch"):
+        resample_env_properties(plain, KEY, spec)
+    with pytest.raises(ValueError, match="no field"):
+        resample_env_properties(env, KEY, {"nope": (0.0, 1.0)})

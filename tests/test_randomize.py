@@ -100,6 +100,26 @@ def test_randomized_fleet_rides_the_fused_kernel():
     assert rollout_path(env) == "fused"
 
 
+def test_ppo_trains_over_a_randomized_fleet():
+    # domain-randomized robust training is plain PPO on a heterogeneous
+    # fleet — the per-batch params ride the same vmap program
+    from exciting_environments_tpu.utils.rl import PPOConfig, train_ppo
+
+    env = randomize_env(
+        excenvs.Pendulum,
+        KEY,
+        {"l": Uniform(0.8, 2.5), "m": LogUniform(0.5, 2.0)},
+        batch_size=8,
+        tau=2e-2,
+        control_state=["theta"],
+    )
+    cfg = PPOConfig(n_steps=16, n_epochs=2, n_minibatches=4, max_episode_steps=32)
+    res = train_ppo(env, iterations=2, key=jax.random.PRNGKey(0), config=cfg)
+    for name, v in res.metrics.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), name
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(res.params))
+
+
 def test_resample_inside_jit_via_explicit_props():
     env = randomize_env(excenvs.Pendulum, KEY, {"l": Uniform(0.5, 2.0)}, batch_size=B)
     spec = {"l": Uniform(0.5, 2.0)}

@@ -82,6 +82,8 @@ class ClassicODEEnvironment(CoreEnvironment):
         solver=None,
         tau: float = None,
         fast_math: bool = False,
+        process_noise: dict = None,
+        observation_noise: dict = None,
     ):
         """
         Args:
@@ -103,6 +105,23 @@ class ClassicODEEnvironment(CoreEnvironment):
                 (:mod:`exciting_environments_tpu.ops.fastmath`; ~2e-7 max
                 error per evaluation).  Opt-in: golden-fixture parity
                 requires the default exact ops.
+            process_noise: Optional ``{field: sigma}`` additive diffusion on
+                integrated physical-state fields (sigma in physical units per
+                sqrt-second, scalar): each control step adds one
+                Euler–Maruyama increment ``sigma * sqrt(tau) * N(0, 1)``
+                drawn from the per-instance key in ``State.PRNGKey`` (reset
+                with ``vmap_reset(jax.random.split(key, batch_size))``).
+                Turns the env into an SDE simulator for robustness training
+                and estimator stress-testing; the stochastic paths are
+                ``step`` / ``vmap_step`` / ``vmap_rollout`` (and everything
+                built on them: RL, MPC, wrappers, collectors) — ``sim_ahead``,
+                ``adaptive_rollout`` and the fused kernels are deterministic
+                solvers and raise / fall out of scope.
+            observation_noise: Optional ``{field: sigma}`` Gaussian sensor
+                noise on the observed physical components (sigma in physical
+                units, scalar; scaled into the normalized band through the
+                field's normalization span).  Same key/path semantics as
+                ``process_noise``; the underlying state stays exact.
 
         Note: attributes of ``MinMaxNormalization`` and ``static_params``
         values may also be ``(batch_size,)`` arrays to set per-batch values
@@ -137,6 +156,14 @@ class ClassicODEEnvironment(CoreEnvironment):
 
         self.control_state = control_state
         self.soft_constraints = soft_constraints
+        self._process_noise = self._validated_noise(
+            process_noise, self._ode_state_fields, "process_noise"
+        )
+        self._observation_noise = self._validated_noise(
+            observation_noise,
+            tuple(f.name for f in fields(self.PhysicalState)),
+            "observation_noise",
+        )
 
         env_properties = self.EnvProperties(
             physical_normalizations=self.PhysicalState(**physical_normalizations),
@@ -144,6 +171,21 @@ class ClassicODEEnvironment(CoreEnvironment):
             static_params=self.StaticParams(**static_params),
         )
         super().__init__(batch_size, env_properties=env_properties, tau=tau, solver=solver)
+
+    @staticmethod
+    def _validated_noise(noise: dict, valid_fields: tuple, what: str):
+        if not noise:
+            return None
+        for name, sigma in noise.items():
+            if name not in valid_fields:
+                raise ValueError(
+                    f"{what} field {name!r} is not one of {sorted(valid_fields)}"
+                )
+            if not (np.isscalar(sigma) and float(sigma) >= 0.0):
+                raise ValueError(
+                    f"{what}[{name!r}] must be a non-negative scalar std, got {sigma!r}"
+                )
+        return {k: float(v) for k, v in noise.items() if float(v) > 0.0} or None
 
     # ------------------------------------------------------------------
     # reset / observation / reconstruction

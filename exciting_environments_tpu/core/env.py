@@ -69,6 +69,13 @@ class CoreEnvironment:
     _ode_state_fields: tuple = ()
     #: subset of ``_ode_state_fields`` wrapped into (-pi, pi] after each step.
     _angle_fields: tuple = ()
+    #: additive process-noise diffusion per physical field (``None`` = the
+    #: exact deterministic path; set via the classic constructor's
+    #: ``process_noise=`` — see :meth:`step`).
+    _process_noise: dict = None
+    #: sensor-noise std per observed physical field in physical units
+    #: (``None`` = exact observations).
+    _observation_noise: dict = None
 
     def __init__(self, batch_size: int, env_properties, tau: float = 1e-4, solver=None):
         """
@@ -330,6 +337,81 @@ class CoreEnvironment:
         return self.PhysicalState(**{f.name: jnp.nan for f in fields(self.PhysicalState)})
 
     # ------------------------------------------------------------------
+    # stochastic simulation (no reference equivalent — the reference is
+    # deterministic everywhere; see ClassicODEEnvironment's
+    # ``process_noise`` / ``observation_noise`` constructor args)
+    # ------------------------------------------------------------------
+
+    @property
+    def _has_noise(self) -> bool:
+        return bool(self._process_noise) or bool(self._observation_noise)
+
+    def _require_noise_key(self, state):
+        """Trace-time check that ``state`` carries a usable per-instance PRNG
+        key.  A default (rng-less) reset stores a NaN placeholder
+        (``init_state``), which cannot drive noise draws."""
+        key = state.PRNGKey
+        if not (
+            hasattr(key, "dtype")
+            and jnp.issubdtype(key.dtype, jnp.unsignedinteger)
+            and key.shape[-1:] == (2,)
+        ):
+            raise ValueError(
+                "process/observation noise draws from the per-instance PRNG key in "
+                "State.PRNGKey, but this state carries the NaN placeholder of a "
+                "key-less reset — reset with "
+                "env.vmap_reset(jax.random.split(key, env.batch_size))."
+            )
+        return key
+
+    def _apply_process_noise(self, state, key, env_properties):
+        """One Euler–Maruyama diffusion increment: ``x += sigma * sqrt(tau) * xi``
+        per configured field (sigma in physical units per sqrt-second).  The
+        drift was integrated by the configured solver over ``tau``, so for the
+        default Euler this is exactly Euler–Maruyama; for higher-order solvers
+        it is the standard splitting scheme (weak order 1 in the noise).
+        Angle wrapping and post-step clipping re-apply to the perturbed state."""
+        names = self._ode_state_fields
+        items = sorted(self._process_noise.items())
+        eps = jax.random.normal(key, (len(items),))
+        sqrt_tau = jnp.sqrt(self.tau)
+        y = list(self._physical_to_y(state.physical_state))
+        for j, (name, sigma) in enumerate(items):
+            i = names.index(name)
+            y[i] = y[i] + sigma * sqrt_tau * eps[j]
+        y = self._clip_state(self._wrap_angles(tuple(y)))
+        with structures.copy_and_mutate(state, validate=True) as new_state:
+            for i, name in enumerate(names):
+                setattr(new_state.physical_state, name, y[i])
+        return new_state
+
+    def _apply_observation_noise(self, obs, env_properties, key):
+        """Additive Gaussian sensor noise on the observed physical components
+        (std in physical units, scaled into the normalized band through each
+        field's normalization span — per-batch spans work).  Reference/extra
+        observation components are left exact."""
+        names = tuple(f.name for f in fields(self.PhysicalState))
+        eps = jax.random.normal(key, (len(names),))
+        sigma_norm = jnp.stack(
+            [
+                (
+                    2.0
+                    * self._observation_noise.get(name, 0.0)
+                    / (
+                        getattr(env_properties.physical_normalizations, name).max
+                        - getattr(env_properties.physical_normalizations, name).min
+                    )
+                )
+                if name in self._observation_noise
+                else jnp.zeros(())
+                for name in names
+            ]
+        )
+        pad = obs.shape[-1] - len(names)
+        noise = jnp.concatenate([sigma_norm * eps, jnp.zeros(pad)])
+        return obs + noise
+
+    # ------------------------------------------------------------------
     # reset / step / sim_ahead (reference core_env.py:361-531)
     # ------------------------------------------------------------------
 
@@ -362,9 +444,17 @@ class CoreEnvironment:
             f"{(self.physical_state_dim,)}, but {physical_state_shape} is given"
         )
 
+        if self._has_noise:
+            new_key, k_proc, k_obs = jax.random.split(self._require_noise_key(state), 3)
+            state = structures.replace(state, PRNGKey=new_key)
+
         action = self.denormalize_action(action_norm, env_properties)
         state = self._ode_solver_step(state, action, env_properties.static_params)
+        if self._process_noise:
+            state = self._apply_process_noise(state, k_proc, env_properties)
         obs = self.generate_observation(state, env_properties)
+        if self._observation_noise:
+            obs = self._apply_observation_noise(obs, env_properties, k_obs)
         return obs, state
 
     @partial(jax.jit, static_argnums=[0, 4, 5])
@@ -382,6 +472,12 @@ class CoreEnvironment:
 
         Returns ``(observations, states, last_state)``.
         """
+        if self._has_noise:
+            raise ValueError(
+                "sim_ahead integrates the deterministic trajectory solve and does not "
+                "support process/observation noise — step the stochastic env through "
+                "vmap_step / vmap_rollout instead."
+            )
         assert actions.ndim == 2, "The actions need to have two dimensions: (n_action_steps, action_dim)"
         assert actions.shape[-1] == self.action_dim, (
             f"The last dimension does not correspond to the action dim which is "

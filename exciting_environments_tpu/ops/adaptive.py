@@ -233,6 +233,12 @@ def adaptive_rollout(
     from exciting_environments_tpu.core.env import CoreEnvironment
     from exciting_environments_tpu.ops.solvers import Tsit5
 
+    if getattr(env, "_has_noise", False):
+        raise ValueError(
+            "adaptive_rollout integrates the deterministic dynamics; stochastic "
+            "(process/observation-noise) envs step through vmap_rollout/vmap_step."
+        )
+
     # Environments whose step semantics go beyond "integrate the physical
     # state" (derived fields, action buffering, state-dependent action
     # constraints — e.g. the PMSM drive) provide their own interval loop

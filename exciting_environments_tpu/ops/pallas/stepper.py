@@ -690,6 +690,9 @@ def supports_fused_rollout(env) -> bool:
         and len(env._ode_state_fields) == env.physical_state_dim
         and env.batch_size % TILE == 0
         and isinstance(env._solver, ExplicitRungeKutta)
+        # stochastic envs draw per-step noise from the state's PRNG key —
+        # deterministic-kernel territory ends here, the scan path applies it
+        and not getattr(env, "_has_noise", False)
     )
 
 

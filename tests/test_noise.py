@@ -1,0 +1,139 @@
+"""Stochastic simulation (process + observation noise): statistics, key
+threading, determinism, and the deterministic-path guards.
+
+The reference is deterministic everywhere; noise is a TPU-native addition
+gated off by default — golden-fixture parity tests pin that the default
+path is untouched."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.ops.adaptive import adaptive_rollout
+from exciting_environments_tpu.ops.pallas import rollout_path
+
+B = 4096
+TAU = 1e-2
+KEYS = jax.random.split(jax.random.PRNGKey(0), B)
+
+
+def _reset(env):
+    return env.vmap_reset(KEYS)[1]
+
+
+def test_process_noise_statistics_and_key_threading():
+    env = excenvs.Pendulum(batch_size=B, tau=TAU, process_noise={"omega": 0.5})
+    det = excenvs.Pendulum(batch_size=B, tau=TAU)
+    st = _reset(env)
+    _, st1 = env.vmap_step(st, jnp.zeros((B, 1)))
+    _, sd1 = det.vmap_step(_reset(det), jnp.zeros((B, 1)))
+
+    # the key advanced (fresh draws next step) ...
+    assert not np.array_equal(np.asarray(st.PRNGKey), np.asarray(st1.PRNGKey))
+    # ... and the increment beyond the deterministic step is N(0, sigma^2 tau)
+    d = np.asarray(st1.physical_state.omega) - np.asarray(sd1.physical_state.omega)
+    expected = 0.5 * np.sqrt(TAU)
+    assert abs(d.std() / expected - 1.0) < 0.1
+    assert abs(d.mean()) < 5 * expected / np.sqrt(B)
+    # theta carries no direct noise in one step
+    dt = np.asarray(st1.physical_state.theta) - np.asarray(sd1.physical_state.theta)
+    assert np.abs(dt).max() < 1e-12
+
+    # variance accumulates ~linearly along a rollout (Brownian scaling)
+    _, f32 = env.vmap_rollout(st, jnp.zeros((B, 32, 1)))
+    _, f128 = env.vmap_rollout(st, jnp.zeros((B, 128, 1)))
+    _, d32 = det.vmap_rollout(_reset(det), jnp.zeros((B, 32, 1)))
+    _, d128 = det.vmap_rollout(_reset(det), jnp.zeros((B, 128, 1)))
+    v32 = np.var(np.asarray(f32.physical_state.omega) - np.asarray(d32.physical_state.omega))
+    v128 = np.var(np.asarray(f128.physical_state.omega) - np.asarray(d128.physical_state.omega))
+    # damping-free pendulum: omega variance grows superlinearly-ish but the
+    # ratio must be far from 1 and finite; loose band around 4x
+    assert 2.0 < v128 / v32 < 12.0
+
+
+def test_same_keys_reproduce_different_keys_differ():
+    env = excenvs.Pendulum(batch_size=B, tau=TAU, process_noise={"omega": 0.5})
+    st = _reset(env)
+    _, a = env.vmap_rollout(st, jnp.zeros((B, 16, 1)))
+    _, b = env.vmap_rollout(st, jnp.zeros((B, 16, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(a.physical_state.omega), np.asarray(b.physical_state.omega)
+    )
+    # identical physical state, different PRNG keys -> different noise stream
+    from exciting_environments_tpu.core import structures
+
+    st2 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), B))[1]
+    st_otherkeys = structures.replace(st, PRNGKey=st2.PRNGKey)
+    _, c = env.vmap_rollout(st_otherkeys, jnp.zeros((B, 16, 1)))
+    assert not np.array_equal(
+        np.asarray(a.physical_state.omega), np.asarray(c.physical_state.omega)
+    )
+
+
+def test_observation_noise_statistics_and_exact_state():
+    env = excenvs.Pendulum(batch_size=B, tau=TAU, observation_noise={"theta": 0.05})
+    st = _reset(env)
+    obs, st1 = env.vmap_step(st, jnp.zeros((B, 1)))
+    clean = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        st1, env.env_properties
+    )
+    d = np.asarray(obs - clean)
+    # theta column: sigma scaled into normalized units by the span 2*pi
+    expected = 2 * 0.05 / (2 * np.pi)
+    assert abs(d[:, 0].std() / expected - 1.0) < 0.1
+    # omega column exact up to cross-program fusion drift (CPU ~1 ulp)
+    assert np.abs(d[:, 1]).max() < 1e-12
+    # the underlying state is untouched by sensor noise: a deterministic twin
+    # stepping the same physical state matches to fusion drift
+    det = excenvs.Pendulum(batch_size=B, tau=TAU)
+    _, sd1 = det.vmap_step(_reset(det), jnp.zeros((B, 1)))
+    np.testing.assert_allclose(
+        np.asarray(st1.physical_state.theta), np.asarray(sd1.physical_state.theta),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_noise_works_through_the_learning_stack():
+    # step_with_flags / PPO consume vmap_step, so the stochastic env drops in
+    from exciting_environments_tpu.utils.rl import PPOConfig, train_ppo
+
+    env = excenvs.Pendulum(
+        batch_size=8,
+        tau=2e-2,
+        control_state=["theta"],
+        process_noise={"omega": 0.2},
+        observation_noise={"theta": 0.02},
+    )
+    cfg = PPOConfig(n_steps=16, n_epochs=2, n_minibatches=4, max_episode_steps=32)
+    res = train_ppo(env, iterations=2, key=jax.random.PRNGKey(0), config=cfg)
+    for name, v in res.metrics.items():
+        assert v.shape == (2,) and np.isfinite(v).all(), name
+
+
+def test_deterministic_paths_guard():
+    env = excenvs.Pendulum(batch_size=1024, tau=TAU, process_noise={"omega": 0.5})
+    st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))[1]
+
+    assert rollout_path(env) == "scan"
+    with pytest.raises(ValueError, match="sim_ahead"):
+        env.vmap_sim_ahead(st, jnp.zeros((1024, 4, 1)), env.tau, env.tau)
+    with pytest.raises(ValueError, match="adaptive_rollout"):
+        adaptive_rollout(env, st, jnp.zeros((1024, 4, 1)))
+    # key-less reset carries the NaN placeholder -> clear trace-time error
+    _, nokey = env.vmap_reset()
+    with pytest.raises(ValueError, match="PRNG"):
+        env.vmap_step(nokey, jnp.zeros((1024, 1)))
+
+
+def test_constructor_validation():
+    with pytest.raises(ValueError, match="not one of"):
+        excenvs.Pendulum(batch_size=4, process_noise={"bogus": 0.1})
+    with pytest.raises(ValueError, match="non-negative scalar"):
+        excenvs.Pendulum(batch_size=4, process_noise={"omega": -1.0})
+    with pytest.raises(ValueError, match="non-negative scalar"):
+        excenvs.Pendulum(batch_size=4, observation_noise={"theta": jnp.ones(4)})
+    # all-zero sigmas collapse to the exact deterministic path
+    env = excenvs.Pendulum(batch_size=4, process_noise={"omega": 0.0})
+    assert not env._has_noise

@@ -712,3 +712,27 @@ def test_sharded_fused_mppi_rejects_per_batch_params(mesh):
     with pytest.raises(ValueError, match="fused=True"):
         mpc.mppi_plan(senv, state, jnp.zeros((B, 4, 1)), jax.random.PRNGKey(1),
                       cfg, fused=True, interpret=True)
+
+
+def test_sharded_stochastic_rollout_equals_single_device(mesh):
+    """Noise draws hang off each instance's own PRNG key, so the stochastic
+    rollout is partition-invariant: mesh-sharded ≡ single-device."""
+    batch = 64
+    keys = jax.random.split(jax.random.PRNGKey(11), batch)
+    mk = lambda: excenvs.Pendulum(
+        batch_size=batch, tau=1e-2,
+        process_noise={"omega": 0.4}, observation_noise={"theta": 0.02},
+    )
+    env = mk()
+    _, st = env.vmap_reset(keys)
+    acts = jnp.zeros((batch, 32, 1))
+    obs_ref, last_ref = env.vmap_rollout(st, acts)
+
+    senv = ShardedEnv(mk(), mesh)
+    _, st_s = senv.vmap_reset(keys)
+    obs_s, last_s = senv.vmap_rollout(senv.shard(st_s), acts)
+
+    np.testing.assert_array_equal(np.asarray(obs_s), np.asarray(obs_ref))
+    np.testing.assert_array_equal(
+        np.asarray(last_s.physical_state.omega), np.asarray(last_ref.physical_state.omega)
+    )

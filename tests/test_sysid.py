@@ -204,3 +204,33 @@ def test_optimize_excitation_a_criterion():
     assert float(result.objectives[-1]) > float(result.objectives[0])
     with pytest.raises(ValueError, match="criterion"):
         optimize_excitation(env, ("l",), 8, criterion="e")
+
+
+@pytest.mark.slow
+def test_fit_is_robust_to_sensor_noise():
+    """Estimator stress-test: the record comes from a stochastic plant
+    (observation_noise sensor model), the fit uses the deterministic
+    simulator — parameters recover to a few percent instead of 1e-3."""
+    from exciting_environments_tpu.core import structures
+
+    env = _env()
+    noisy = Pendulum(
+        batch_size=1, tau=TAU, static_params={"g": 9.81, **TRUE},
+        observation_noise={"theta": 0.01, "omega": 0.05},
+    )
+    actions = aprbs(jax.random.PRNGKey(0), 1, 256, 1, hold_min=5, hold_max=20)[0]
+    _, st = noisy.vmap_reset(jax.random.split(jax.random.PRNGKey(5), 1))
+    obs0 = jax.vmap(
+        noisy.generate_observation, in_axes=(0, noisy.in_axes_env_properties)
+    )(st, noisy.env_properties)
+    obs_t, _ = noisy.vmap_rollout(st, actions[None])
+    observed = jnp.concatenate([obs0, obs_t[0]], axis=0)
+
+    init_single = jax.tree_util.tree_map(lambda leaf: leaf[0], st)
+    init_single = structures.replace(init_single, PRNGKey=jnp.nan)
+    result = fit_parameters(
+        env, actions, observed, {"l": 1.0, "m": 1.0},
+        init_state=init_single, n_starts=8, iterations=600,
+    )
+    for name, true in TRUE.items():
+        assert abs(result.params[name] - true) / true < 0.1, (name, result.params)

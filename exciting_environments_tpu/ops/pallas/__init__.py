@@ -24,7 +24,7 @@ def rollout_path(env, obs_stepsize: float = None, action_stepsize: float = None)
     from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
     from .pmsm_stepper import supports_pmsm_fused
-    from .stepper import sim_ahead_ratio, supports_fused_rollout
+    from .stepper import supports_fused_rollout, supports_fused_sim_ahead
 
     sim_ahead = obs_stepsize is not None
     if isinstance(env, ShardedEnv):
@@ -38,11 +38,12 @@ def rollout_path(env, obs_stepsize: float = None, action_stepsize: float = None)
         ):
             return "pmsm_fused"
         return "scan"
-    if supports_fused_rollout(env) and (
-        not sim_ahead or sim_ahead_ratio(obs_stepsize, action_stepsize) is not None
-    ):
-        return "fused"
-    return "scan"
+    in_scope = (
+        supports_fused_sim_ahead(env, obs_stepsize, action_stepsize)
+        if sim_ahead
+        else supports_fused_rollout(env)
+    )
+    return "fused" if in_scope else "scan"
 
 
 def select_closed_loop(env, interpret: bool):

@@ -121,10 +121,16 @@ def _needs_next_action(solver: ExplicitRungeKutta) -> bool:
 
 def _make_kernel(
     ode, solver, chunk, n_state, n_action, n_params, tau, wrap_flags, clip_fn,
-    traj_stride, fast_wrap, has_next, carry_postprocess,
+    traj_stride, fast_wrap, has_next, carry_postprocess, noise_idx=(),
 ):
-    """Kernel body over refs ``(actions[, actions_next], *params, *state_in,
-    *state_out[, *traj_out])``.
+    """Kernel body over refs ``(actions[, actions_next][, noise], *params,
+    *state_in, *state_out[, *traj_out])``.
+
+    With ``noise_idx`` set (stochastic step mode), a pre-scaled
+    Euler–Maruyama increment slab streams alongside the actions and is added
+    to the indexed state leaves after the deterministic wrap/clip, followed
+    by a second wrap/clip — the exact operation order of
+    ``CoreEnvironment._apply_process_noise``.
 
     The grid is ``(batch_tiles, time_chunks)`` with time innermost: the state
     output block (constant over the time axis) doubles as the carried state —
@@ -143,6 +149,9 @@ def _make_kernel(
             refs = refs[1:]
         else:
             actions_next_ref = None
+        if noise_idx:
+            noise_ref = refs[0]
+            refs = refs[1:]
         param_refs = refs[:n_params]
         refs = refs[n_params:]
         in_refs = refs[:n_state]
@@ -173,6 +182,15 @@ def _make_kernel(
                 wrap_op = wrap_angle_fast if fast_wrap else (
                     lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
                 )
+                y1 = tuple(
+                    wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+                )
+                if clip_fn is not None:
+                    y1 = clip_fn(y1)
+            if noise_idx:
+                y1 = list(y1)
+                for j, idx in enumerate(noise_idx):
+                    y1[idx] = y1[idx] + noise_ref[i, j]
                 y1 = tuple(
                     wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
                 )
@@ -219,6 +237,8 @@ def _launch(
     param_leaves: tuple = (),
     sim_ahead: bool = False,
     interpret: bool = False,
+    noise_tm=None,
+    noise_idx: tuple = (),
 ):
     """Tile the operands and launch the Pallas kernel (primal computation of
     :func:`fused_rollout`; see there for the argument contract).
@@ -252,6 +272,12 @@ def _launch(
             wrapped/clipped between steps (saves are raw; the caller wraps),
             and ``c == 1.0`` stages read the next action.
         interpret: Pallas interpreter mode (for CPU testing).
+        noise_tm: optional pre-scaled process-noise increments, time-major
+            ``(n_steps, B, len(noise_idx))`` — streamed like a second action
+            slab and added to the ``noise_idx``-indexed state leaves each
+            step (step mode only; the precompute lives in
+            :func:`env_fused_rollout`).
+        noise_idx: static indices into the state tuple receiving noise.
 
     Returns:
         tuple of ``(B,)`` final state arrays; with ``traj_stride`` set, a pair
@@ -263,6 +289,15 @@ def _launch(
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     if traj_stride is not None and n_steps % traj_stride != 0:
         raise ValueError("n_steps must be divisible by traj_stride")
+    if (noise_tm is not None) != bool(noise_idx):
+        raise ValueError("noise_tm and noise_idx must be set together")
+    if noise_idx and sim_ahead:
+        raise ValueError("process noise is step-mode only (sim_ahead integrates deterministically)")
+    if noise_tm is not None and noise_tm.shape != (n_steps, batch, len(noise_idx)):
+        raise ValueError(
+            f"noise_tm must be (n_steps, B, n_noise) = {(n_steps, batch, len(noise_idx))}, "
+            f"got {noise_tm.shape}"
+        )
     n_state = len(y0)
     n_params = len(param_leaves)
     n_action = actions.shape[-1]
@@ -309,6 +344,7 @@ def _launch(
     kernel = _make_kernel(
         ode, solver, chunk, n_state, n_action, n_params, tau, wrap_flags, clip_fn,
         traj_stride, fast_wrap, has_next, carry_postprocess=not sim_ahead,
+        noise_idx=noise_idx,
     )
 
     def state_block():
@@ -329,6 +365,21 @@ def _launch(
         # repeats the last action (the ZOH gather clamps at the end)
         in_specs.append(action_block())
         operands.append(jnp.concatenate([actions_tiled[1:], actions_tiled[-1:]], axis=0))
+    if noise_idx:
+        n_noise = len(noise_idx)
+        if n_noise == 1:
+            noise_tiled = noise_tm.reshape(n_steps, 1, total_rows, LANES)
+        else:
+            noise_tiled = jnp.transpose(noise_tm, (0, 2, 1)).reshape(
+                n_steps, n_noise, total_rows, LANES
+            )
+        in_specs.append(
+            pl.BlockSpec(
+                (chunk, n_noise, rows, LANES), lambda b, k: (k, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(noise_tiled)
     for leaf in param_leaves:
         in_specs.append(state_block())
         operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
@@ -447,26 +498,32 @@ def _traj_chunk(n_steps: int, traj_stride, rows: int, itemsize: int) -> int:
     return chunk
 
 
-_N_STATIC = 11  # leading non-differentiable config args of _fused_core
+_N_STATIC = 12  # leading non-differentiable config args of _fused_core
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_STATIC)))
 def _fused_core(
     ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
-    time_major, sim_ahead, interpret, y0, actions, param_leaves,
+    time_major, sim_ahead, interpret, noise_idx, y0, actions, param_leaves, noise_tm,
 ):
     return _launch(
         ode, solver, y0, actions, n_steps, tau, wrap_flags, clip_fn=clip_fn,
         traj_stride=traj_stride, fast_wrap=fast_wrap, time_major=time_major,
         param_leaves=param_leaves, sim_ahead=sim_ahead, interpret=interpret,
+        noise_tm=noise_tm, noise_idx=noise_idx,
     )
 
 
-def _plain_step(ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params, has_next):
+def _plain_step(
+    ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params, has_next,
+    noise_idx=(),
+):
     """The kernel's per-step computation in plain (differentiable) JAX,
-    elementwise over ``(B,)`` state leaves."""
+    elementwise over ``(B,)`` state leaves.  With ``noise_idx`` set the step
+    additionally takes the pre-scaled noise row ``(B, n_noise)`` and applies
+    it with the kernel's exact wrap/clip ordering."""
 
-    def step(y, a_row, a_next_row, t):
+    def step(y, a_row, a_next_row, t, dn_row=None):
         action = _RowAction(a_row)
         action_next = _RowAction(a_next_row) if has_next else None
         y1 = _rk_step(
@@ -482,6 +539,15 @@ def _plain_step(ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, par
             )
             if clip_fn is not None:
                 y1 = clip_fn(y1)
+            if noise_idx:
+                y1 = list(y1)
+                for j, idx in enumerate(noise_idx):
+                    y1[idx] = y1[idx] + dn_row[:, j]
+                y1 = tuple(
+                    wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+                )
+                if clip_fn is not None:
+                    y1 = clip_fn(y1)
         return y1
 
     return step
@@ -489,27 +555,28 @@ def _plain_step(ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, par
 
 def _fused_core_fwd(
     ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
-    time_major, sim_ahead, interpret, y0, actions, param_leaves,
+    time_major, sim_ahead, interpret, noise_idx, y0, actions, param_leaves, noise_tm,
 ):
     ckpt = _ckpt_stride(n_steps, traj_stride)
     final, saves = _launch(
         ode, solver, y0, actions, n_steps, tau, wrap_flags, clip_fn=clip_fn,
         traj_stride=ckpt, fast_wrap=fast_wrap, time_major=time_major,
         param_leaves=param_leaves, sim_ahead=sim_ahead, interpret=interpret,
+        noise_tm=noise_tm, noise_idx=noise_idx,
     )
     if traj_stride is None:
         out = final
     else:
         skip = traj_stride // ckpt
         out = (final, tuple(s[:, skip - 1 :: skip] for s in saves))
-    return out, (y0, actions, param_leaves, saves)
+    return out, (y0, actions, param_leaves, noise_tm, saves)
 
 
 def _fused_core_bwd(
     ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
-    time_major, sim_ahead, interpret, res, g,
+    time_major, sim_ahead, interpret, noise_idx, res, g,
 ):
-    y0, actions, param_leaves, saves = res
+    y0, actions, param_leaves, noise_tm, saves = res
     batch = y0[0].shape[0]
     n_action = actions.shape[-1]
     ckpt = _ckpt_stride(n_steps, traj_stride)
@@ -555,55 +622,66 @@ def _fused_core_bwd(
             jnp.zeros((n_seg, batch), dtype=jnp.asarray(leaf).dtype) for leaf in y0
         )
 
-    def seg_apply(y_start, a_seg, an_seg, t_seg, params):
+    has_noise = bool(noise_idx)
+    if has_noise:
+        noise_seg = noise_tm.reshape(n_seg, ckpt, batch, len(noise_idx))
+
+    def seg_apply(y_start, a_seg, an_seg, dn_seg, t_seg, params):
         inner = _plain_step(
-            ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params, has_next
+            ode, solver, tau, wrap_flags, clip_fn, fast_wrap, sim_ahead, params,
+            has_next, noise_idx=noise_idx,
         )
 
         def body(y, xs):
-            a, an, t = xs
-            return inner(y, a, an, t), None
+            a, an, dn, t = xs
+            return inner(y, a, an, t, dn), None
 
-        y_end, _ = jax.lax.scan(body, y_start, (a_seg, an_seg, t_seg))
+        y_end, _ = jax.lax.scan(body, y_start, (a_seg, an_seg, dn_seg, t_seg))
         return y_end
 
     g_params0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in param_leaves)
 
     def bwd_body(carry, xs):
         g_y, g_params = carry
-        if has_next:
-            start_s, a_s, an_s, t_s, g_save_s = xs
-        else:
-            start_s, a_s, t_s, g_save_s = xs
-            an_s = a_s  # ignored by _plain_step when has_next is False
+        start_s, a_s, t_s, g_save_s = xs["start"], xs["a"], xs["t"], xs["gs"]
+        # streams absent from this configuration alias the action segment —
+        # _plain_step never reads them then, so their cotangents are dead
+        an_s = xs["an"] if has_next else a_s
+        dn_s = xs["dn"] if has_noise else a_s
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
-            lambda y, a, an, p: seg_apply(y, a, an, t_s, p), start_s, a_s, an_s, param_leaves
+            lambda y, a, an, dn, p: seg_apply(y, a, an, dn, t_s, p),
+            start_s, a_s, an_s, dn_s, param_leaves,
         )
-        gy_in, ga, gan, gp = vjp_fn(g_y)
+        gy_in, ga, gan, gdn, gp = vjp_fn(g_y)
         g_params = tuple(acc + gpl for acc, gpl in zip(g_params, gp))
-        return (gy_in, g_params), ((ga, gan) if has_next else ga)
+        outs = {"ga": ga}
+        if has_next:
+            outs["gan"] = gan
+        if has_noise:
+            outs["gdn"] = gdn
+        return (gy_in, g_params), outs
 
-    xs = (
-        (starts, acts_seg, acts_next_seg, ts_seg, g_save_seg)
-        if has_next
-        else (starts, acts_seg, ts_seg, g_save_seg)
-    )
-    (g_y0, g_params), ga_out = jax.lax.scan(
+    xs = {"start": starts, "a": acts_seg, "t": ts_seg, "gs": g_save_seg}
+    if has_next:
+        xs["an"] = acts_next_seg
+    if has_noise:
+        xs["dn"] = noise_seg
+    (g_y0, g_params), g_out = jax.lax.scan(
         bwd_body, (g_final, g_params0), xs, reverse=True
     )
 
     if has_next:
-        ga_seg, gan_seg = ga_out
-        ga_tm = ga_seg.reshape(n_steps, batch, n_action)
-        gan_tm = gan_seg.reshape(n_steps, batch, n_action)
+        ga_tm = g_out["ga"].reshape(n_steps, batch, n_action)
+        gan_tm = g_out["gan"].reshape(n_steps, batch, n_action)
         # un-shift the next-action stream's cotangent: next[k] reads
         # actions[k+1] for k < T-1 and actions[T-1] at the clamped end
         g_acts_tm = ga_tm.at[1:].add(gan_tm[:-1]).at[-1].add(gan_tm[-1])
     else:
-        g_acts_tm = ga_out.reshape(n_steps, batch, n_action)
+        g_acts_tm = g_out["ga"].reshape(n_steps, batch, n_action)
     g_actions = g_acts_tm if time_major else jnp.transpose(g_acts_tm, (1, 0, 2))
-    return (g_y0, g_actions, g_params)
+    g_noise = g_out["gdn"].reshape(n_steps, batch, len(noise_idx)) if has_noise else None
+    return (g_y0, g_actions, g_params, g_noise)
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
@@ -613,7 +691,7 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
     jax.jit,
     static_argnames=(
         "ode", "solver", "n_steps", "tau", "wrap_flags", "clip_fn", "traj_stride",
-        "fast_wrap", "time_major", "sim_ahead", "interpret",
+        "fast_wrap", "time_major", "sim_ahead", "interpret", "noise_idx",
     ),
 )
 def fused_rollout(
@@ -631,12 +709,15 @@ def fused_rollout(
     param_leaves: tuple = (),
     sim_ahead: bool = False,
     interpret: bool = False,
+    noise_tm=None,
+    noise_idx: tuple = (),
 ):
     """Run ``n_steps`` fixed-``tau`` solver steps fully on-chip (argument
     contract: see :func:`_launch`).  Differentiable: ``jax.grad`` through
     this call triggers the checkpointed-recompute VJP (one kernel launch
     forward, plain-JAX segment pull-backs backward) with gradients w.r.t.
-    ``y0``, ``actions`` and ``param_leaves`` matching the scan path."""
+    ``y0``, ``actions``, ``param_leaves`` and ``noise_tm`` matching the scan
+    path (noise gradients are the reparameterization-trick pathway)."""
     # validate here, not only in _launch: the VJP forward launches with the
     # checkpoint stride instead of traj_stride, so an invalid stride must
     # fail identically with and without a surrounding grad transform
@@ -644,7 +725,8 @@ def fused_rollout(
         raise ValueError("n_steps must be divisible by traj_stride")
     return _fused_core(
         ode, solver, n_steps, tau, wrap_flags, clip_fn, traj_stride, fast_wrap,
-        time_major, sim_ahead, interpret, y0, actions, tuple(param_leaves),
+        time_major, sim_ahead, interpret, tuple(noise_idx), y0, actions,
+        tuple(param_leaves), noise_tm,
     )
 
 
@@ -669,6 +751,9 @@ def supports_fused_sim_ahead(env, obs_stepsize: float, action_stepsize: float) -
     ``action_stepsize / obs_stepsize`` consecutive steps)."""
     return (
         supports_fused_rollout(env)
+        # sim-ahead is the deterministic trajectory solve (vmap_sim_ahead
+        # itself raises on stochastic envs)
+        and not getattr(env, "_has_noise", False)
         and sim_ahead_ratio(obs_stepsize, action_stepsize) is not None
     )
 
@@ -690,9 +775,9 @@ def supports_fused_rollout(env) -> bool:
         and len(env._ode_state_fields) == env.physical_state_dim
         and env.batch_size % TILE == 0
         and isinstance(env._solver, ExplicitRungeKutta)
-        # stochastic envs draw per-step noise from the state's PRNG key —
-        # deterministic-kernel territory ends here, the scan path applies it
-        and not getattr(env, "_has_noise", False)
+        # stochastic envs ARE in step-mode scope: env_fused_rollout precomputes
+        # the scan path's exact per-step noise draws in an XLA pre-pass and
+        # streams the increments into the kernel alongside the actions
     )
 
 
@@ -727,6 +812,38 @@ def _denormalize_action_slab(env, actions_norm, time_major):
         in_axes=(0, in_ax),
     )
     return denorm_bt(actions_norm, env.env_properties)
+
+
+def _apply_obs_noise_slab(env, obs, eps):
+    """Batched mirror of ``CoreEnvironment._apply_observation_noise``: scale
+    the precomputed standard-normal draws ``eps`` (``(B[, S], n_phys)``) by
+    the per-field normalized sigma (same ``2 * sigma / span`` arithmetic,
+    per-batch spans included) and add onto the physical columns of ``obs``."""
+    from dataclasses import fields as dc_fields
+
+    names = tuple(f.name for f in dc_fields(env.PhysicalState))
+    cols = []
+    for name in names:
+        if name in env._observation_noise:
+            norm = getattr(env.env_properties.physical_normalizations, name)
+            cols.append(
+                jnp.broadcast_to(
+                    jnp.asarray(2.0 * env._observation_noise[name] / (norm.max - norm.min)),
+                    (env.batch_size,),
+                )
+            )
+        else:
+            cols.append(jnp.zeros(env.batch_size))
+    sn = jnp.stack(cols, axis=-1)  # (B, n_phys)
+    if eps.ndim == 3:
+        sn = sn[:, None, :]
+    noise = sn * eps
+    pad = obs.shape[-1] - noise.shape[-1]
+    if pad:
+        noise = jnp.concatenate(
+            [noise, jnp.zeros(noise.shape[:-1] + (pad,), dtype=noise.dtype)], axis=-1
+        )
+    return obs + noise
 
 
 def _final_solver_state(env, y_final, last_action_phys):
@@ -795,6 +912,42 @@ def env_fused_rollout(
     # denormalize once — a cheap XLA pre-pass over the action slab
     actions = _denormalize_action_slab(env, actions_norm, time_major)
 
+    # stochastic envs: precompute the scan path's EXACT per-step noise draws
+    # (the same split(key, 3) chain and normal() calls CoreEnvironment.step
+    # makes) in an XLA pre-pass, pre-scale the process increments, and stream
+    # them into the kernel alongside the actions — the kernel stays
+    # deterministic, the semantics stay the scan's
+    noise_tm, noise_idx, eps_obs, final_keys = None, (), None, None
+    if getattr(env, "_has_noise", False):
+        keys0 = env._require_noise_key(init_state)
+        proc_items = sorted(env._process_noise.items()) if env._process_noise else []
+        want_obs = bool(env._observation_noise)
+        n_phys = env.physical_state_dim
+
+        def _chain(key, _):
+            new_key, k_proc, k_obs = jax.random.split(key, 3)
+            eps_p = (
+                jax.random.normal(k_proc, (len(proc_items),))
+                if proc_items
+                else jnp.zeros((0,))
+            )
+            eps_o = (
+                jax.random.normal(k_obs, (n_phys,)) if want_obs else jnp.zeros((0,))
+            )
+            return new_key, (eps_p, eps_o)
+
+        final_keys, (eps_proc, eps_obs) = jax.vmap(
+            lambda k: jax.lax.scan(_chain, k, None, length=n_steps)
+        )(keys0)
+        if proc_items:
+            coef = jnp.asarray([s for _, s in proc_items], dtype=eps_proc.dtype) * jnp.sqrt(
+                env.tau
+            )
+            noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))  # (T, B, n_noise)
+            noise_idx = tuple(env._ode_state_fields.index(n) for n, _ in proc_items)
+        if not want_obs:
+            eps_obs = None
+
     # the tile ODE is cached on the env so the jitted kernel is reused across
     # calls (a fresh closure per call would miss the jit cache every time)
     cached = env.__dict__.get("_fused_tile_ode")
@@ -821,12 +974,15 @@ def env_fused_rollout(
         time_major=time_major,
         param_leaves=param_leaves,
         interpret=interpret,
+        noise_tm=noise_tm,
+        noise_idx=noise_idx,
     )
     y_final, y_traj = result if obs_stride is not None else (result, None)
 
     from exciting_environments_tpu.core import structures
 
     last_action = actions[-1] if time_major else actions[:, -1]
+    key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
@@ -834,11 +990,14 @@ def env_fused_rollout(
             solver_state=_final_solver_state(env, y_final, last_action),
             active_solver_state=jnp.full(env.batch_size, True),
         ),
+        **key_kwargs,
     )
     if obs_stride is None:
         obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
             final_state, env.env_properties
         )
+        if eps_obs is not None:
+            obs = _apply_obs_noise_slab(env, obs, eps_obs[:, -1])
         return obs, final_state
 
     # trajectory observations: vmap over (batch, time) on reconstructed states
@@ -864,6 +1023,10 @@ def env_fused_rollout(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, env.env_properties)
+    if eps_obs is not None:
+        # the saved steps' own sensor draws (post-step save at step t uses
+        # that step's k_obs), exactly like the scan path's per-step obs
+        obs = _apply_obs_noise_slab(env, obs, eps_obs[:, obs_stride - 1 :: obs_stride])
     if return_traj_states:
         # the reconstructed per-save State pytree (leaves (B, n_saves, ...)) —
         # consumed by the fused trajectory collector for reward/flag
@@ -1462,6 +1625,9 @@ def supports_fused_closed_loop(env) -> bool:
     )
     return (
         supports_fused_rollout(env)
+        # the closed loop reads observations in-kernel; noise draws would
+        # have to happen there too — stochastic envs ride the scan loop
+        and not getattr(env, "_has_noise", False)
         and all(np.isscalar(leaf) for leaf in norms)
         # the kernel builds observations from the integrated leaves in their
         # declaration order — it must equal generate_observation's column order

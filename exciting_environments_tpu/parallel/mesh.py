@@ -207,7 +207,12 @@ class ShardedEnv:
             if obs_stepsize is not None and obs_stepsize != action_stepsize:
                 return False
             return supports_pmsm_fused(env)
-        if obs_stepsize is not None and sim_ahead_ratio(obs_stepsize, action_stepsize) is None:
+        if obs_stepsize is not None and (
+            sim_ahead_ratio(obs_stepsize, action_stepsize) is None
+            # the trajectory solve is deterministic-only (vmap_sim_ahead
+            # raises on stochastic envs); step-mode noise IS in fused scope
+            or getattr(env, "_has_noise", False)
+        ):
             return False
         # per-batch heterogeneous property leaves would need slicing into the
         # shadow env per shard (they are closure constants to the kernel, not

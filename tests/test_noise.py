@@ -116,7 +116,10 @@ def test_deterministic_paths_guard():
     env = excenvs.Pendulum(batch_size=1024, tau=TAU, process_noise={"omega": 0.5})
     st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))[1]
 
-    assert rollout_path(env) == "scan"
+    # step-mode rollouts ride the fused kernel (precomputed noise stream);
+    # the trajectory solve stays deterministic-only
+    assert rollout_path(env) == "fused"
+    assert rollout_path(env, obs_stepsize=TAU, action_stepsize=TAU) == "scan"
     with pytest.raises(ValueError, match="sim_ahead"):
         env.vmap_sim_ahead(st, jnp.zeros((1024, 4, 1)), env.tau, env.tau)
     with pytest.raises(ValueError, match="adaptive_rollout"):
@@ -125,6 +128,60 @@ def test_deterministic_paths_guard():
     _, nokey = env.vmap_reset()
     with pytest.raises(ValueError, match="PRNG"):
         env.vmap_step(nokey, jnp.zeros((1024, 1)))
+
+
+def test_fused_stochastic_rollout_matches_scan():
+    """The kernel consumes the scan path's exact precomputed noise draws:
+    states/observations agree to cross-program fusion drift, PRNG keys
+    thread identically."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    B_, T = 1024, 16
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU,
+        process_noise={"omega": 0.5, "theta": 0.05},
+        observation_noise={"theta": 0.02},
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), B_)
+    _, st = env.vmap_reset(keys)
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (B_, T, 1), minval=-1, maxval=1)
+
+    obs_s, fin_s = env.vmap_rollout(st, acts, obs_stride=4)
+    obs_f, fin_f = env_fused_rollout(env, st, acts, obs_stride=4, interpret=True, strict=True)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(fin_f.physical_state.omega), np.asarray(fin_s.physical_state.omega),
+        rtol=0, atol=1e-11,
+    )
+    np.testing.assert_array_equal(np.asarray(fin_f.PRNGKey), np.asarray(fin_s.PRNGKey))
+
+    # final-observation mode carries the last step's sensor draw too
+    obs_f1, _ = env_fused_rollout(env, st, acts, interpret=True, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(obs_f1), np.asarray(obs_s[:, -1]), rtol=0, atol=1e-11
+    )
+
+
+def test_fused_stochastic_rollout_is_differentiable():
+    """Reparameterized gradients flow through the noisy kernel path and
+    match the scan path."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    B_, T = 1024, 16
+    env = excenvs.Pendulum(batch_size=B_, tau=TAU, process_noise={"omega": 0.5})
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (B_, T, 1), minval=-1, maxval=1)
+
+    def loss(rollout):
+        def f(a):
+            _, fin = rollout(a)
+            return jnp.sum(fin.physical_state.omega ** 2)
+        return f
+
+    gf = jax.grad(loss(lambda a: env_fused_rollout(env, st, a, interpret=True, strict=True)))(acts)
+    gs = jax.grad(loss(lambda a: env.vmap_rollout(st, a)))(acts)
+    rel = np.abs(np.asarray(gf - gs)).max() / np.abs(np.asarray(gs)).max()
+    assert rel < 1e-9, rel
 
 
 def test_constructor_validation():

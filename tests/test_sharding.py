@@ -736,3 +736,33 @@ def test_sharded_stochastic_rollout_equals_single_device(mesh):
     np.testing.assert_array_equal(
         np.asarray(last_s.physical_state.omega), np.asarray(last_ref.physical_state.omega)
     )
+
+
+def test_sharded_fused_stochastic_rollout(mesh):
+    """Stochastic fused rollout under the mesh: the per-shard noise
+    precompute reads the shard's own key slice, so the result matches the
+    single-device scan path (draws are partition-invariant)."""
+    batch, T = 8192, 8
+    mk = lambda: excenvs.Pendulum(
+        batch_size=batch, tau=1e-2,
+        process_noise={"omega": 0.4}, observation_noise={"theta": 0.02},
+    )
+    env = mk()
+    keys = jax.random.split(jax.random.PRNGKey(3), batch)
+    _, st = env.vmap_reset(keys)
+    acts = jax.random.uniform(jax.random.PRNGKey(4), (batch, T, 1), minval=-0.9, maxval=0.9)
+    obs_ref, last_ref = env.vmap_rollout(st, acts, T)
+
+    senv = ShardedEnv(mk(), mesh)
+    _, st_s = senv.vmap_reset(keys)
+    obs_f, last_f = senv.fused_rollout(senv.shard(st_s), acts, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.omega),
+        np.asarray(last_ref.physical_state.omega),
+        rtol=0, atol=1e-11,
+    )
+    np.testing.assert_array_equal(np.asarray(last_f.PRNGKey), np.asarray(last_ref.PRNGKey))

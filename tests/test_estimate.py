@@ -1,0 +1,188 @@
+"""EKF/UKF state observers (utils/estimate.py): reconstruction of unmeasured
+states, improvement over raw measurements, circular angle handling, RTS
+smoothing, batched dispatch, and the NLL tuning signal.
+
+Data generation uses the stochastic-simulation constructor args; truth comes
+from the matching deterministic env stepped from the identical initial state
+(observation noise leaves the underlying state trajectory exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.utils import estimate
+
+B = 3
+T = 300
+TAU = 2e-2
+SIGMA_THETA = 0.08  # rad, physical units
+KEYS = jax.random.split(jax.random.PRNGKey(7), B)
+
+
+def _pendulum_data():
+    """(noisy_env, noisy_obs, true_obs, actions) — noisy theta measurements of
+    an exactly-known trajectory."""
+    noisy = excenvs.Pendulum(batch_size=B, tau=TAU, observation_noise={"theta": SIGMA_THETA})
+    clean = excenvs.Pendulum(batch_size=B, tau=TAU)
+    st = noisy.vmap_reset(KEYS)[1]
+    t = jnp.arange(T) * TAU
+    actions = jnp.broadcast_to(0.3 * jnp.sin(2.0 * t)[None, :, None], (B, T, 1))
+    obs_noisy, _ = noisy.vmap_rollout(st, actions)
+    obs_true, _ = clean.vmap_rollout(st, actions)
+    return noisy, np.asarray(obs_noisy), np.asarray(obs_true), actions
+
+
+def _circ_rmse(est, true, period=2.0):
+    d = est - true
+    d = d - period * np.round(d / period)
+    return float(np.sqrt(np.mean(d**2)))
+
+
+@pytest.fixture(scope="module")
+def pendulum_case():
+    env, obs_noisy, obs_true, actions = _pendulum_data()
+    res = estimate.run_ekf(
+        env,
+        obs_noisy,
+        actions,
+        measured_fields=("theta",),
+        process_std={"omega": 0.05},
+        smooth=True,
+    )
+    return env, obs_noisy, obs_true, actions, res
+
+
+def test_ekf_beats_raw_measurement_and_recovers_omega(pendulum_case):
+    env, obs_noisy, obs_true, actions, res = pendulum_case
+    means = np.asarray(res.means)
+    half = T // 2  # burn-in: the filter starts from an uninformative prior
+    theta_meas = _circ_rmse(obs_noisy[:, half:, 0], obs_true[:, half:, 0])
+    theta_filt = _circ_rmse(means[:, half:, 0], obs_true[:, half:, 0])
+    omega_filt = float(np.sqrt(np.mean((means[:, half:, 1] - obs_true[:, half:, 1]) ** 2)))
+    assert theta_filt < 0.7 * theta_meas, (theta_filt, theta_meas)
+    # omega is never measured; the filter reconstructs it to a few percent of
+    # the +-10 rad/s band
+    assert omega_filt < 0.05, omega_filt
+    # covariances stay symmetric PSD-ish
+    covs = np.asarray(res.covs)
+    assert np.allclose(covs, np.swapaxes(covs, -1, -2))
+    assert (np.diagonal(covs, axis1=-2, axis2=-1) > -1e-12).all()
+
+
+def test_rts_smoother_does_not_degrade(pendulum_case):
+    env, obs_noisy, obs_true, actions, res = pendulum_case
+    means = np.asarray(res.means)
+    smoothed = np.asarray(res.smoothed_means)
+    assert smoothed.shape == means.shape
+    filt = _circ_rmse(means[:, :, 0], obs_true[:, :, 0])
+    smth = _circ_rmse(smoothed[:, :, 0], obs_true[:, :, 0])
+    assert smth <= filt * 1.02, (smth, filt)
+    # the smoother fixes the uninformative start: early-window error shrinks
+    early_f = _circ_rmse(means[:, :20, 0], obs_true[:, :20, 0])
+    early_s = _circ_rmse(smoothed[:, :20, 0], obs_true[:, :20, 0])
+    assert early_s < early_f, (early_s, early_f)
+
+
+def test_ukf_agrees_with_ekf(pendulum_case):
+    env, obs_noisy, obs_true, actions, res = pendulum_case
+    ukf = estimate.run_ukf(
+        env,
+        obs_noisy,
+        actions,
+        measured_fields=("theta",),
+        process_std={"omega": 0.05},
+    )
+    means_e = np.asarray(res.means)
+    means_u = np.asarray(ukf.means)
+    half = T // 2
+    d_theta = means_e[:, half:, 0] - means_u[:, half:, 0]
+    d_theta = d_theta - 2.0 * np.round(d_theta / 2.0)
+    assert np.abs(d_theta).max() < 0.05
+    assert np.abs(means_e[:, half:, 1] - means_u[:, half:, 1]).max() < 0.05
+    omega_u = float(np.sqrt(np.mean((means_u[:, half:, 1] - obs_true[:, half:, 1]) ** 2)))
+    assert omega_u < 0.06, omega_u
+
+
+def test_batched_matches_per_trajectory(pendulum_case):
+    env, obs_noisy, obs_true, actions, res = pendulum_case
+    single = estimate.run_ekf(
+        env,
+        obs_noisy[0],
+        np.asarray(actions)[0],
+        measured_fields=("theta",),
+        process_std={"omega": 0.05},
+        smooth=True,
+    )
+    assert np.allclose(np.asarray(single.means), np.asarray(res.means)[0], atol=1e-9)
+    assert np.allclose(np.asarray(single.nll), np.asarray(res.nll)[0], atol=1e-7)
+    assert np.asarray(res.nll).shape == (B,)
+    assert np.asarray(res.means).shape == (B, T, 2)
+    assert np.asarray(res.covs).shape == (B, T, 2, 2)
+
+
+def test_nll_prefers_the_true_measurement_std(pendulum_case):
+    env, obs_noisy, obs_true, actions, _ = pendulum_case
+
+    def nll(sigma):
+        r = estimate.run_ekf(
+            env,
+            obs_noisy,
+            actions,
+            measured_fields=("theta",),
+            process_std={"omega": 0.05},
+            measurement_std={"theta": sigma},
+        )
+        return float(np.sum(np.asarray(r.nll)))
+
+    truth = nll(SIGMA_THETA)
+    assert truth < nll(SIGMA_THETA * 20)
+    assert truth < nll(SIGMA_THETA / 20)
+
+
+def test_defaults_come_from_the_envs_own_noise_config(pendulum_case):
+    env, obs_noisy, obs_true, actions, _ = pendulum_case
+    # measurement_std defaults to env._observation_noise (theta: SIGMA_THETA)
+    a = estimate.run_ekf(env, obs_noisy, actions, measured_fields=("theta",),
+                         process_std={"omega": 0.05})
+    b = estimate.run_ekf(env, obs_noisy, actions, measured_fields=("theta",),
+                         process_std={"omega": 0.05},
+                         measurement_std={"theta": SIGMA_THETA})
+    assert np.allclose(np.asarray(a.means), np.asarray(b.means))
+
+
+def test_linear_msd_filter_improves_both_fields():
+    env = excenvs.MassSpringDamper(
+        batch_size=B, tau=TAU,
+        observation_noise={"deflection": 0.3, "velocity": 0.3},
+    )
+    clean = excenvs.MassSpringDamper(batch_size=B, tau=TAU)
+    st = env.vmap_reset(KEYS)[1]
+    t = jnp.arange(T) * TAU
+    actions = jnp.broadcast_to(0.5 * jnp.sin(3.0 * t)[None, :, None], (B, T, 1))
+    obs_noisy = np.asarray(env.vmap_rollout(st, actions)[0])
+    obs_true = np.asarray(clean.vmap_rollout(st, actions)[0])
+    res = estimate.run_ekf(env, obs_noisy, actions)
+    means = np.asarray(res.means)
+    half = T // 2
+    for i in range(2):
+        raw = float(np.sqrt(np.mean((obs_noisy[:, half:, i] - obs_true[:, half:, i]) ** 2)))
+        filt = float(np.sqrt(np.mean((means[:, half:, i] - obs_true[:, half:, i]) ** 2)))
+        assert filt < 0.6 * raw, (i, filt, raw)
+
+
+def test_validation_errors():
+    env = excenvs.Pendulum(batch_size=B, tau=TAU)
+    obs = np.zeros((T, 3))
+    act = np.zeros((T, 1))
+    with pytest.raises(ValueError, match="measured_fields"):
+        estimate.run_ekf(env, obs, act, measured_fields=("nope",))
+    with pytest.raises(ValueError, match="process_std"):
+        estimate.run_ekf(env, obs, act, process_std={"nope": 0.1})
+    with pytest.raises(ValueError, match="time shape"):
+        estimate.run_ekf(env, obs, act[:-1])
+    with pytest.raises(ValueError, match="x0"):
+        estimate.run_ekf(env, obs, act, x0=np.zeros(5))
+    with pytest.raises(ValueError, match="at least one"):
+        estimate.run_ekf(env, obs, act, measured_fields=())

@@ -191,6 +191,7 @@ def test_adaptive_rollout_rejects_derived_state_envs_without_hook():
         adaptive_rollout(env, state, jnp.zeros((4, 3, 1)))
 
 
+@pytest.mark.slow
 def test_pmsm_adaptive_matches_fixed_tsit5_nonstiff():
     """At a benign operating point one Tsit5 step per tau is already accurate,
     so the adaptive path (which reproduces step()'s hexagon/deadtime/torque

@@ -95,6 +95,7 @@ def test_observation_noise_statistics_and_exact_state():
     )
 
 
+@pytest.mark.slow
 def test_noise_works_through_the_learning_stack():
     # step_with_flags / PPO consume vmap_step, so the stochastic env drops in
     from exciting_environments_tpu.utils.rl import PPOConfig, train_ppo
@@ -162,6 +163,7 @@ def test_fused_stochastic_rollout_matches_scan():
     )
 
 
+@pytest.mark.slow
 def test_fused_stochastic_rollout_is_differentiable():
     """Reparameterized gradients flow through the noisy kernel path and
     match the scan path."""

@@ -67,6 +67,7 @@ def test_fused_clip_fluid_tank():
     assert float(jnp.min(last_fused.physical_state.height)) >= 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.CartPole])
 def test_fused_tsit5_step_mode(env_cls):
     """FSAL solvers run in the kernel: the carry-only last stage is skipped
@@ -267,6 +268,7 @@ def test_pendulum_fast_math_kernel():
     np.testing.assert_allclose(np.asarray(om), np.asarray(last.physical_state.omega), atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("env_cls,fast", [(excenvs.Pendulum, False), (excenvs.CartPole, True)])
 def test_fused_time_major_layout(env_cls, fast):
     """(T, B, A) actions produce bit-identical results to (B, T, A)."""
@@ -364,6 +366,7 @@ def test_fused_matches_scan_fast_math(env_cls):
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("env_cls", [excenvs.Pendulum, excenvs.CartPole, excenvs.Acrobot])
 def test_env_fast_math_flag(env_cls):
     """fast_math envs track the exact envs within polynomial-error tolerance

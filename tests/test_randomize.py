@@ -100,6 +100,7 @@ def test_randomized_fleet_rides_the_fused_kernel():
     assert rollout_path(env) == "fused"
 
 
+@pytest.mark.slow
 def test_ppo_trains_over_a_randomized_fleet():
     # domain-randomized robust training is plain PPO on a heterogeneous
     # fleet — the per-batch params ride the same vmap program

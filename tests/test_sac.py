@@ -92,6 +92,7 @@ def test_sac_pendulum_tracking_improves():
     assert m[-20:].mean() > m[:20].mean() + 0.25
 
 
+@pytest.mark.slow
 def test_sac_scan_iterations_mode():
     """scan_iterations folds the run (ring buffer as carry) into one program."""
     env = _env()

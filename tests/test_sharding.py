@@ -476,6 +476,7 @@ def test_sharded_fused_closed_loop(mesh):
     assert not last_f.physical_state.theta.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_closed_loop_policy_grad_matches_plain(mesh):
     """Policy-parameter gradients through the SHARDED closed loop equal the
     single-device kernel's: policy_params is closure-captured inside the
@@ -562,6 +563,7 @@ def test_sharded_pmsm_fused_closed_loop(mesh):
     assert not last_f.physical_state.i_d.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_mppi_equals_single_device(mesh):
     """MPPI planning is per-instance independent, so the sharded facade must
     reproduce the single-device plan (and run_mppi the single-device loop)."""
@@ -590,6 +592,7 @@ def test_sharded_mppi_equals_single_device(mesh):
     assert not res_s.observations.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_sharded_ppo_trains(mesh):
     """train_ppo over a ShardedEnv runs SPMD end-to-end and produces finite
     metrics/parameters in both dispatch modes."""
@@ -738,6 +741,7 @@ def test_sharded_stochastic_rollout_equals_single_device(mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_fused_stochastic_rollout(mesh):
     """Stochastic fused rollout under the mesh: the per-shard noise
     precompute reads the shard's own key slice, so the result matches the

@@ -44,6 +44,7 @@ def _experiment(env, n_steps=256, key=0):
     return actions, obs, init_state
 
 
+@pytest.mark.slow
 def test_fit_recovers_pendulum_params():
     env = _env()
     actions, observed, init_state = _experiment(env)
@@ -160,6 +161,7 @@ def test_grid_and_shape_validation():
         optimize_excitation(env, ("l",), 16, init_actions=jnp.zeros((8, 1)))
 
 
+@pytest.mark.slow
 def test_fit_recovers_pmsm_motor_parameters():
     """Identify R_s / L_d / L_q of a linear-magnetics drive from one recorded
     current trajectory — the domain workflow the upstream project generates

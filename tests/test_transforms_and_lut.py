@@ -113,6 +113,7 @@ def test_pad_edges_constant_border():
     np.testing.assert_array_equal(p[:, 0], p[:, 1])
 
 
+@pytest.mark.slow
 def test_stacked_bilinear_matches_jax_scipy():
     """Bilinear gather must agree with RegularGridInterpolator (linear,
     fill_value=None) inside the grid and on linear extrapolation outside."""

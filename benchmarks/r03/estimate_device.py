@@ -24,7 +24,7 @@ from exciting_environments_tpu.utils import estimate
 
 TAU = 1e-2
 B = 8192
-T1, T2 = 256, 2048  # marginal between the two amortizes compile + relay latency
+T1, T2 = 256, 8192  # marginal between the two amortizes compile + relay latency
 
 env = excenvs.Pendulum(batch_size=B, tau=TAU, observation_noise={"theta": 0.08})
 keys = jax.random.split(jax.random.PRNGKey(0), B)

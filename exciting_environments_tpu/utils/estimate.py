@@ -153,6 +153,14 @@ def _std_dict_to_norm(env_properties, names, std, scale=1.0, what="std"):
 
 
 def _resolve_setup(env, env_properties, measured_fields, process_std, measurement_std):
+    # the dynamics closure captures env_properties; per-batch (axis-0) leaves
+    # would silently broadcast a (batch,) array into each per-instance filter
+    if any(ax == 0 for ax in jax.tree_util.tree_leaves(env.in_axes_env_properties)):
+        raise ValueError(
+            "filtering needs scalar env properties (one plant model per filter); "
+            "this env carries per-batch (batch_size,) property leaves — construct "
+            "a scalar-parameter twin for the filter model"
+        )
     names = _phys_names(env)
     n = len(names)
     if measured_fields is None:

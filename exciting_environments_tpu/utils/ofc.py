@@ -1,0 +1,226 @@
+"""Output-feedback control: stochastic plant + EKF belief + MPPI planning,
+composed into ONE on-device program.
+
+The subsystems this framework adds around the reference's simulator —
+stochastic simulation (``process_noise`` / ``observation_noise``), state
+estimation (:mod:`~exciting_environments_tpu.utils.estimate`), and planning
+(:mod:`~exciting_environments_tpu.utils.mpc`) — exist to be composed: a real
+controller never sees the plant state, only noisy partial measurements.
+:func:`run_output_feedback_mppi` closes that loop end-to-end:
+
+    belief --MPPI plan--> action --noisy plant step--> measurement --EKF--> belief
+
+Every control step re-plans from the *belief mean* (reconstructed into a
+full env state through the observation↔state bijection), applies the first
+action to the stochastic plant, and assimilates the resulting noisy partial
+measurement with one EKF predict/update on the model's own linearization.
+The whole ``n_steps`` loop — candidate sweeps, plant stepping, Jacobian
+re-linearizations — is a single jitted ``lax.scan``: one device dispatch,
+B independent plant/observer/controller triples in parallel.
+
+Plant/model separation is explicit (the standard MPC framing): ``plant`` is
+the environment being controlled (typically noise-configured), ``model`` is
+the deterministic twin the planner and filter reason with — pass the same
+env for both only if it is deterministic.  Model-mismatch robustness studies
+fall out naturally: give the model different ``static_params``.
+
+No reference counterpart (the reference ships neither noise, observers, nor
+planners).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from exciting_environments_tpu.utils import episodes, mpc
+from exciting_environments_tpu.utils.estimate import (
+    _initial_belief,
+    _make_dynamics,
+    _nll_term,
+    _phys_names,
+    _resolve_setup,
+    _wrap_diff,
+)
+
+__all__ = ["OFCResult", "run_output_feedback_mppi"]
+
+
+class OFCResult(NamedTuple):
+    """Outcome of :func:`run_output_feedback_mppi`.
+
+    ``observations``: the noisy measurements the controller actually saw,
+    ``(B, n_steps, obs_dim)``.  ``actions``: applied actions
+    ``(B, n_steps, action_dim)``.  ``rewards``: the PLANT's true rewards per
+    step ``(B, n_steps)`` (scored on the true state — the controller never
+    sees it).  ``belief_means`` / ``belief_covs``: the EKF posterior after
+    each step, ``(B, n_steps, n_phys)`` / ``(B, n_steps, n_phys, n_phys)``.
+    ``nll``: innovation negative log likelihood ``(B,)``.  ``final_state``:
+    true plant state after the last step.  ``plan``: final shifted plan.
+    """
+
+    observations: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    belief_means: jnp.ndarray
+    belief_covs: jnp.ndarray
+    nll: jnp.ndarray
+    final_state: object
+    plan: jnp.ndarray
+
+
+def run_output_feedback_mppi(
+    plant,
+    model,
+    state,
+    n_steps: int,
+    key=None,
+    config: mpc.MPPIConfig = mpc.MPPIConfig(),
+    *,
+    measured_fields=None,
+    process_std=None,
+    measurement_std=None,
+    x0=None,
+    P0=None,
+    cost_fn: Callable = None,
+    plan=None,
+) -> OFCResult:
+    """Receding-horizon MPPI from noisy partial measurements.
+
+    Args:
+        plant: the batched environment being controlled — typically built
+            with ``process_noise`` / ``observation_noise`` so measurements
+            are corrupted and dynamics disturbed.
+        model: the deterministic twin used by the planner (candidate
+            rollouts) and the EKF (transition linearization).  Must share
+            the plant's state/observation layout and ``batch_size``; scalar
+            env properties (the filter restriction).
+        state: batched initial PLANT state; with the default tracking cost
+            its references must be populated
+            (:func:`~exciting_environments_tpu.utils.episodes.reset_with_references`)
+            and, for a noise-configured plant, its PRNG keys usable
+            (``vmap_reset(jax.random.split(...))``).
+        n_steps: control steps.
+        key: PRNG key for the MPPI noise (default ``PRNGKey(0)``).
+        config: :class:`~exciting_environments_tpu.utils.mpc.MPPIConfig`.
+        measured_fields / process_std / measurement_std / x0 / P0: the EKF
+            contract of :func:`~exciting_environments_tpu.utils.estimate.run_ekf`
+            (noise dicts default to the PLANT's own configuration); ``x0``
+            additionally accepts a per-instance ``(batch_size, n_phys)``
+            array — e.g. seeded from an initial measurement, which shortens
+            the belief burn-in the planner must act through.
+        cost_fn: optional trajectory cost (see
+            :func:`~exciting_environments_tpu.utils.mpc.mppi_plan`).
+        plan: optional warm-start plan ``(B, horizon, action_dim)``.
+
+    Returns:
+        :class:`OFCResult`.
+    """
+    if plant.batch_size != model.batch_size or plant.action_dim != model.action_dim:
+        raise ValueError(
+            "plant and model must agree on batch_size/action_dim, got "
+            f"({plant.batch_size}, {plant.action_dim}) vs "
+            f"({model.batch_size}, {model.action_dim})"
+        )
+    if getattr(model, "_has_noise", False):
+        raise ValueError(
+            "model must be the deterministic twin (its step is the planner's "
+            "candidate dynamics and the EKF transition) — construct it without "
+            "process_noise/observation_noise"
+        )
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    B, A, H = plant.batch_size, plant.action_dim, config.horizon
+    dtype = jnp.result_type(float)
+    if plan is None:
+        plan = jnp.zeros((B, H, A), dtype)
+    mpc._validate_plan(model, config, plan, cost_fn, state)
+
+    props = model.env_properties
+    names = _phys_names(model)
+    n = len(names)
+    # noise defaults come from the PLANT (the filter should model the
+    # disturbances actually simulated); spans/periods from the model
+    names_chk, _, midx, Q, R, periods = _resolve_setup(
+        model, props,
+        measured_fields,
+        process_std if process_std is not None else getattr(plant, "_process_noise", None),
+        measurement_std if measurement_std is not None else (
+            {k: v for k, v in (getattr(plant, "_observation_noise", None) or {}).items()}
+        ),
+    )
+    assert names_chk == names
+    f = _make_dynamics(model, props)
+    jac = jax.jacobian(f, argnums=0)
+    if x0 is not None and jnp.ndim(x0) == 2:
+        x_b = jnp.asarray(x0, dtype)
+        if x_b.shape != (B, n):
+            raise ValueError(f"batched x0 must have shape ({B}, {n}), got {x_b.shape}")
+        _, P0_single = _initial_belief(None, P0, n, midx, R, dtype)
+    else:
+        x0_single, P0_single = _initial_belief(x0, P0, n, midx, R, dtype)
+        x_b = jnp.broadcast_to(x0_single, (B, n))
+    P_b = jnp.broadcast_to(P0_single, (B, n, n))
+    eye = jnp.eye(n, dtype=dtype)
+    m_periods = periods[midx]
+
+    # references are frozen along the loop (step never mutates them):
+    # normalized ref columns appended to the belief vector for the bijection
+    norm_state = model.normalize_state(state, props)
+    if model.control_state:
+        ref_b = jnp.stack(
+            [getattr(norm_state.reference, nm) for nm in model.control_state], axis=-1
+        )
+    else:
+        ref_b = jnp.zeros((B, 0), dtype)
+
+    def belief_to_state(x_hat):
+        obs = jnp.concatenate([x_hat, ref_b], axis=-1)
+        return jax.vmap(model.generate_state_from_observation, in_axes=(0, None))(obs, props)
+
+    def ekf_step(x, P, u, z, nll):
+        F = jac(x, u)
+        x_pred = f(x, u)
+        P_pred = F @ P @ F.T + Q
+        innov = _wrap_diff(z - x_pred[midx], m_periods)
+        S = P_pred[jnp.ix_(midx, midx)] + R
+        K = jnp.linalg.solve(S.T, P_pred[:, midx].T).T
+        x_new = x_pred + K @ innov
+        x_new = jnp.where(periods > 0, x_pred + _wrap_diff(x_new - x_pred, periods), x_new)
+        IKH = eye - jnp.zeros((n, n), dtype).at[:, midx].set(K)
+        P_new = IKH @ P_pred @ IKH.T + K @ R @ K.T
+        return x_new, 0.5 * (P_new + P_new.T), nll + _nll_term(innov, S)
+
+    ekf_step_b = jax.vmap(ekf_step)
+
+    @jax.jit
+    def run(plant_state, plan, x_b, P_b, key):
+        def step_fn(carry, k):
+            plant_state, plan, x_hat, P, nll = carry
+            belief = belief_to_state(x_hat)
+            plan = mpc._plan_core(model, belief, plan, k, config, cost_fn,
+                                  use_fused=False, interpret=False)
+            action = plan[:, 0]
+            obs, plant_state, reward, _, _, _ = episodes.step_with_flags(
+                plant, plant_state, action
+            )
+            z = obs[:, :n][:, midx]
+            x_hat, P, nll = ekf_step_b(x_hat, P, action, z, nll)
+            plan = jnp.concatenate([plan[:, 1:], plan[:, -1:]], axis=1)
+            return (plant_state, plan, x_hat, P, nll), (obs, action, reward, x_hat, P)
+
+        carry0 = (plant_state, plan, x_b, P_b, jnp.zeros((B,), dtype))
+        (plant_state, plan, _, _, nll), (obs, act, rew, xs, Ps) = jax.lax.scan(
+            step_fn, carry0, jax.random.split(key, n_steps)
+        )
+        return plant_state, plan, nll, obs, act, rew, xs, Ps
+
+    plant_state, plan, nll, obs, act, rew, xs, Ps = run(state, plan, x_b, P_b, key)
+    swap = lambda a: jnp.swapaxes(a, 0, 1)
+    return OFCResult(
+        observations=swap(obs), actions=swap(act), rewards=swap(rew),
+        belief_means=swap(xs), belief_covs=swap(Ps), nll=nll,
+        final_state=plant_state, plan=plan,
+    )

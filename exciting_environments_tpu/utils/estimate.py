@@ -2,8 +2,8 @@
 
 The reference framework simulates and excites systems but ships no observer:
 a user who wants the unmeasured states of a running plant (the classic
-motor-control need — rotor speed from angle ticks, or sensorless PMSM
-operation) must leave the framework.  Because every environment here exposes
+motor-control need — e.g. rotor speed from angle ticks) must leave the
+framework.  Because every environment here exposes
 its one-step transition as a differentiable program
 (``CoreEnvironment._ode_solver_step`` — the same deterministic core the
 stochastic ``process_noise`` simulation perturbs), Bayesian filtering becomes
@@ -37,6 +37,12 @@ Both filters accept a single trajectory ``(T, obs_dim)`` or a batch
 ``actions[k]`` — exactly the per-instance output of ``vmap_rollout`` /
 :class:`~exciting_environments_tpu.wrappers.gym.GymWrapper` stepping.
 
+Scope: :class:`~exciting_environments_tpu.core.classic.ClassicODEEnvironment`
+subclasses, whose observation layout is the physical dataclass fields in
+order (the bijection the dynamics reconstruction relies on).  The PMSM's
+observation embeds the angle as cos/sin and reorders fields — filtering it
+needs a drive-specific measurement map and is out of scope here.
+
 No reference equivalent (the reference's closest hook is the
 observation↔state bijection ``generate_state_from_observation``,
 ``core_env.py:173-187``, which assumes every component is measured exactly).
@@ -49,6 +55,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 
 __all__ = ["FilterResult", "run_ekf", "run_ukf"]
 
@@ -97,23 +105,60 @@ def _as_scalar_span(env_properties, name):
     return span
 
 
-def _make_dynamics(env, env_properties):
-    """``f(x_norm, action_norm) -> x_norm'``: one deterministic env step in
-    normalized coordinates, built from the env's own pieces (denormalize →
-    ``_ode_solver_step`` → normalize).  Differentiable; bypasses the env's
-    stochastic perturbations (the filter models those through Q/R)."""
+def _dynamics_fn(env):
+    """``f(x_norm, action_norm, env_properties) -> x_norm'``: one
+    deterministic env step in normalized coordinates, built from the env's
+    own pieces (denormalize → ``_ode_solver_step`` → normalize).
+    Differentiable; bypasses the env's stochastic perturbations (the filter
+    models those through Q/R).  Shared by the filters here and the iLQR
+    planner (which maps ``env_properties`` per batch instance)."""
     names = _phys_names(env)
     n_ref = len(env.control_state)
 
-    def f(x_norm, action_norm):
+    def f(x_norm, action_norm, props):
         obs = jnp.concatenate([x_norm, jnp.full((n_ref,), jnp.nan, x_norm.dtype)])
-        state = env.generate_state_from_observation(obs, env_properties)
-        action = env.denormalize_action(action_norm, env_properties)
-        new_state = env._ode_solver_step(state, action, env_properties.static_params)
-        norm = env.normalize_state(new_state, env_properties)
+        state = env.generate_state_from_observation(obs, props)
+        action = env.denormalize_action(action_norm, props)
+        new_state = env._ode_solver_step(state, action, props.static_params)
+        norm = env.normalize_state(new_state, props)
         return jnp.stack([getattr(norm.physical_state, n) for n in names])
 
     return f
+
+
+def _make_dynamics(env, env_properties):
+    """:func:`_dynamics_fn` closed over one set of properties."""
+    f = _dynamics_fn(env)
+    return lambda x, u: f(x, u, env_properties)
+
+
+def _ekf_core(f, jac, Q, R, midx, periods):
+    """One EKF predict/update in normalized coordinates (shared by
+    :func:`run_ekf` and the output-feedback loop of
+    :mod:`~exciting_environments_tpu.utils.ofc`).
+
+    Returns ``step(x, P, u, z) -> (x_new, P_new, innov, S, x_pred, P_pred, F)``
+    — Joseph-form covariance update, circular innovation and state
+    correction on angle fields."""
+    n = Q.shape[0]
+    eye = jnp.eye(n)
+    m_periods = periods[midx]
+
+    def step(x, P, u, z):
+        F = jac(x, u)
+        x_pred = f(x, u)
+        P_pred = F @ P @ F.T + Q
+        innov = _wrap_diff(z - x_pred[midx], m_periods)
+        S = P_pred[jnp.ix_(midx, midx)] + R
+        K = jnp.linalg.solve(S.T, P_pred[:, midx].T).T
+        x_new = x_pred + K @ innov
+        x_new = jnp.where(periods > 0, x_pred + _wrap_diff(x_new - x_pred, periods), x_new)
+        IKH = eye - jnp.zeros((n, n)).at[:, midx].set(K)
+        P_new = IKH @ P_pred @ IKH.T + K @ R @ K.T
+        P_new = 0.5 * (P_new + P_new.T)
+        return x_new, P_new, innov, S, x_pred, P_pred, F
+
+    return step
 
 
 def _angle_periods(env, env_properties, names):
@@ -153,6 +198,14 @@ def _std_dict_to_norm(env_properties, names, std, scale=1.0, what="std"):
 
 
 def _resolve_setup(env, env_properties, measured_fields, process_std, measurement_std):
+    # the dynamics reconstruction assumes the classic observation layout
+    # (physical dataclass fields in order) — the PMSM reorders fields and
+    # embeds the angle as cos/sin, so it needs a custom measurement map
+    if not isinstance(env, ClassicODEEnvironment):
+        raise TypeError(
+            "filtering needs a ClassicODEEnvironment (observation columns = "
+            f"physical fields in order); got {type(env).__name__}"
+        )
     # the dynamics closure captures env_properties; per-batch (axis-0) leaves
     # would silently broadcast a (batch,) array into each per-instance filter
     if any(ax == 0 for ax in jax.tree_util.tree_leaves(env.in_axes_env_properties)):
@@ -215,8 +268,12 @@ def _initial_belief(x0, P0, n, midx, R, dtype):
 
 
 def _check_traj(env, observations, actions, what):
-    observations = jnp.asarray(observations)
-    actions = jnp.asarray(actions)
+    # one consistent float width end-to-end: Q/R/gains are built from the
+    # env's normalization spans in the default float type, and a mixed-width
+    # belief would fail lax.scan's carry-dtype invariance
+    dtype = jnp.result_type(float)
+    observations = jnp.asarray(observations).astype(dtype)
+    actions = jnp.asarray(actions).astype(dtype)
     if observations.ndim not in (2, 3) or actions.ndim != observations.ndim:
         raise ValueError(
             f"{what} expects observations (T, obs_dim) with actions (T, action_dim) "
@@ -297,23 +354,12 @@ def run_ekf(
     f = _make_dynamics(env, env_properties)
     jac = jax.jacobian(f, argnums=0)
     x0, P0 = _initial_belief(x0, P0, n, midx, R, observations.dtype)
-    eye = jnp.eye(n, dtype=observations.dtype)
-    m_periods = periods[midx]
+    ekf = _ekf_core(f, jac, Q, R, midx, periods)
 
     def step(carry, inp):
         x, P, nll = carry
         u, z = inp
-        F = jac(x, u)
-        x_pred = f(x, u)
-        P_pred = F @ P @ F.T + Q
-        innov = _wrap_diff(z - x_pred[midx], m_periods)
-        S = P_pred[jnp.ix_(midx, midx)] + R
-        K = jnp.linalg.solve(S.T, P_pred[:, midx].T).T
-        x_new = x_pred + K @ innov
-        x_new = jnp.where(periods > 0, x_pred + _wrap_diff(x_new - x_pred, periods), x_new)
-        IKH = eye - jnp.zeros((n, n)).at[:, midx].set(K)
-        P_new = IKH @ P_pred @ IKH.T + K @ R @ K.T
-        P_new = 0.5 * (P_new + P_new.T)
+        x_new, P_new, innov, S, x_pred, P_pred, F = ekf(x, P, u, z)
         nll = nll + _nll_term(innov, S)
         return (x_new, P_new, nll), (x_new, P_new, x_pred, P_pred, F)
 
@@ -336,16 +382,12 @@ def run_ekf(
             P_s = 0.5 * (P_s + P_s.T)
             return (x_s, P_s), (x_s, P_s)
 
-        # smooth states 0..T-2 against their successors (T-1 is already
-        # the smoothed terminal state)
-        inputs = (
-            jax.tree_util.tree_map(lambda a: a[:-1], (xs, Ps)),
-            jax.tree_util.tree_map(lambda a: a[1:], (x_preds, P_preds, Fs)),
-        )
+        # smooth states 0..T-2 against their successors (T-1 is already the
+        # smoothed terminal state): filtered k pairs with predicted k+1
         (_, _), (xs_s, Ps_s) = jax.lax.scan(
             back,
             (xT, PT),
-            (inputs[0][0], inputs[0][1], inputs[1][0], inputs[1][1], inputs[1][2]),
+            (xs[:-1], Ps[:-1], x_preds[1:], P_preds[1:], Fs[1:]),
             reverse=True,
         )
         xs_s = jnp.concatenate([xs_s, xT[None]], axis=0)

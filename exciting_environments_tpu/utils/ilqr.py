@@ -41,21 +41,15 @@ import jax.numpy as jnp
 
 from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 from exciting_environments_tpu.utils import mpc
-from exciting_environments_tpu.utils.estimate import _angle_periods, _phys_names, _wrap_diff
+from exciting_environments_tpu.utils.estimate import (
+    _angle_periods,
+    _dynamics_fn,
+    _phys_names,
+    _wrap_diff,
+)
 from exciting_environments_tpu.utils.episodes import unwrap_sharded
 
 __all__ = ["ilqr_plan"]
-
-
-def _dyn(env, x_norm, u_norm, props):
-    """One deterministic env step in normalized coordinates (per instance)."""
-    n_ref = len(env.control_state)
-    obs = jnp.concatenate([x_norm, jnp.full((n_ref,), jnp.nan, x_norm.dtype)])
-    state = env.generate_state_from_observation(obs, props)
-    action = env.denormalize_action(u_norm, props)
-    new_state = env._ode_solver_step(state, action, props.static_params)
-    norm = env.normalize_state(new_state, props)
-    return jnp.stack([getattr(norm.physical_state, n) for n in _phys_names(env)])
 
 
 def _default_stage_cost(env, action_cost):
@@ -98,8 +92,9 @@ def ilqr_plan(
         mu: initial Levenberg regularization added to ``Quu`` in the backward
             pass; adapted per iteration (÷3 on an accepted step, ×10 when the
             whole line search is rejected).
-        alphas: parallel line-search step sizes; the nominal plan (alpha=0)
-            is always a candidate, so iterates never regress.
+        alphas: parallel line-search step sizes; a candidate is only
+            accepted if it improves the nominal cost, so iterates never
+            regress regardless of the values given.
         action_cost: quadratic action-energy weight added to the default
             cost (keeps ``Quu`` positive-definite when the tracking reward
             ignores the action; set 0.0 for exact
@@ -144,8 +139,10 @@ def ilqr_plan(
     else:
         ref_b = jnp.zeros((B, 0), x0_b.dtype)
 
+    dyn = _dynamics_fn(env)
+
     def single(x0, u_init, props_i, ref):
-        f = lambda x, u: _dyn(env, x, u, props_i)
+        f = lambda x, u: dyn(x, u, props_i)
         l = lambda x_next, u: cost_fn(x_next, u, ref, props_i)
         g_z = lambda z: l(f(z[:n], z[n:]), z[n:])  # stage cost in (x_k, u_k)
         eye_m = jnp.eye(m, dtype=x0.dtype)
@@ -191,29 +188,34 @@ def ilqr_plan(
                 du = alpha * kff + K @ _wrap_diff(x - x_nom, periods)
                 u = jnp.clip(u_nom + du, -1.0, 1.0)
                 x1 = f(x, u)
-                return (x1, J + l(x1, u)), u
+                return (x1, J + l(x1, u)), (x, u)
 
-            (_, J), us_new = jax.lax.scan(fstep, (x0, jnp.zeros((), x0.dtype)), (us, xs, kffs, Ks))
-            return J, us_new
+            (_, J), (xs_new, us_new) = jax.lax.scan(
+                fstep, (x0, jnp.zeros((), x0.dtype)), (us, xs, kffs, Ks)
+            )
+            return J, xs_new, us_new
 
         def iteration(carry, _):
-            us, J, mu_k = carry
-            xs, _ = nominal_rollout(us)
+            us, xs, J, mu_k = carry
             kffs, Ks = backward(xs, us, mu_k)
-            Js, us_cand = jax.vmap(lambda a: forward(xs, us, kffs, Ks, a))(alphas_arr)
+            # the line-search forwards re-emit their visited states, so the
+            # accepted candidate's trajectory carries straight into the next
+            # backward pass — no re-rollout of the nominal plan
+            Js, xs_cand, us_cand = jax.vmap(lambda a: forward(xs, us, kffs, Ks, a))(alphas_arr)
             best = jnp.argmin(Js)
             improved = Js[best] < J
             us_next = jnp.where(improved, us_cand[best], us)
+            xs_next = jnp.where(improved, xs_cand[best], xs)
             J_next = jnp.where(improved, Js[best], J)
             # Levenberg schedule: relax toward Newton on success, back off
             # toward (scaled) gradient descent when every step is rejected
             mu_next = jnp.where(improved, jnp.maximum(mu_k / 3.0, 1e-8),
                                 jnp.minimum(mu_k * 10.0, 1e8))
-            return (us_next, J_next, mu_next), J
+            return (us_next, xs_next, J_next, mu_next), J
 
-        _, J0 = nominal_rollout(u_init)
-        (us_fin, J_fin, _), J_curve = jax.lax.scan(
-            iteration, (u_init, J0, jnp.asarray(mu, x0.dtype)), length=iterations
+        xs0, J0 = nominal_rollout(u_init)
+        (us_fin, _, J_fin, _), J_curve = jax.lax.scan(
+            iteration, (u_init, xs0, J0, jnp.asarray(mu, x0.dtype)), length=iterations
         )
         return us_fin, jnp.concatenate([J_curve, J_fin[None]])
 

@@ -37,12 +37,12 @@ import jax.numpy as jnp
 
 from exciting_environments_tpu.utils import episodes, mpc
 from exciting_environments_tpu.utils.estimate import (
+    _ekf_core,
     _initial_belief,
     _make_dynamics,
     _nll_term,
     _phys_names,
     _resolve_setup,
-    _wrap_diff,
 )
 
 __all__ = ["OFCResult", "run_output_feedback_mppi"]
@@ -124,6 +124,28 @@ def run_output_feedback_mppi(
             f"({plant.batch_size}, {plant.action_dim}) vs "
             f"({model.batch_size}, {model.action_dim})"
         )
+    # the EKF scales Q by sqrt(model.tau) and descales measurements with the
+    # model's normalization spans; a twin on a different grid or band would
+    # run silently miscalibrated — mismatch studies should vary static_params
+    if float(plant.tau) != float(model.tau):
+        raise ValueError(f"plant.tau {plant.tau} != model.tau {model.tau}")
+    if _phys_names(plant) != _phys_names(model) or list(plant.control_state) != list(model.control_state):
+        raise ValueError(
+            "plant and model must share the physical-state layout and "
+            "control_state (the observation<->belief bijection relies on it)"
+        )
+    import numpy as _np
+
+    for which in ("physical_normalizations", "action_normalizations"):
+        p_l = jax.tree_util.tree_leaves(getattr(plant.env_properties, which))
+        m_l = jax.tree_util.tree_leaves(getattr(model.env_properties, which))
+        if len(p_l) != len(m_l) or any(
+            not _np.array_equal(_np.asarray(a), _np.asarray(b)) for a, b in zip(p_l, m_l)
+        ):
+            raise ValueError(
+                f"plant and model disagree on {which} — measurements would be "
+                "descaled on the wrong normalized band"
+            )
     if getattr(model, "_has_noise", False):
         raise ValueError(
             "model must be the deterministic twin (its step is the planner's "
@@ -154,6 +176,7 @@ def run_output_feedback_mppi(
     assert names_chk == names
     f = _make_dynamics(model, props)
     jac = jax.jacobian(f, argnums=0)
+    ekf = _ekf_core(f, jac, Q, R, midx, periods)
     if x0 is not None and jnp.ndim(x0) == 2:
         x_b = jnp.asarray(x0, dtype)
         if x_b.shape != (B, n):
@@ -163,9 +186,6 @@ def run_output_feedback_mppi(
         x0_single, P0_single = _initial_belief(x0, P0, n, midx, R, dtype)
         x_b = jnp.broadcast_to(x0_single, (B, n))
     P_b = jnp.broadcast_to(P0_single, (B, n, n))
-    eye = jnp.eye(n, dtype=dtype)
-    m_periods = periods[midx]
-
     # references are frozen along the loop (step never mutates them):
     # normalized ref columns appended to the belief vector for the bijection
     norm_state = model.normalize_state(state, props)
@@ -181,17 +201,8 @@ def run_output_feedback_mppi(
         return jax.vmap(model.generate_state_from_observation, in_axes=(0, None))(obs, props)
 
     def ekf_step(x, P, u, z, nll):
-        F = jac(x, u)
-        x_pred = f(x, u)
-        P_pred = F @ P @ F.T + Q
-        innov = _wrap_diff(z - x_pred[midx], m_periods)
-        S = P_pred[jnp.ix_(midx, midx)] + R
-        K = jnp.linalg.solve(S.T, P_pred[:, midx].T).T
-        x_new = x_pred + K @ innov
-        x_new = jnp.where(periods > 0, x_pred + _wrap_diff(x_new - x_pred, periods), x_new)
-        IKH = eye - jnp.zeros((n, n), dtype).at[:, midx].set(K)
-        P_new = IKH @ P_pred @ IKH.T + K @ R @ K.T
-        return x_new, 0.5 * (P_new + P_new.T), nll + _nll_term(innov, S)
+        x_new, P_new, innov, S, *_ = ekf(x, P, u, z)
+        return x_new, P_new, nll + _nll_term(innov, S)
 
     ekf_step_b = jax.vmap(ekf_step)
 

@@ -172,6 +172,27 @@ def test_linear_msd_filter_improves_both_fields():
         assert filt < 0.6 * raw, (i, filt, raw)
 
 
+def test_float32_inputs_are_promoted(pendulum_case):
+    env, obs_noisy, obs_true, actions, res = pendulum_case
+    # f32 measurement logs (the TPU-native width) must not crash the f64
+    # filter program: inputs are promoted to one consistent float width
+    r32 = estimate.run_ekf(
+        env,
+        obs_noisy[0].astype(np.float32),
+        np.asarray(actions)[0].astype(np.float32),
+        measured_fields=("theta",),
+        process_std={"omega": 0.05},
+    )
+    d = np.asarray(r32.means) - np.asarray(res.means)[0]
+    assert np.abs(d).max() < 1e-5  # only the f32 quantization of the inputs
+
+
+def test_non_classic_env_rejected():
+    pmsm = excenvs.PMSM(batch_size=B)
+    with pytest.raises(TypeError, match="ClassicODEEnvironment"):
+        estimate.run_ekf(pmsm, np.zeros((T, 8)), np.zeros((T, 2)))
+
+
 def test_validation_errors():
     env = excenvs.Pendulum(batch_size=B, tau=TAU)
     obs = np.zeros((T, 3))

@@ -114,3 +114,13 @@ def test_validation_guards():
         ofc.run_output_feedback_mppi(plant, small, state, 2)
     with pytest.raises(ValueError, match="batched x0"):
         ofc.run_output_feedback_mppi(plant, model, state, 2, x0=jnp.zeros((B, 5)))
+    coarse = excenvs.Pendulum(batch_size=B, tau=TAU * 10, control_state=["theta"])
+    with pytest.raises(ValueError, match="tau"):
+        ofc.run_output_feedback_mppi(plant, coarse, state, 2)
+    narrow = excenvs.Pendulum(
+        batch_size=B, tau=TAU, control_state=["theta"],
+        physical_normalizations={"theta": excenvs.MinMaxNormalization(-jnp.pi, jnp.pi),
+                                 "omega": excenvs.MinMaxNormalization(-5, 5)},
+    )
+    with pytest.raises(ValueError, match="physical_normalizations"):
+        ofc.run_output_feedback_mppi(plant, narrow, state, 2)

@@ -351,11 +351,15 @@ class CoreEnvironment:
         key.  A default (rng-less) reset stores a NaN placeholder
         (``init_state``), which cannot drive noise draws."""
         key = state.PRNGKey
-        if not (
+        is_typed_key = hasattr(key, "dtype") and jax.dtypes.issubdtype(
+            key.dtype, jax.dtypes.prng_key
+        )
+        is_raw_key = (
             hasattr(key, "dtype")
             and jnp.issubdtype(key.dtype, jnp.unsignedinteger)
             and key.shape[-1:] == (2,)
-        ):
+        )
+        if not (is_typed_key or is_raw_key):
             raise ValueError(
                 "process/observation noise draws from the per-instance PRNG key in "
                 "State.PRNGKey, but this state carries the NaN placeholder of a "
@@ -385,6 +389,26 @@ class CoreEnvironment:
                 setattr(new_state.physical_state, name, y[i])
         return new_state
 
+    def _obs_noise_sigma_norm(self, env_properties):
+        """Per-field sensor std in normalized units (``2 * sigma / span``;
+        leaf shapes follow the normalization leaves, so per-batch spans
+        work).  Single source of the scaling arithmetic — shared by the
+        per-step path below and the fused kernel's slab application
+        (``ops/pallas/stepper.py::_apply_obs_noise_slab``)."""
+        return tuple(
+            (
+                2.0
+                * self._observation_noise[field.name]
+                / (
+                    getattr(env_properties.physical_normalizations, field.name).max
+                    - getattr(env_properties.physical_normalizations, field.name).min
+                )
+            )
+            if field.name in self._observation_noise
+            else jnp.zeros(())
+            for field in fields(self.PhysicalState)
+        )
+
     def _apply_observation_noise(self, obs, env_properties, key):
         """Additive Gaussian sensor noise on the observed physical components
         (std in physical units, scaled into the normalized band through each
@@ -392,21 +416,7 @@ class CoreEnvironment:
         observation components are left exact."""
         names = tuple(f.name for f in fields(self.PhysicalState))
         eps = jax.random.normal(key, (len(names),))
-        sigma_norm = jnp.stack(
-            [
-                (
-                    2.0
-                    * self._observation_noise.get(name, 0.0)
-                    / (
-                        getattr(env_properties.physical_normalizations, name).max
-                        - getattr(env_properties.physical_normalizations, name).min
-                    )
-                )
-                if name in self._observation_noise
-                else jnp.zeros(())
-                for name in names
-            ]
-        )
+        sigma_norm = jnp.stack(self._obs_noise_sigma_norm(env_properties))
         pad = obs.shape[-1] - len(names)
         noise = jnp.concatenate([sigma_norm * eps, jnp.zeros(pad)])
         return obs + noise

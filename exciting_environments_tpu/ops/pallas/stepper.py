@@ -313,9 +313,11 @@ def _launch(
 
     has_next = sim_ahead and _needs_next_action(solver)
 
-    # time chunk: largest divisor of n_steps keeping the action block <= ~2 MB
-    # (Pallas double-buffers it) and compatible with the trajectory stride
-    max_chunk = max(1, (2 * 1024 * 1024) // (n_action * rows * LANES * 4))
+    # time chunk: largest divisor of n_steps keeping the STREAMED blocks
+    # (action slab + optional noise slab — Pallas double-buffers both)
+    # <= ~2 MB, and compatible with the trajectory stride
+    streamed_width = n_action + len(noise_idx)
+    max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * 4))
     chunk = 1
     for c in range(1, n_steps + 1):
         if (
@@ -817,24 +819,16 @@ def _denormalize_action_slab(env, actions_norm, time_major):
 def _apply_obs_noise_slab(env, obs, eps):
     """Batched mirror of ``CoreEnvironment._apply_observation_noise``: scale
     the precomputed standard-normal draws ``eps`` (``(B[, S], n_phys)``) by
-    the per-field normalized sigma (same ``2 * sigma / span`` arithmetic,
-    per-batch spans included) and add onto the physical columns of ``obs``."""
-    from dataclasses import fields as dc_fields
-
-    names = tuple(f.name for f in dc_fields(env.PhysicalState))
-    cols = []
-    for name in names:
-        if name in env._observation_noise:
-            norm = getattr(env.env_properties.physical_normalizations, name)
-            cols.append(
-                jnp.broadcast_to(
-                    jnp.asarray(2.0 * env._observation_noise[name] / (norm.max - norm.min)),
-                    (env.batch_size,),
-                )
-            )
-        else:
-            cols.append(jnp.zeros(env.batch_size))
-    sn = jnp.stack(cols, axis=-1)  # (B, n_phys)
+    the per-field normalized sigma (the same
+    ``CoreEnvironment._obs_noise_sigma_norm`` arithmetic, per-batch spans
+    included) and add onto the physical columns of ``obs``."""
+    sn = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.asarray(v), (env.batch_size,))
+            for v in env._obs_noise_sigma_norm(env.env_properties)
+        ],
+        axis=-1,
+    )  # (B, n_phys)
     if eps.ndim == 3:
         sn = sn[:, None, :]
     noise = sn * eps
@@ -917,29 +911,45 @@ def env_fused_rollout(
     # makes) in an XLA pre-pass, pre-scale the process increments, and stream
     # them into the kernel alongside the actions — the kernel stays
     # deterministic, the semantics stay the scan's
-    noise_tm, noise_idx, eps_obs, final_keys = None, (), None, None
+    noise_tm, noise_idx, eps_obs, final_keys, keys_saves = None, (), None, None, None
     if getattr(env, "_has_noise", False):
         keys0 = env._require_noise_key(init_state)
         proc_items = sorted(env._process_noise.items()) if env._process_noise else []
         want_obs = bool(env._observation_noise)
         n_phys = env.physical_state_dim
+        stride = obs_stride or n_steps
+        if n_steps % stride:
+            raise ValueError("n_steps must be divisible by obs_stride")
+        n_segs = n_steps // stride
 
-        def _chain(key, _):
+        def _inner(key, _):
             new_key, k_proc, k_obs = jax.random.split(key, 3)
             eps_p = (
                 jax.random.normal(k_proc, (len(proc_items),))
                 if proc_items
                 else jnp.zeros((0,))
             )
-            eps_o = (
-                jax.random.normal(k_obs, (n_phys,)) if want_obs else jnp.zeros((0,))
-            )
-            return new_key, (eps_p, eps_o)
+            return new_key, (eps_p, k_obs)
 
-        final_keys, (eps_proc, eps_obs) = jax.vmap(
-            lambda k: jax.lax.scan(_chain, k, None, length=n_steps)
+        def _outer(key, _):
+            key, (eps_p_seg, k_obs_seg) = jax.lax.scan(_inner, key, None, length=stride)
+            # sensor draws only at SAVE positions: the key chain advances via
+            # split alone, so skipping the unneeded per-step normal() calls
+            # is draw-exact vs the scan path while shrinking the slab from
+            # (B, T, n_phys) to (B, n_saves, n_phys)
+            eps_o = (
+                jax.random.normal(k_obs_seg[-1], (n_phys,))
+                if want_obs
+                else jnp.zeros((0,))
+            )
+            # the carry here IS the state key after the segment's last step
+            return key, (eps_p_seg, eps_o, key)
+
+        final_keys, (eps_proc, eps_obs, keys_saves) = jax.vmap(
+            lambda k: jax.lax.scan(_outer, k, None, length=n_segs)
         )(keys0)
         if proc_items:
+            eps_proc = eps_proc.reshape(env.batch_size, n_steps, len(proc_items))
             coef = jnp.asarray([s for _, s in proc_items], dtype=eps_proc.dtype) * jnp.sqrt(
                 env.tau
             )
@@ -1005,11 +1015,18 @@ def env_fused_rollout(
     traj_state = structures.replace(
         final_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_traj))),
+        # stochastic envs: each save carries ITS step's advanced key (scan
+        # parity — resuming from a saved state must not replay consumed
+        # draws); deterministic envs keep the unchanged initial key
         PRNGKey=(
-            lambda key: jnp.broadcast_to(
-                key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
-            )
-        )(jnp.asarray(init_state.PRNGKey)),
+            keys_saves
+            if keys_saves is not None
+            else (
+                lambda key: jnp.broadcast_to(
+                    key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
+                )
+            )(jnp.asarray(init_state.PRNGKey))
+        ),
         additions=env.Additions(
             solver_state=None,
             active_solver_state=jnp.full((env.batch_size, n_saves), True),
@@ -1024,9 +1041,10 @@ def env_fused_rollout(
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, env.env_properties)
     if eps_obs is not None:
-        # the saved steps' own sensor draws (post-step save at step t uses
-        # that step's k_obs), exactly like the scan path's per-step obs
-        obs = _apply_obs_noise_slab(env, obs, eps_obs[:, obs_stride - 1 :: obs_stride])
+        # eps_obs is already saves-only: the saved steps' own sensor draws
+        # (post-step save at step t uses that step's k_obs), exactly like
+        # the scan path's per-step obs
+        obs = _apply_obs_noise_slab(env, obs, eps_obs)
     if return_traj_states:
         # the reconstructed per-save State pytree (leaves (B, n_saves, ...)) —
         # consumed by the fused trajectory collector for reward/flag

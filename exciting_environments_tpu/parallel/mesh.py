@@ -221,6 +221,10 @@ class ShardedEnv:
             _np.isscalar(leaf)
             for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
             + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
+            # physical norms feed the shadow env's observation/obs-noise
+            # arithmetic as closure constants — per-batch leaves would be
+            # full-B arrays inside per-shard traces
+            + jax.tree_util.tree_leaves(env.env_properties.physical_normalizations)
         )
         return supports_fused_rollout(env) and all_scalar
 

@@ -196,3 +196,43 @@ def test_constructor_validation():
     # all-zero sigmas collapse to the exact deterministic path
     env = excenvs.Pendulum(batch_size=4, process_noise={"omega": 0.0})
     assert not env._has_noise
+
+
+def test_fused_traj_states_carry_advanced_keys():
+    """A trajectory state saved at step s must carry the key chain advanced
+    through s steps (scan parity) — resuming from it must not replay draws
+    the rollout already consumed."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    B_, T, stride = 1024, 16, 4
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU, process_noise={"omega": 0.5},
+        observation_noise={"theta": 0.05},
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), B_))
+    acts = jax.random.uniform(jax.random.PRNGKey(3), (B_, T, 1), minval=-1, maxval=1)
+    _, traj, final = env_fused_rollout(
+        env, st, acts, obs_stride=stride, interpret=True, strict=True,
+        return_traj_states=True,
+    )
+    for s in range(T // stride):
+        _, scan_state = env.vmap_rollout(st, acts[:, : (s + 1) * stride])
+        np.testing.assert_array_equal(
+            np.asarray(traj.PRNGKey)[:, s], np.asarray(scan_state.PRNGKey)
+        )
+    np.testing.assert_array_equal(np.asarray(final.PRNGKey), np.asarray(traj.PRNGKey)[:, -1])
+
+
+def test_typed_prng_keys_accepted():
+    """New-style jax.random.key() typed keys drive the noise paths too."""
+    env = excenvs.Pendulum(batch_size=8, tau=TAU, process_noise={"omega": 0.5})
+    _, st = env.vmap_reset(jax.random.split(jax.random.key(0), 8))
+    obs, st1 = env.vmap_step(st, jnp.zeros((8, 1)))
+    assert np.isfinite(np.asarray(obs)).all()
+    # raw uint32 keys with the same data give the identical draw stream
+    raw = excenvs.Pendulum(batch_size=8, tau=TAU, process_noise={"omega": 0.5})
+    _, st_raw = raw.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 8))
+    _, st1_raw = raw.vmap_step(st_raw, jnp.zeros((8, 1)))
+    np.testing.assert_allclose(
+        np.asarray(st1.physical_state.omega), np.asarray(st1_raw.physical_state.omega)
+    )

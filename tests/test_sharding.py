@@ -770,3 +770,24 @@ def test_sharded_fused_stochastic_rollout(mesh):
         rtol=0, atol=1e-11,
     )
     np.testing.assert_array_equal(np.asarray(last_f.PRNGKey), np.asarray(last_ref.PRNGKey))
+
+
+def test_per_batch_physical_norms_route_to_scan(mesh):
+    """Per-batch physical normalization spans are closure constants to the
+    fused shadow env, so such configs must ride the sharded scan path (the
+    kernel-scope probe excludes them) instead of crashing inside shard_map."""
+    B_ = 8192
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=1e-2, observation_noise={"theta": 0.05},
+        physical_normalizations={
+            "theta": excenvs.MinMaxNormalization(-jnp.pi, jnp.pi),
+            "omega": excenvs.MinMaxNormalization(-jnp.full(B_, 10.0), jnp.full(B_, 10.0)),
+        },
+    )
+    senv = ShardedEnv(env, mesh)
+    assert not senv._fused_in_scope()
+    _, st = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    acts = jnp.zeros((B_, 8, 1))
+    obs, fin = senv.fused_rollout(st, acts)  # transparent scan fallback -> final obs
+    obs_ref, fin_ref = env.vmap_rollout(st, acts, 8)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref[:, -1]), rtol=1e-12)

@@ -28,13 +28,20 @@ def register(env_id: str, resolver: Callable) -> None:
     _REGISTRY[env_id] = resolver
 
 
-def make(env_id: str, **env_kwargs):
-    """Instantiate a registered environment by id string."""
+def resolve(env_id: str) -> Callable:
+    """Return the environment CLASS behind an id without constructing an
+    instance (class-attribute lookups like ``_default_static_params`` should
+    not pay for LUT loading or device-array construction)."""
     try:
         resolver = _REGISTRY[env_id]
     except KeyError:
         raise ValueError(f"Unknown environment: {env_id!r}. Registered: {sorted(_REGISTRY)}")
-    return resolver()(**env_kwargs)
+    return resolver()
+
+
+def make(env_id: str, **env_kwargs):
+    """Instantiate a registered environment by id string."""
+    return resolve(env_id)(**env_kwargs)
 
 
 def _builtin(name: str) -> Callable:

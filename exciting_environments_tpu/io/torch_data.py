@@ -8,7 +8,10 @@ footer-only indexing, so opening a multi-gigabyte shard costs one mmap, and
 each ``__getitem__`` materializes exactly one record.
 
 No torch dependency is imported until the class is instantiated; the rest
-of the package stays torch-free.
+of the package stays torch-free.  The dataset is picklable (only paths and
+the transform are carried; shard mmaps reopen lazily per process), so
+``DataLoader(num_workers>0)`` works under every multiprocessing start
+method — spawn and forkserver included, not just Linux fork.
 
 Example::
 
@@ -42,25 +45,41 @@ class TorchShardDataset:
     """
 
     def __init__(self, paths, transform=None):
-        import torch  # deferred: keep the package importable without torch
+        import torch  # noqa: F401  deferred probe: fail at construction, not first item
 
-        self._torch = torch
         if isinstance(paths, (str, bytes)) or not hasattr(paths, "__iter__"):
             paths = [paths]
-        self._indices = [ShardIndex(p) for p in paths]
+        self._paths = list(paths)
+        self.transform = transform
+        self._open()
+
+    def _open(self):
+        self._indices = [ShardIndex(p) for p in self._paths]
         self._offsets = []  # (shard_idx, local_idx) per global record
         for si, idx in enumerate(self._indices):
             self._offsets.extend((si, li) for li in range(len(idx)))
-        self.transform = transform
+
+    # mmap handles and the torch module are unpicklable; carry only the
+    # construction args and reopen in the receiving process (DataLoader
+    # workers under spawn/forkserver pickle the dataset)
+    def __getstate__(self):
+        return {"_paths": self._paths, "transform": self.transform}
+
+    def __setstate__(self, state):
+        self._paths = state["_paths"]
+        self.transform = state["transform"]
+        self._open()
 
     def __len__(self):
         return len(self._offsets)
 
     def __getitem__(self, i):
+        import torch
+
         si, li = self._offsets[i]
         name, arrays = self._indices[si].entry(li)
         tensors = {
-            _pretty_key(k): self._torch.from_numpy(np.array(v))  # copy: map is read-only
+            _pretty_key(k): torch.from_numpy(np.array(v))  # copy: map is read-only
             for k, v in arrays.items()
         }
         if self.transform is not None:
@@ -70,7 +89,8 @@ class TorchShardDataset:
     @property
     def names(self):
         """Record names in global order (``chunk_000001``, ...)."""
-        return [self._indices[si].names[li] for si, li in self._offsets]
+        per_shard = [idx.names for idx in self._indices]
+        return [per_shard[si][li] for si, li in self._offsets]
 
     def close(self):
         for idx in self._indices:

@@ -183,8 +183,10 @@ def sample_static_params(key, batch_size: int, spec: dict, defaults: dict = None
     """
     keys = _split_over_spec(key, spec)
     drawn = {name: sample_field(keys[name], batch_size, entry) for name, entry in spec.items()}
-    out = dict(defaults) if defaults else {}
-    unknown = set(drawn) - set(out) if defaults else set()
+    # `is None` deliberately: an empty defaults dict still validates field
+    # names (only the explicit defaults=None opts out, as the error says)
+    out = dict(defaults) if defaults is not None else {}
+    unknown = set(drawn) - set(out) if defaults is not None else set()
     if unknown:
         raise ValueError(
             f"spec fields {sorted(unknown)} are not in defaults "
@@ -216,12 +218,11 @@ def randomize_env(env_cls, key, spec: dict, batch_size: int = None, defaults: di
     if isinstance(env_cls, str):
         from exciting_environments_tpu.core import registration
 
-        env_id = env_cls
-        probe = registration.make(env_id, batch_size=1)
-        env_cls = type(probe)
-        make = lambda **kw: registration.make(env_id, **kw)
-    else:
-        make = env_cls
+        # class resolution only — constructing a probe instance would pay
+        # the full env setup (e.g. PMSM LUT preprocessing) for two
+        # class-attribute reads
+        env_cls = registration.resolve(env_cls)
+    make = env_cls
 
     if batch_size is None:
         batch_size = getattr(env_cls, "_default_batch_size", None)

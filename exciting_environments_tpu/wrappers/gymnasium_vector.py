@@ -55,6 +55,27 @@ class GymnasiumVectorEnv(VectorEnv):
     metadata = {"autoreset_mode": AutoresetMode.NEXT_STEP, "render_modes": []}
 
     def __init__(self, env, seed: int = 0, max_episode_steps: int | None = None):
+        from exciting_environments_tpu.core.classic import ClassicODEEnvironment
+
+        # classic default termination is reward == 0, and without tracked
+        # references the tracking reward is identically zero — every step
+        # would terminate, silently feeding degenerate 1-step episodes to
+        # the RL library consuming this API
+        if (
+            isinstance(env, ClassicODEEnvironment)
+            and not env.control_state
+            and type(env).generate_terminated is ClassicODEEnvironment.generate_terminated
+        ):
+            import warnings
+
+            warnings.warn(
+                "this env has no control_state: its tracking reward is identically "
+                "zero, so the default terminated rule (reward == 0) fires every "
+                "step and every episode is 1 step long — construct it with "
+                "control_state=[...] (per-episode random references are drawn "
+                "automatically) or override generate_terminated",
+                stacklevel=2,
+            )
         self.env = env
         self.num_envs = env.batch_size
         self.max_episode_steps = max_episode_steps
@@ -93,10 +114,6 @@ class GymnasiumVectorEnv(VectorEnv):
         return episodes.reset_with_references(self.env, key)
 
     @partial(jax.jit, static_argnums=0)
-    def _reset_program(self, key):
-        return self._fresh(key)
-
-    @partial(jax.jit, static_argnums=0)
     def _step_program(self, state, autoreset, elapsed, action, key):
         B = self.num_envs
 
@@ -106,8 +123,15 @@ class GymnasiumVectorEnv(VectorEnv):
             self.env, state, action, elapsed, self.max_episode_steps
         )
 
-        # reset branch (selected per env by the autoreset mask)
-        obs_r, state_r = self._fresh(key)
+        # reset branch (selected per env by the autoreset mask); the cond
+        # skips the whole-batch reset draw on the common no-reset step —
+        # both branches stay inside this one jitted program
+        obs_r, state_r = jax.lax.cond(
+            autoreset.any(),
+            lambda k: self._fresh(k),
+            lambda k: (obs_s, state_s),
+            key,
+        )
 
         def sel(r, s):
             m = autoreset.reshape((B,) + (1,) * (r.ndim - 1))
@@ -127,7 +151,7 @@ class GymnasiumVectorEnv(VectorEnv):
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, k = jax.random.split(self._key)
-        obs, self._state = self._reset_program(k)
+        obs, self._state = episodes.jitted_reset(self.env)(k)
         self._autoreset = jnp.zeros((self.num_envs,), bool)
         self._elapsed = jnp.zeros((self.num_envs,), jnp.int32)
         return np.asarray(obs, dtype=np.float32), {}

@@ -164,3 +164,27 @@ def test_torch_shard_dataset(tmp_path):
     with TorchShardDataset(paths[0], transform=pair) as ds2:
         x, y = ds2[0]
         assert x.shape == (4, 2) and y.shape == (4, 1)
+
+
+def test_torch_dataset_is_picklable_for_spawned_workers(tmp_path):
+    """DataLoader workers under spawn/forkserver pickle the dataset: only
+    paths/transform are carried, shard mmaps reopen in the new process."""
+    import pickle
+
+    pytest.importorskip("torch")
+    from exciting_environments_tpu.io import ShardWriter, TorchShardDataset
+
+    p = str(tmp_path / "shard.extpu")
+    with ShardWriter(p, use_native=False) as w:
+        w.append({"obs": np.arange(8, dtype=np.float32).reshape(4, 2)}, name="c0")
+
+    with TorchShardDataset(p) as ds:
+        clone = pickle.loads(pickle.dumps(ds))
+        try:
+            assert len(clone) == len(ds) == 1
+            np.testing.assert_array_equal(
+                clone[0]["obs"].numpy(), ds[0]["obs"].numpy()
+            )
+            assert clone.names == ds.names
+        finally:
+            clone.close()

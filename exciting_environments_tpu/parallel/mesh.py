@@ -351,6 +351,15 @@ class ShardedEnv:
 
         return self._run_sharded(local, init_state, actions_norm, time_major)
 
+    def closed_loop_in_scope(self, interpret: bool = False) -> bool:
+        """Whether :meth:`fused_closed_loop` covers this env per shard
+        (closed-loop kernel scope plus local-batch tiling).  Probe this
+        before committing a production loop to the kernel lane."""
+        from exciting_environments_tpu.ops.pallas import select_closed_loop
+
+        kernel, _ = select_closed_loop(self.env, interpret)
+        return kernel is not None and (self.env.batch_size // self.mesh.size) % 1024 == 0
+
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
                           policy_params=None, return_traj_states: bool = False):
@@ -363,7 +372,7 @@ class ShardedEnv:
 
         env = self.env
         kernel, extra = select_closed_loop(env, interpret)
-        if kernel is None or (env.batch_size // self.mesh.size) % 1024 != 0:
+        if not self.closed_loop_in_scope(interpret):
             raise ValueError(
                 "fused_closed_loop out of scope for this sharded env (kernel "
                 "scope, scalar normalizations, or per-shard tiling)"

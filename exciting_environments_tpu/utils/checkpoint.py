@@ -64,7 +64,11 @@ def save_state(state, path: str, use_orbax: bool = None):
         use_orbax = ORBAX_AVAILABLE and not path.endswith(".npz")
     if use_orbax:
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(os.path.abspath(path), jax.device_get(state))
+            # force=True: overwrite an existing destination.  Elastic recovery
+            # replays a chunk after restoring from its own checkpoint, so the
+            # re-saved chunk targets the same path; without overwrite the
+            # retry loop would die on "Destination already exists".
+            ckptr.save(os.path.abspath(path), jax.device_get(state), force=True)
         return path
 
     leaves_with_paths = jax.tree_util.tree_leaves_with_path(state)
@@ -93,6 +97,23 @@ def load_state(like, path: str, use_orbax: bool = None):
             restored = ckptr.restore(os.path.abspath(path), item=jax.device_get(like))
         if jax.tree_util.tree_structure(restored) != treedef:
             raise ValueError("restored structure mismatch")
+        # orbax restores whatever was saved regardless of the template's leaf
+        # shapes/dtypes; validate like the npz branch so a batch-size or
+        # precision mismatch fails here, not as an opaque vmap axis error.
+        for (kp, like_leaf), leaf in zip(
+            jax.tree_util.tree_leaves_with_path(like), jax.tree_util.tree_leaves(restored)
+        ):
+            like_arr = np.asarray(like_leaf)
+            leaf_arr = np.asarray(leaf)
+            name = jax.tree_util.keystr(kp)
+            if leaf_arr.shape != like_arr.shape:
+                raise ValueError(
+                    f"leaf {name!r} shape mismatch: checkpoint {leaf_arr.shape} vs target {like_arr.shape}"
+                )
+            if leaf_arr.dtype != like_arr.dtype:
+                raise ValueError(
+                    f"leaf {name!r} dtype mismatch: checkpoint {leaf_arr.dtype} vs target {like_arr.dtype}"
+                )
         return restored
 
     data = np.load(_npz_path(path), allow_pickle=False)

@@ -43,6 +43,24 @@ from exciting_environments_tpu.parallel.metrics import (
 )
 
 
+# Exception types elastic recovery must NOT retry: these are deterministic —
+# the replayed chunk would raise the same way (the NaN gate's
+# FloatingPointError, out-of-scope/shape/contract ValueErrors and TypeErrors,
+# plain Python bugs in user-supplied action sources or metric hooks).
+# Transient device/runtime failures surface as RuntimeError (XlaRuntimeError)
+# or OSError and stay retryable.
+_NON_RETRYABLE = (
+    FloatingPointError,
+    ValueError,
+    TypeError,
+    KeyError,
+    IndexError,
+    AttributeError,
+    NotImplementedError,
+    AssertionError,
+)
+
+
 def _select_rollout(env_or_sharded, interpret: bool):
     """The fastest supported rollout path for this environment, as a callable
     ``(state, actions_norm) -> (final_obs, final_state)`` plus its name (one
@@ -128,11 +146,15 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
 
     if isinstance(env_or_sharded, ShardedEnv):
         senv = env_or_sharded
-        # on a CPU (virtual-device) mesh without interpret, fall through to
-        # the scan fallback below on the wrapped env — the sharded kernel
-        # lane would try to compile Mosaic and crash (same guard as the
-        # single-chip lane's select_closed_loop call)
-        if interpret or jax.default_backend() != "cpu":
+        # commit to the per-shard kernel only when it is actually in scope
+        # AND compilable: on a CPU (virtual-device) mesh without interpret
+        # Mosaic cannot lower, and an out-of-scope env (per-shard tiling,
+        # non-scalar normalizations) would raise on every chunk — both cases
+        # ride the scan fallback below instead, which jit auto-partitions
+        # over the sharded state arrays
+        if (interpret or jax.default_backend() != "cpu") and senv.closed_loop_in_scope(
+            interpret
+        ):
 
             def run(state, n_steps, policy_params):
                 return senv.fused_closed_loop(
@@ -141,7 +163,16 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
                 )
 
             return run, senv.env, "sharded_closed_loop"
-        env_or_sharded = senv.env
+        env = senv.env
+        from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def run(state, n_steps, policy_params):
+            return tile_policy_scan(
+                env, state, n_steps, policy, policy_params, collect_trajectory=False
+            )
+
+        return run, env, "closed_loop_scan"
 
     env = env_or_sharded
     kernel, extra = (
@@ -217,6 +248,10 @@ class FleetRunner:
             shape=(len(self._base_env.obs_description),), dtype=jnp.float32
         )
         self.time_window = window_init(window, dtype=jnp.float32)
+        # per-chunk env-step counts over the SAME window, so the throughput
+        # readout stays correct when chunk sizes vary across the runner's
+        # lifetime (mixed run()/run_policy() chunk_steps, resume())
+        self.steps_window = window_init(window, dtype=jnp.float32)
         self.chunks_run = 0
         self.env_steps = 0
 
@@ -304,15 +339,16 @@ class FleetRunner:
         to_host = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
         return (
             to_host(state), to_host(self.obs_stats), to_host(self.time_window),
-            self.chunks_run, self.env_steps,
+            to_host(self.steps_window), self.chunks_run, self.env_steps,
         )
 
     def _restore(self, snapshot):
         """Re-place a snapshot; returns the state to resume from."""
         to_dev = lambda tree: jax.tree_util.tree_map(jnp.asarray, tree)
-        host_state, obs_stats, time_window, chunks_run, env_steps = snapshot
+        host_state, obs_stats, time_window, steps_window, chunks_run, env_steps = snapshot
         self.obs_stats = to_dev(obs_stats)
         self.time_window = to_dev(time_window)
+        self.steps_window = to_dev(steps_window)
         self.chunks_run = chunks_run
         self.env_steps = env_steps
         return self._place(to_dev(host_state))
@@ -399,9 +435,11 @@ class FleetRunner:
         device/runtime error (relay outage, preempted worker, poisoned
         executable — on this runtime these surface at the statistics
         readback), rolls state *and* bookkeeping back and re-runs the chunk,
-        up to ``max_retries`` consecutive times.  The NaN gate's
-        ``FloatingPointError`` is never retried: it is deterministic — the
-        replay would produce the same non-finite statistics.  Snapshots cost
+        up to ``max_retries`` consecutive times.  Deterministic exceptions
+        (``_NON_RETRYABLE``: the NaN gate's ``FloatingPointError``,
+        scope/shape/contract ``ValueError``/``TypeError``, plain Python bugs
+        in user hooks) are never retried — the replay would raise the same
+        way.  Snapshots cost
         one device→host copy of the state per chunk, so leave retries at 0
         for latency-critical sweeps.  The post-chunk snapshot itself runs
         inside the retry scope: on this runtime execution errors surface at
@@ -422,7 +460,10 @@ class FleetRunner:
                 obs, new_state, record, t0 = chunk_fn(k, state)
                 self._after_chunk(k, obs, new_state, chunk_steps, t0, record, metric_hook)
                 new_snapshot = self._snapshot(new_state) if snapshot is not None else None
-            except FloatingPointError:
+            except _NON_RETRYABLE:
+                # deterministic: a replay would raise identically (NaN gate,
+                # scope/shape/contract errors, bugs in user hooks) — don't
+                # burn retries re-executing multi-minute chunks for nothing
                 raise
             except Exception as e:
                 if snapshot is None or retries >= max_retries:
@@ -450,8 +491,10 @@ class FleetRunner:
                 "(enable utils.profiling.debug_nans to localize)"
             )
         self.time_window = window_push(self.time_window, time.perf_counter() - t0)
+        chunk_env_steps = self._base_env.batch_size * chunk_steps
+        self.steps_window = window_push(self.steps_window, chunk_env_steps)
         self.chunks_run += 1
-        self.env_steps += self._base_env.batch_size * chunk_steps
+        self.env_steps += chunk_env_steps
 
         if self.writer is not None:
             self.writer.append(record, name=f"chunk_{self.chunks_run:06d}")
@@ -473,7 +516,9 @@ class FleetRunner:
         """Loop readout: per-channel observation statistics plus throughput."""
         s = running_summary(self.obs_stats)
         mean_chunk_seconds = float(window_mean(self.time_window))
-        steps_per_chunk = self.env_steps / max(self.chunks_run, 1)
+        # steps-per-chunk from the same recent window as the wall time —
+        # the lifetime average is wrong whenever chunk sizes varied
+        steps_per_chunk = float(window_mean(self.steps_window))
         return {
             "chunks": self.chunks_run,
             "env_steps": self.env_steps,

@@ -109,7 +109,24 @@ def train_policy(
     if loss_fn is None:
         loss_fn = default_tracking_loss(env)
 
+    # same CPU-backend guard as FleetRunner/RolloutCollector: without
+    # interpret, the closed-loop kernels are Mosaic programs that cannot
+    # lower on a CPU (virtual-device) backend — fail with the module's
+    # descriptive error instead of a cryptic compiler crash
+    if not interpret and jax.default_backend() == "cpu":
+        raise ValueError(
+            "train_policy on the CPU backend requires interpret=True "
+            "(Mosaic closed-loop kernels cannot lower on CPU)"
+        )
+
     if isinstance(env, ShardedEnv):
+        if not env.closed_loop_in_scope(interpret):
+            raise ValueError(
+                "train_policy requires closed-loop kernel scope for this "
+                "sharded env (kernel scope, scalar normalizations, or "
+                "per-shard batch tiling)"
+            )
+
         def rollout(p):
             return env.fused_closed_loop(
                 state, policy, n_steps, obs_stride=1, interpret=interpret,

@@ -72,3 +72,42 @@ def test_load_state_rejects_shape_mismatch(tmp_path):
     if jnp.ones(()).dtype != jnp.float32:  # x64 tests: stored f64 vs f32 template
         with pytest.raises(ValueError, match="dtype mismatch"):
             load_state(like_bad_dtype, path)
+
+
+@pytest.mark.skipif(not ORBAX_AVAILABLE, reason="orbax not installed")
+def test_orbax_save_overwrites_existing_destination(tmp_path):
+    """Elastic recovery replays a chunk after restoring from its own
+    checkpoint, re-saving to the same fleet_{chunks_run} path — the orbax
+    backend must overwrite, not raise 'Destination already exists'."""
+    env = excenvs.Pendulum(batch_size=4)
+    _, state = env.vmap_reset()
+    path = str(tmp_path / "ckpt")
+    save_state(state, path, use_orbax=True)
+    _, state2 = env.vmap_step(state, 0.3 * jnp.ones((4, 1)))
+    save_state(state2, path, use_orbax=True)  # must not raise
+    restored = load_state(env.vmap_init_state(), path, use_orbax=True)
+    np.testing.assert_array_equal(
+        np.asarray(restored.physical_state.theta), np.asarray(state2.physical_state.theta)
+    )
+
+
+@pytest.mark.skipif(not ORBAX_AVAILABLE, reason="orbax not installed")
+def test_orbax_shape_and_dtype_mismatch_rejected(tmp_path):
+    """The orbax branch must validate leaf shapes/dtypes against the `like`
+    template just like the npz branch: restoring a batch-8 checkpoint into a
+    batch-4 template fails here, not as an opaque vmap axis error later."""
+    env8 = excenvs.Pendulum(batch_size=8)
+    _, state8 = env8.vmap_reset()
+    path = str(tmp_path / "ckpt")
+    save_state(state8, path, use_orbax=True)
+
+    env4 = excenvs.Pendulum(batch_size=4)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_state(env4.vmap_init_state(), path, use_orbax=True)
+
+    f32_template = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32) if np.asarray(x).dtype == np.float64 else x,
+        jax.device_get(env8.vmap_init_state()),
+    )
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        load_state(f32_template, path, use_orbax=True)

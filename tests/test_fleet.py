@@ -425,3 +425,66 @@ def test_fleet_retry_preserves_mesh_sharding():
     assert calls["n"] == 4
     for leaf in jax.tree_util.tree_leaves(final):
         assert not leaf.sharding.is_fully_replicated, "retry dropped the mesh sharding"
+
+
+def test_fleet_deterministic_errors_are_not_retried():
+    """ValueError/TypeError/IndexError from the rollout path or user hooks
+    are deterministic — the retry loop must surface them immediately instead
+    of burning max_retries full snapshot-restore replays."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(20), BATCH))
+    runner = FleetRunner(env, interpret=True)
+    attempts = []
+
+    def bad_source(k):
+        attempts.append(k)
+        raise IndexError("user bug in the action source")
+
+    with pytest.raises(IndexError, match="user bug"):
+        runner.run(state0, bad_source, n_chunks=2, chunk_steps=4, max_retries=5)
+    assert attempts == [0]  # exactly one attempt, zero replays
+
+
+def test_fleet_summary_throughput_with_mixed_chunk_sizes():
+    """env_steps_per_sec must pair the recent window's wall time with the
+    SAME window's step counts — the lifetime steps-per-chunk average is
+    wrong when chunk sizes vary across the runner's lifetime."""
+    env = excenvs.Pendulum(batch_size=BATCH)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(21), BATCH))
+    runner = FleetRunner(env, interpret=True, window=4)
+    state = runner.run(state, _actions(env, 32), n_chunks=2, chunk_steps=32)
+    state = runner.run(state, _actions(env, 2, seed0=100), n_chunks=4, chunk_steps=2)
+    s = runner.summary()
+    # the window (len 4) holds only the 2-step chunks; lifetime average would
+    # be (2*32+4*2)/6 = 12 steps/chunk — 6x the window's true 2
+    assert s["env_steps"] == BATCH * (2 * 32 + 4 * 2)
+    win_steps = BATCH * 2
+    assert abs(s["env_steps_per_sec"] * s["mean_chunk_seconds"] - win_steps) < 1e-3 * win_steps
+
+
+def test_fleet_sharded_out_of_scope_closed_loop_rides_scan():
+    """A ShardedEnv whose per-shard batch is not a kernel tile (local 512 on
+    an 8-device mesh) must select the scan closed-loop lane instead of
+    raising 'fused_closed_loop out of scope' on every chunk."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    B = 4096  # local batch 512 -> per-shard tiling out of scope
+    env = excenvs.Pendulum(batch_size=B, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    assert not senv.closed_loop_in_scope(interpret=True)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(22), B))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, B))
+    )
+    state = senv.shard(state)
+
+    runner = FleetRunner(senv, interpret=True)
+
+    def pd(obs, t):
+        return (-0.8 * (obs[0] - obs[2]) - 0.3 * obs[1],)
+
+    state = runner.run_policy(state, pd, n_chunks=1, chunk_steps=4)
+    assert runner.closed_loop_path == "closed_loop_scan"
+    assert runner.summary()["chunks"] == 1

@@ -123,3 +123,30 @@ def test_default_tracking_loss_pmsm_torque_pairs_real_column():
     )[:, None, :]  # (B, T=1, obs_dim)
     loss = default_tracking_loss(env)(obs, None)
     assert float(loss) < 1e-12
+
+
+def test_train_policy_cpu_backend_requires_interpret():
+    """Regression: interpret=False on the CPU backend must raise the
+    module's descriptive error instead of crashing in Mosaic lowering
+    (the guard every sibling path — FleetRunner, RolloutCollector — has)."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-backend guard only observable on the CPU backend")
+    env, s0 = _pendulum_setup()
+    params = {"kp": jnp.asarray(0.1), "kd": jnp.asarray(0.0)}
+    with pytest.raises(ValueError, match="interpret=True"):
+        train_policy(env, _pd, params, s0, n_steps=4, iterations=1)
+
+
+def test_train_policy_sharded_out_of_scope_raises_descriptive():
+    """A ShardedEnv out of per-shard kernel scope must raise the descriptive
+    scope error up front, not 'fused_closed_loop out of scope' mid-iteration."""
+    from exciting_environments_tpu.parallel import ShardedEnv, make_batch_mesh
+
+    mesh = make_batch_mesh(jax.devices()[:8])
+    env = excenvs.Pendulum(batch_size=4096, tau=1e-2, control_state=["theta"])  # local 512
+    senv = ShardedEnv(env, mesh)
+    _, s0 = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(1), 4096))
+    params = {"kp": jnp.asarray(0.1), "kd": jnp.asarray(0.0)}
+    with pytest.raises(ValueError, match="sharded"):
+        train_policy(senv, _pd, params, senv.shard(s0), n_steps=4, iterations=1,
+                     interpret=True)

@@ -84,6 +84,7 @@ class ClassicODEEnvironment(CoreEnvironment):
         fast_math: bool = False,
         process_noise: dict = None,
         observation_noise: dict = None,
+        noise_mode: str = "exact",
     ):
         """
         Args:
@@ -122,6 +123,20 @@ class ClassicODEEnvironment(CoreEnvironment):
                 units, scalar; scaled into the normalized band through the
                 field's normalization span).  Same key/path semantics as
                 ``process_noise``; the underlying state stays exact.
+            noise_mode: Draw-stream generation for the stochastic paths.
+                ``"exact"`` (default) chains ``split(key, 3)`` per step —
+                step-by-step loops, ``vmap_rollout`` and the fused kernel
+                all consume literally the same draws, but generation is
+                inherently sequential over time (the noise roofline for
+                whole-horizon rollouts).  ``"fast"`` derives each step's
+                draws counter-style from the rollout's starting key
+                (``fold_in(key, t)``): whole-rollout noise generates
+                time-parallel at kernel-class speed, still deterministic
+                per key, independent across the batch and mesh-partition-
+                invariant; scan and fused rollouts stay draw-identical to
+                each other, but one T-step rollout and T chained ``step``
+                calls use different (equally valid) streams — see
+                ``CoreEnvironment._noise_slabs``.
 
         Note: attributes of ``MinMaxNormalization`` and ``static_params``
         values may also be ``(batch_size,)`` arrays to set per-batch values
@@ -164,6 +179,11 @@ class ClassicODEEnvironment(CoreEnvironment):
             tuple(f.name for f in fields(self.PhysicalState)),
             "observation_noise",
         )
+        if noise_mode not in ("exact", "fast"):
+            raise ValueError(
+                f'noise_mode must be "exact" or "fast", got {noise_mode!r}'
+            )
+        self._noise_mode = noise_mode
 
         env_properties = self.EnvProperties(
             physical_normalizations=self.PhysicalState(**physical_normalizations),

@@ -76,6 +76,12 @@ class CoreEnvironment:
     #: sensor-noise std per observed physical field in physical units
     #: (``None`` = exact observations).
     _observation_noise: dict = None
+    #: noise draw-stream mode: ``"exact"`` chains ``split(key, 3)`` per step
+    #: (step-by-step ≡ rollout, but inherently sequential over time);
+    #: ``"fast"`` derives each step's draws counter-style from the rollout's
+    #: starting key (``fold_in(key, t)``) so whole-rollout noise generation is
+    #: time-parallel — see :meth:`_noise_slabs`.
+    _noise_mode: str = "exact"
 
     def __init__(self, batch_size: int, env_properties, tau: float = 1e-4, solver=None):
         """
@@ -369,15 +375,21 @@ class CoreEnvironment:
         return key
 
     def _apply_process_noise(self, state, key, env_properties):
+        """One Euler–Maruyama diffusion increment drawn from ``key``."""
+        eps = jax.random.normal(key, (len(self._process_noise),))
+        return self._apply_process_noise_eps(state, eps, env_properties)
+
+    def _apply_process_noise_eps(self, state, eps, env_properties):
         """One Euler–Maruyama diffusion increment: ``x += sigma * sqrt(tau) * xi``
-        per configured field (sigma in physical units per sqrt-second).  The
-        drift was integrated by the configured solver over ``tau``, so for the
-        default Euler this is exactly Euler–Maruyama; for higher-order solvers
-        it is the standard splitting scheme (weak order 1 in the noise).
-        Angle wrapping and post-step clipping re-apply to the perturbed state."""
+        per configured field (sigma in physical units per sqrt-second), with
+        the standard-normal draws ``eps`` supplied by the caller (sorted-field
+        order).  The drift was integrated by the configured solver over
+        ``tau``, so for the default Euler this is exactly Euler–Maruyama; for
+        higher-order solvers it is the standard splitting scheme (weak order 1
+        in the noise).  Angle wrapping and post-step clipping re-apply to the
+        perturbed state."""
         names = self._ode_state_fields
         items = sorted(self._process_noise.items())
-        eps = jax.random.normal(key, (len(items),))
         sqrt_tau = jnp.sqrt(self.tau)
         y = list(self._physical_to_y(state.physical_state))
         for j, (name, sigma) in enumerate(items):
@@ -410,16 +422,125 @@ class CoreEnvironment:
         )
 
     def _apply_observation_noise(self, obs, env_properties, key):
+        """Additive Gaussian sensor noise drawn from ``key``."""
+        eps = jax.random.normal(key, (self.physical_state_dim,))
+        return self._apply_observation_noise_eps(obs, env_properties, eps)
+
+    def _apply_observation_noise_eps(self, obs, env_properties, eps):
         """Additive Gaussian sensor noise on the observed physical components
         (std in physical units, scaled into the normalized band through each
-        field's normalization span — per-batch spans work).  Reference/extra
-        observation components are left exact."""
-        names = tuple(f.name for f in fields(self.PhysicalState))
-        eps = jax.random.normal(key, (len(names),))
+        field's normalization span — per-batch spans work), with the
+        standard-normal draws ``eps`` (one per physical field) supplied by the
+        caller.  Reference/extra observation components are left exact."""
         sigma_norm = jnp.stack(self._obs_noise_sigma_norm(env_properties))
-        pad = obs.shape[-1] - len(names)
+        pad = obs.shape[-1] - self.physical_state_dim
         noise = jnp.concatenate([sigma_norm * eps, jnp.zeros(pad)])
         return obs + noise
+
+    def _noise_slabs(self, keys0, n_steps: int, stride: int):
+        """Whole-rollout noise draws for all ``batch_size`` instances.
+
+        Single source of the per-rollout draw stream, shared by the scan
+        (:meth:`vmap_rollout`) and the fused Pallas kernel
+        (``ops/pallas/stepper.py::env_fused_rollout``) so the two paths stay
+        draw-identical.
+
+        Args:
+            keys0: per-instance PRNG keys ``(batch_size,)`` (raw or typed).
+            n_steps: rollout length T (static).
+            stride: observation save stride (static, divides ``n_steps``);
+                sensor draws are produced only at save positions.
+
+        Returns:
+            ``(eps_proc, eps_obs, keys_saves, final_keys)`` — standard-normal
+            process draws ``(B, T, n_proc)`` (``None`` without process noise),
+            sensor draws ``(B, S, n_phys)`` at the ``S = T // stride`` save
+            positions (``None`` without observation noise), the state keys at
+            each save position ``(B, S)``, and the final state keys ``(B,)``.
+
+        Draw-stream semantics by ``_noise_mode``:
+
+        * ``"exact"`` — the per-step ``split(key, 3)`` chain of :meth:`step`,
+          evaluated as a sequential scan: stepping one-by-one, ``vmap_rollout``
+          and the fused kernel all consume literally the same draws.  The
+          chain is inherently sequential over time (~one threefry application
+          per step regardless of batch), which bounds stochastic rollouts at
+          the noise-generation roofline.
+        * ``"fast"`` — counter-style keys derived from the rollout's starting
+          key: step ``t`` draws from ``fold_in(fold_in(key, t), 0/1)``
+          (process/sensor), and the state key after step ``t`` is
+          ``fold_in(key, t + 1)``.  All T steps' draws are independent
+          hashes of ``(key, t)`` and generate **time-parallel**.  Still fully
+          deterministic per key, still independent across instances and
+          therefore mesh-partition-invariant.  The trade-off: one T-step
+          rollout and T chained :meth:`step` calls use *different (equally
+          valid) draw streams* — :meth:`step` realizes the T=1 rollout, so
+          chaining re-derives step 0 of a fresh stream from each new key —
+          mirroring the documented step/sim_ahead divergence contract.
+        """
+        if n_steps % stride:
+            raise ValueError("n_steps must be divisible by obs_stride")
+        proc_items = sorted(self._process_noise.items()) if self._process_noise else []
+        want_obs = bool(self._observation_noise)
+        n_p = len(proc_items)
+        n_phys = self.physical_state_dim
+        n_segs = n_steps // stride
+
+        if self._noise_mode == "fast":
+            fold = jax.random.fold_in
+
+            if proc_items:
+                t_idx = jnp.arange(n_steps)
+                eps_proc = jax.vmap(
+                    lambda k: jax.vmap(
+                        lambda t: jax.random.normal(fold(fold(k, t), 0), (n_p,))
+                    )(t_idx)
+                )(keys0)
+            else:
+                eps_proc = None
+            save_t = jnp.arange(1, n_segs + 1) * stride - 1  # last step of each segment
+            if want_obs:
+                eps_obs = jax.vmap(
+                    lambda k: jax.vmap(
+                        lambda t: jax.random.normal(fold(fold(k, t), 1), (n_phys,))
+                    )(save_t)
+                )(keys0)
+            else:
+                eps_obs = None
+            keys_saves = jax.vmap(lambda k: jax.vmap(lambda t: fold(k, t + 1))(save_t))(keys0)
+            final_keys = keys_saves[:, -1]  # == fold_in(keys0, n_steps)
+            return eps_proc, eps_obs, keys_saves, final_keys
+
+        def _inner(key, _):
+            new_key, k_proc, k_obs = jax.random.split(key, 3)
+            eps_p = (
+                jax.random.normal(k_proc, (n_p,)) if proc_items else jnp.zeros((0,))
+            )
+            return new_key, (eps_p, k_obs)
+
+        def _outer(key, _):
+            key, (eps_p_seg, k_obs_seg) = jax.lax.scan(_inner, key, None, length=stride)
+            # sensor draws only at SAVE positions: the key chain advances via
+            # split alone, so skipping the unneeded per-step normal() calls
+            # is draw-exact vs the scan path while shrinking the slab from
+            # (B, T, n_phys) to (B, n_saves, n_phys)
+            eps_o = (
+                jax.random.normal(k_obs_seg[-1], (n_phys,))
+                if want_obs
+                else jnp.zeros((0,))
+            )
+            # the carry here IS the state key after the segment's last step
+            return key, (eps_p_seg, eps_o, key)
+
+        final_keys, (eps_proc, eps_obs, keys_saves) = jax.vmap(
+            lambda k: jax.lax.scan(_outer, k, None, length=n_segs)
+        )(keys0)
+        eps_proc = (
+            eps_proc.reshape(self.batch_size, n_steps, n_p) if proc_items else None
+        )
+        if not want_obs:
+            eps_obs = None
+        return eps_proc, eps_obs, keys_saves, final_keys
 
     # ------------------------------------------------------------------
     # reset / step / sim_ahead (reference core_env.py:361-531)
@@ -455,7 +576,16 @@ class CoreEnvironment:
         )
 
         if self._has_noise:
-            new_key, k_proc, k_obs = jax.random.split(self._require_noise_key(state), 3)
+            base = self._require_noise_key(state)
+            if self._noise_mode == "fast":
+                # counter-style stream: step() realizes the T=1 rollout of
+                # _noise_slabs' fast mode (fold_in(key, t) per-step keys)
+                k_step = jax.random.fold_in(base, 0)
+                k_proc = jax.random.fold_in(k_step, 0)
+                k_obs = jax.random.fold_in(k_step, 1)
+                new_key = jax.random.fold_in(base, 1)
+            else:
+                new_key, k_proc, k_obs = jax.random.split(base, 3)
             state = structures.replace(state, PRNGKey=new_key)
 
         action = self.denormalize_action(action_norm, env_properties)
@@ -619,6 +749,9 @@ class CoreEnvironment:
         n_steps = actions.shape[1]
         assert n_steps % obs_stride == 0, "n_steps must be divisible by obs_stride"
 
+        if self._has_noise and self._noise_mode == "fast":
+            return self._vmap_rollout_fast_noise(init_state, actions, obs_stride)
+
         step_batch = jax.vmap(self.step, in_axes=(0, 0, self.in_axes_env_properties))
         actions_tm = jnp.swapaxes(actions, 0, 1)  # time-major for scan
 
@@ -645,6 +778,70 @@ class CoreEnvironment:
 
             final_state, obs = jax.lax.scan(body, init_state, chunked)
 
+        return jnp.swapaxes(obs, 0, 1), final_state
+
+    def _vmap_rollout_fast_noise(self, init_state, actions, obs_stride: int):
+        """:meth:`vmap_rollout` body for ``noise_mode="fast"``: the whole
+        rollout's draws generate time-parallel upfront (:meth:`_noise_slabs`)
+        and a slab-consuming scan applies them — draw-identical to the fused
+        kernel's fast-mode stream, so kernel-vs-scan parity holds in fast mode
+        exactly as it does in exact mode."""
+        n_steps = actions.shape[1]
+        keys0 = self._require_noise_key(init_state)
+        eps_proc, eps_obs, keys_saves, final_keys = self._noise_slabs(
+            keys0, n_steps, obs_stride
+        )
+        del keys_saves  # per-save keys are a fused-kernel (traj-states) concern
+        in_ax = self.in_axes_env_properties
+        props = self.env_properties
+        has_proc = eps_proc is not None
+        has_obs = eps_obs is not None
+
+        def one_step(state, a_t, ep_t):
+            def f(s, a, p, e):
+                a_phys = self.denormalize_action(a, p)
+                s = self._ode_solver_step(s, a_phys, p.static_params)
+                if has_proc:
+                    s = self._apply_process_noise_eps(s, e, p)
+                return s
+
+            return jax.vmap(f, in_axes=(0, 0, in_ax, 0))(state, a_t, props, ep_t)
+
+        def obs_of(state, eo_s):
+            def g(s, p, e):
+                obs = self.generate_observation(s, p)
+                if has_obs:
+                    obs = self._apply_observation_noise_eps(obs, p, e)
+                return obs
+
+            return jax.vmap(g, in_axes=(0, in_ax, 0))(state, props, eo_s)
+
+        n_segs = n_steps // obs_stride
+        acts_tm = jnp.swapaxes(actions, 0, 1)
+        a_ch = acts_tm.reshape(n_segs, obs_stride, self.batch_size, self.action_dim)
+        ep = (
+            jnp.swapaxes(eps_proc, 0, 1)
+            if has_proc
+            else jnp.zeros((n_steps, self.batch_size, 0))
+        )
+        ep_ch = ep.reshape(n_segs, obs_stride, self.batch_size, ep.shape[-1])
+        eo = (
+            jnp.swapaxes(eps_obs, 0, 1)
+            if has_obs
+            else jnp.zeros((n_segs, self.batch_size, 0))
+        )
+
+        def seg(state, xs):
+            a_c, ep_c, eo_s = xs
+
+            def inner(s, x):
+                return one_step(s, x[0], x[1]), None
+
+            state, _ = jax.lax.scan(inner, state, (a_c, ep_c))
+            return state, obs_of(state, eo_s)
+
+        final_state, obs = jax.lax.scan(seg, init_state, (a_ch, ep_ch, eo))
+        final_state = structures.replace(final_state, PRNGKey=final_keys)
         return jnp.swapaxes(obs, 0, 1), final_state
 
     def fused_rollout(self, init_state, actions, obs_stride: int = None,

@@ -906,57 +906,26 @@ def env_fused_rollout(
     # denormalize once — a cheap XLA pre-pass over the action slab
     actions = _denormalize_action_slab(env, actions_norm, time_major)
 
-    # stochastic envs: precompute the scan path's EXACT per-step noise draws
-    # (the same split(key, 3) chain and normal() calls CoreEnvironment.step
-    # makes) in an XLA pre-pass, pre-scale the process increments, and stream
-    # them into the kernel alongside the actions — the kernel stays
-    # deterministic, the semantics stay the scan's
+    # stochastic envs: precompute the scan path's per-step noise draws (the
+    # shared CoreEnvironment._noise_slabs stream — the exact split(key, 3)
+    # chain, or the time-parallel counter-style stream for
+    # noise_mode="fast") in an XLA pre-pass, pre-scale the process
+    # increments, and stream them into the kernel alongside the actions —
+    # the kernel stays deterministic, the semantics stay the scan's
     noise_tm, noise_idx, eps_obs, final_keys, keys_saves = None, (), None, None, None
     if getattr(env, "_has_noise", False):
         keys0 = env._require_noise_key(init_state)
-        proc_items = sorted(env._process_noise.items()) if env._process_noise else []
-        want_obs = bool(env._observation_noise)
-        n_phys = env.physical_state_dim
         stride = obs_stride or n_steps
-        if n_steps % stride:
-            raise ValueError("n_steps must be divisible by obs_stride")
-        n_segs = n_steps // stride
-
-        def _inner(key, _):
-            new_key, k_proc, k_obs = jax.random.split(key, 3)
-            eps_p = (
-                jax.random.normal(k_proc, (len(proc_items),))
-                if proc_items
-                else jnp.zeros((0,))
-            )
-            return new_key, (eps_p, k_obs)
-
-        def _outer(key, _):
-            key, (eps_p_seg, k_obs_seg) = jax.lax.scan(_inner, key, None, length=stride)
-            # sensor draws only at SAVE positions: the key chain advances via
-            # split alone, so skipping the unneeded per-step normal() calls
-            # is draw-exact vs the scan path while shrinking the slab from
-            # (B, T, n_phys) to (B, n_saves, n_phys)
-            eps_o = (
-                jax.random.normal(k_obs_seg[-1], (n_phys,))
-                if want_obs
-                else jnp.zeros((0,))
-            )
-            # the carry here IS the state key after the segment's last step
-            return key, (eps_p_seg, eps_o, key)
-
-        final_keys, (eps_proc, eps_obs, keys_saves) = jax.vmap(
-            lambda k: jax.lax.scan(_outer, k, None, length=n_segs)
-        )(keys0)
-        if proc_items:
-            eps_proc = eps_proc.reshape(env.batch_size, n_steps, len(proc_items))
+        eps_proc, eps_obs, keys_saves, final_keys = env._noise_slabs(
+            keys0, n_steps, stride
+        )
+        if eps_proc is not None:
+            proc_items = sorted(env._process_noise.items())
             coef = jnp.asarray([s for _, s in proc_items], dtype=eps_proc.dtype) * jnp.sqrt(
                 env.tau
             )
             noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))  # (T, B, n_noise)
             noise_idx = tuple(env._ode_state_fields.index(n) for n, _ in proc_items)
-        if not want_obs:
-            eps_obs = None
 
     # the tile ODE is cached on the env so the jitted kernel is reused across
     # calls (a fresh closure per call would miss the jit cache every time)

@@ -131,8 +131,10 @@ def test_deterministic_paths_guard():
         env.vmap_step(nokey, jnp.zeros((1024, 1)))
 
 
-def test_fused_stochastic_rollout_matches_scan():
-    """The kernel consumes the scan path's exact precomputed noise draws:
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_fused_stochastic_rollout_matches_scan(noise_mode):
+    """The kernel consumes the scan path's precomputed noise draws (the exact
+    split-chain stream, or fast mode's time-parallel counter-style stream):
     states/observations agree to cross-program fusion drift, PRNG keys
     thread identically."""
     from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
@@ -142,6 +144,7 @@ def test_fused_stochastic_rollout_matches_scan():
         batch_size=B_, tau=TAU,
         process_noise={"omega": 0.5, "theta": 0.05},
         observation_noise={"theta": 0.02},
+        noise_mode=noise_mode,
     )
     keys = jax.random.split(jax.random.PRNGKey(0), B_)
     _, st = env.vmap_reset(keys)
@@ -221,6 +224,79 @@ def test_fused_traj_states_carry_advanced_keys():
             np.asarray(traj.PRNGKey)[:, s], np.asarray(scan_state.PRNGKey)
         )
     np.testing.assert_array_equal(np.asarray(final.PRNGKey), np.asarray(traj.PRNGKey)[:, -1])
+
+
+def test_fast_mode_key_contracts_and_statistics():
+    """Fast mode's documented contracts: the state key after a T-step rollout
+    is ``fold_in(key, T)``, trajectory saves carry ``fold_in(key, s)``,
+    ``step`` realizes the T=1 rollout, and the increments keep the exact
+    mode's N(0, sigma^2 tau) statistics and Brownian accumulation."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
+
+    B_, T, stride = 1024, 16, 4
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU, process_noise={"omega": 0.5},
+        observation_noise={"theta": 0.02}, noise_mode="fast",
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(5), B_))
+    acts = jax.random.uniform(jax.random.PRNGKey(6), (B_, T, 1), minval=-1, maxval=1)
+
+    # key contracts (state keys are the reset's split children, hence st.PRNGKey)
+    _, traj, final = env_fused_rollout(
+        env, st, acts, obs_stride=stride, interpret=True, strict=True,
+        return_traj_states=True,
+    )
+    expect_saves = jax.vmap(
+        lambda k: jax.vmap(lambda t: jax.random.fold_in(k, t))(
+            jnp.arange(1, T // stride + 1) * stride
+        )
+    )(st.PRNGKey)
+    np.testing.assert_array_equal(np.asarray(traj.PRNGKey), np.asarray(expect_saves))
+    np.testing.assert_array_equal(
+        np.asarray(final.PRNGKey), np.asarray(expect_saves)[:, -1]
+    )
+
+    # step() == 1-step rollout (draws AND key)
+    obs1, st1 = env.vmap_step(st, acts[:, 0])
+    obs_r, fin_r = env.vmap_rollout(st, acts[:, :1])
+    np.testing.assert_allclose(
+        np.asarray(obs1), np.asarray(obs_r[:, 0]), rtol=0, atol=1e-12
+    )
+    np.testing.assert_array_equal(np.asarray(st1.PRNGKey), np.asarray(fin_r.PRNGKey))
+
+    # statistics: one-step increment std == sigma * sqrt(tau); variance grows
+    # along the horizon (Brownian scaling, same loose band as exact mode)
+    det = excenvs.Pendulum(batch_size=B_, tau=TAU)
+    _, st_d = det.vmap_reset(jax.random.split(jax.random.PRNGKey(5), B_))
+    _, sd1 = det.vmap_step(st_d, acts[:, 0])
+    d = np.asarray(st1.physical_state.omega) - np.asarray(sd1.physical_state.omega)
+    expected = 0.5 * np.sqrt(TAU)
+    assert abs(d.std() / expected - 1.0) < 0.1
+    _, f32 = env.vmap_rollout(st, jnp.zeros((B_, 32, 1)))
+    _, f128 = env.vmap_rollout(st, jnp.zeros((B_, 128, 1)))
+    _, d32 = det.vmap_rollout(st_d, jnp.zeros((B_, 32, 1)))
+    _, d128 = det.vmap_rollout(st_d, jnp.zeros((B_, 128, 1)))
+    v32 = np.var(np.asarray(f32.physical_state.omega) - np.asarray(d32.physical_state.omega))
+    v128 = np.var(np.asarray(f128.physical_state.omega) - np.asarray(d128.physical_state.omega))
+    assert 2.0 < v128 / v32 < 12.0
+
+    # reproducible per key, and a different stream than exact mode
+    _, again = env.vmap_rollout(st, acts)
+    _, once = env.vmap_rollout(st, acts)
+    np.testing.assert_array_equal(
+        np.asarray(again.physical_state.omega), np.asarray(once.physical_state.omega)
+    )
+    exact = excenvs.Pendulum(
+        batch_size=B_, tau=TAU, process_noise={"omega": 0.5},
+        observation_noise={"theta": 0.02},
+    )
+    _, fin_exact = exact.vmap_rollout(st, acts)
+    assert not np.array_equal(
+        np.asarray(fin_exact.physical_state.omega), np.asarray(once.physical_state.omega)
+    )
+
+    with pytest.raises(ValueError, match="noise_mode"):
+        excenvs.Pendulum(batch_size=4, noise_mode="bogus")
 
 
 def test_typed_prng_keys_accepted():

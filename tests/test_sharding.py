@@ -717,14 +717,17 @@ def test_sharded_fused_mppi_rejects_per_batch_params(mesh):
                       cfg, fused=True, interpret=True)
 
 
-def test_sharded_stochastic_rollout_equals_single_device(mesh):
-    """Noise draws hang off each instance's own PRNG key, so the stochastic
-    rollout is partition-invariant: mesh-sharded ≡ single-device."""
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_sharded_stochastic_rollout_equals_single_device(mesh, noise_mode):
+    """Noise draws hang off each instance's own PRNG key (in both draw-stream
+    modes), so the stochastic rollout is partition-invariant:
+    mesh-sharded ≡ single-device."""
     batch = 64
     keys = jax.random.split(jax.random.PRNGKey(11), batch)
     mk = lambda: excenvs.Pendulum(
         batch_size=batch, tau=1e-2,
         process_noise={"omega": 0.4}, observation_noise={"theta": 0.02},
+        noise_mode=noise_mode,
     )
     env = mk()
     _, st = env.vmap_reset(keys)

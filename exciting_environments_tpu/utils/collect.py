@@ -94,6 +94,16 @@ class RolloutCollector:
             for each of the ``T`` steps (observations are post-step).
         """
         env = self.env
+        if (
+            getattr(env, "_has_noise", False)
+            and getattr(env, "_noise_mode", "exact") == "fast"
+            and hasattr(env, "_noise_slabs")
+        ):
+            # fast-mode draw streams are defined per ROLLOUT (time-parallel
+            # slabs from the starting key) — consume the same slab the fused
+            # collector's kernel does, so collect == collect_fused holds in
+            # fast mode exactly as it does in exact mode
+            return self._collect_fast_noise(state, actions)
         in_axes = env.in_axes_env_properties
         step_batch = jax.vmap(env.step, in_axes=(0, 0, in_axes))
         reward_batch = jax.vmap(env.generate_reward, in_axes=(0, 0, in_axes))
@@ -110,6 +120,74 @@ class RolloutCollector:
         final_state, (obs, reward, terminated, truncated) = jax.lax.scan(
             body, state, jnp.swapaxes(actions, 0, 1)
         )
+        batch_major = lambda x: jnp.swapaxes(x, 0, 1)
+        return (
+            TrajectoryBatch(
+                observations=batch_major(obs),
+                actions=actions,
+                rewards=batch_major(reward),
+                terminated=batch_major(terminated),
+                truncated=batch_major(truncated),
+            ),
+            final_state,
+        )
+
+    @partial(jax.jit, static_argnums=0)
+    def _collect_fast_noise(self, state, actions):
+        """:meth:`collect` body for ``noise_mode="fast"`` stochastic envs:
+        the whole rollout's draws generate time-parallel upfront
+        (``CoreEnvironment._noise_slabs``) and the scan consumes slab rows —
+        the same stream the fused kernel streams, so the produced
+        :class:`TrajectoryBatch` is path-independent."""
+        from exciting_environments_tpu.core import structures
+
+        env = self.env
+        n_steps = actions.shape[1]
+        keys0 = env._require_noise_key(state)
+        eps_proc, eps_obs, _, final_keys = env._noise_slabs(keys0, n_steps, 1)
+        in_axes = env.in_axes_env_properties
+        props = env.env_properties
+        has_proc = eps_proc is not None
+        has_obs = eps_obs is not None
+
+        def step1(s, a, p, ep, eo):
+            a_phys = env.denormalize_action(a, p)
+            s = env._ode_solver_step(s, a_phys, p.static_params)
+            if has_proc:
+                s = env._apply_process_noise_eps(s, ep, p)
+            obs = env.generate_observation(s, p)
+            if has_obs:
+                obs = env._apply_observation_noise_eps(obs, p, eo)
+            return obs, s
+
+        step_batch = jax.vmap(step1, in_axes=(0, 0, in_axes, 0, 0))
+        reward_batch = jax.vmap(env.generate_reward, in_axes=(0, 0, in_axes))
+        term_batch = jax.vmap(env.generate_terminated, in_axes=(0, 0, in_axes))
+        trunc_batch = jax.vmap(env.generate_truncated, in_axes=(0, in_axes))
+
+        ep_tm = (
+            jnp.swapaxes(eps_proc, 0, 1)
+            if has_proc
+            else jnp.zeros((n_steps, env.batch_size, 0))
+        )
+        eo_tm = (
+            jnp.swapaxes(eps_obs, 0, 1)
+            if has_obs
+            else jnp.zeros((n_steps, env.batch_size, 0))
+        )
+
+        def body(state, xs):
+            action_t, ep_t, eo_t = xs
+            obs, state = step_batch(state, action_t, props, ep_t, eo_t)
+            reward = reward_batch(state, action_t, props)
+            terminated = term_batch(state, reward, props)
+            truncated = trunc_batch(state, props)
+            return state, (obs, reward, terminated, truncated)
+
+        final_state, (obs, reward, terminated, truncated) = jax.lax.scan(
+            body, state, (jnp.swapaxes(actions, 0, 1), ep_tm, eo_tm)
+        )
+        final_state = structures.replace(final_state, PRNGKey=final_keys)
         batch_major = lambda x: jnp.swapaxes(x, 0, 1)
         return (
             TrajectoryBatch(

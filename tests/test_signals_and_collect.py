@@ -108,11 +108,23 @@ def test_profiler_trace_context(tmp_path):
     files = list((tmp_path / "tb").rglob("*"))
     assert files, "profiler produced no trace artifacts"
 
-def test_collect_fused_matches_scan_collector():
+@pytest.mark.parametrize("noise", [None, "exact", "fast"])
+def test_collect_fused_matches_scan_collector(noise):
     """Open-loop collection at kernel speed: TrajectoryBatch identical to the
     scan collector (CPU closeness; reward/flags evaluated on the kernel's
-    reconstructed per-step states in one jitted program)."""
-    env = excenvs.Pendulum(batch_size=1024, control_state=["theta"])
+    reconstructed per-step states in one jitted program) — including for
+    stochastic envs in both draw-stream modes (fast mode's scan collector
+    consumes the same time-parallel slab the kernel streams)."""
+    kw = (
+        {}
+        if noise is None
+        else dict(
+            process_noise={"omega": 0.3},
+            observation_noise={"theta": 0.02},
+            noise_mode=noise,
+        )
+    )
+    env = excenvs.Pendulum(batch_size=1024, control_state=["theta"], **kw)
     col = RolloutCollector(env)
     _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))
     acts = jax.random.uniform(jax.random.PRNGKey(1), (1024, 6, 1), minval=-0.5, maxval=0.5)

@@ -171,19 +171,13 @@ class ClassicODEEnvironment(CoreEnvironment):
 
         self.control_state = control_state
         self.soft_constraints = soft_constraints
-        self._process_noise = self._validated_noise(
-            process_noise, self._ode_state_fields, "process_noise"
-        )
-        self._observation_noise = self._validated_noise(
+        self._configure_noise(
+            process_noise,
             observation_noise,
-            tuple(f.name for f in fields(self.PhysicalState)),
-            "observation_noise",
+            noise_mode,
+            process_fields=self._ode_state_fields,
+            observation_fields=tuple(f.name for f in fields(self.PhysicalState)),
         )
-        if noise_mode not in ("exact", "fast"):
-            raise ValueError(
-                f'noise_mode must be "exact" or "fast", got {noise_mode!r}'
-            )
-        self._noise_mode = noise_mode
 
         env_properties = self.EnvProperties(
             physical_normalizations=self.PhysicalState(**physical_normalizations),
@@ -192,20 +186,8 @@ class ClassicODEEnvironment(CoreEnvironment):
         )
         super().__init__(batch_size, env_properties=env_properties, tau=tau, solver=solver)
 
-    @staticmethod
-    def _validated_noise(noise: dict, valid_fields: tuple, what: str):
-        if not noise:
-            return None
-        for name, sigma in noise.items():
-            if name not in valid_fields:
-                raise ValueError(
-                    f"{what} field {name!r} is not one of {sorted(valid_fields)}"
-                )
-            if not (np.isscalar(sigma) and float(sigma) >= 0.0):
-                raise ValueError(
-                    f"{what}[{name!r}] must be a non-negative scalar std, got {sigma!r}"
-                )
-        return {k: float(v) for k, v in noise.items() if float(v) > 0.0} or None
+    # (noise validation lives on CoreEnvironment._validated_noise — shared
+    # with the PMSM's stochastic constructor args)
 
     # ------------------------------------------------------------------
     # reset / observation / reconstruction

@@ -34,6 +34,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.tree_util import tree_flatten, tree_structure
 
 from exciting_environments_tpu.core import structures
@@ -352,6 +353,37 @@ class CoreEnvironment:
     def _has_noise(self) -> bool:
         return bool(self._process_noise) or bool(self._observation_noise)
 
+    @staticmethod
+    def _validated_noise(noise: dict, valid_fields: tuple, what: str):
+        if not noise:
+            return None
+        for name, sigma in noise.items():
+            if name not in valid_fields:
+                raise ValueError(
+                    f"{what} field {name!r} is not one of {sorted(valid_fields)}"
+                )
+            if not (np.isscalar(sigma) and float(sigma) >= 0.0):
+                raise ValueError(
+                    f"{what}[{name!r}] must be a non-negative scalar std, got {sigma!r}"
+                )
+        return {k: float(v) for k, v in noise.items() if float(v) > 0.0} or None
+
+    def _configure_noise(self, process_noise, observation_noise, noise_mode,
+                         process_fields, observation_fields):
+        """Validate and store the stochastic-simulation constructor args
+        (shared by the classic envs and the PMSM)."""
+        self._process_noise = self._validated_noise(
+            process_noise, process_fields, "process_noise"
+        )
+        self._observation_noise = self._validated_noise(
+            observation_noise, observation_fields, "observation_noise"
+        )
+        if noise_mode not in ("exact", "fast"):
+            raise ValueError(
+                f'noise_mode must be "exact" or "fast", got {noise_mode!r}'
+            )
+        self._noise_mode = noise_mode
+
     def _require_noise_key(self, state):
         """Trace-time check that ``state`` carries a usable per-instance PRNG
         key.  A default (rng-less) reset stores a NaN placeholder
@@ -401,41 +433,53 @@ class CoreEnvironment:
                 setattr(new_state.physical_state, name, y[i])
         return new_state
 
+    @property
+    def _obs_noise_layout(self):
+        """``(obs_column, field_name)`` pairs eligible for sensor noise.
+
+        Default: the physical components at the head of the observation, in
+        ``PhysicalState`` field order (every classic env's
+        ``generate_observation`` layout).  Environments whose observation
+        reorders or re-encodes physical components (e.g. the PMSM's
+        cos/sin-encoded angle) override this with their own column map."""
+        return tuple((i, f.name) for i, f in enumerate(fields(self.PhysicalState)))
+
     def _obs_noise_sigma_norm(self, env_properties):
-        """Per-field sensor std in normalized units (``2 * sigma / span``;
-        leaf shapes follow the normalization leaves, so per-batch spans
-        work).  Single source of the scaling arithmetic — shared by the
-        per-step path below and the fused kernel's slab application
-        (``ops/pallas/stepper.py::_apply_obs_noise_slab``)."""
+        """Per-``_obs_noise_layout``-entry sensor std in normalized units
+        (``2 * sigma / span``; leaf shapes follow the normalization leaves, so
+        per-batch spans work).  Single source of the scaling arithmetic —
+        shared by the per-step path below and the fused kernel's slab
+        application (``ops/pallas/stepper.py::_apply_obs_noise_slab``)."""
         return tuple(
             (
                 2.0
-                * self._observation_noise[field.name]
+                * self._observation_noise[name]
                 / (
-                    getattr(env_properties.physical_normalizations, field.name).max
-                    - getattr(env_properties.physical_normalizations, field.name).min
+                    getattr(env_properties.physical_normalizations, name).max
+                    - getattr(env_properties.physical_normalizations, name).min
                 )
             )
-            if field.name in self._observation_noise
+            if name in self._observation_noise
             else jnp.zeros(())
-            for field in fields(self.PhysicalState)
+            for _col, name in self._obs_noise_layout
         )
 
     def _apply_observation_noise(self, obs, env_properties, key):
         """Additive Gaussian sensor noise drawn from ``key``."""
-        eps = jax.random.normal(key, (self.physical_state_dim,))
+        eps = jax.random.normal(key, (len(self._obs_noise_layout),))
         return self._apply_observation_noise_eps(obs, env_properties, eps)
 
     def _apply_observation_noise_eps(self, obs, env_properties, eps):
         """Additive Gaussian sensor noise on the observed physical components
         (std in physical units, scaled into the normalized band through each
         field's normalization span — per-batch spans work), with the
-        standard-normal draws ``eps`` (one per physical field) supplied by the
-        caller.  Reference/extra observation components are left exact."""
-        sigma_norm = jnp.stack(self._obs_noise_sigma_norm(env_properties))
-        pad = obs.shape[-1] - self.physical_state_dim
-        noise = jnp.concatenate([sigma_norm * eps, jnp.zeros(pad)])
-        return obs + noise
+        standard-normal draws ``eps`` (one per ``_obs_noise_layout`` entry)
+        supplied by the caller.  Columns outside the layout (references,
+        encodings, extras) are left exact."""
+        sigmas = self._obs_noise_sigma_norm(env_properties)
+        for k, (col, _name) in enumerate(self._obs_noise_layout):
+            obs = obs.at[col].add(sigmas[k] * eps[k])
+        return obs
 
     def _noise_slabs(self, keys0, n_steps: int, stride: int):
         """Whole-rollout noise draws for all ``batch_size`` instances.
@@ -483,7 +527,7 @@ class CoreEnvironment:
         proc_items = sorted(self._process_noise.items()) if self._process_noise else []
         want_obs = bool(self._observation_noise)
         n_p = len(proc_items)
-        n_phys = self.physical_state_dim
+        n_phys = len(self._obs_noise_layout)
         n_segs = n_steps // stride
 
         if self._noise_mode == "fast":
@@ -558,6 +602,17 @@ class CoreEnvironment:
         obs = self.generate_observation(state, env_properties)
         return obs, state
 
+    def _advance_state(self, state, action_norm, env_properties):
+        """The deterministic state update of one control step: denormalize the
+        action and integrate one ``tau`` interval.  Environments with extra
+        per-step actuation semantics (e.g. the PMSM's inverter constraint and
+        deadtime buffer) override this — it is the single hook through which
+        :meth:`step`, the fast-noise rollout scan and the fast-noise collector
+        advance the state, so the stochastic machinery composes with any
+        step override."""
+        action = self.denormalize_action(action_norm, env_properties)
+        return self._ode_solver_step(state, action, env_properties.static_params)
+
     @partial(jax.jit, static_argnums=0)
     def step(self, state, action_norm, env_properties):
         """One control step for a single environment instance.
@@ -588,8 +643,7 @@ class CoreEnvironment:
                 new_key, k_proc, k_obs = jax.random.split(base, 3)
             state = structures.replace(state, PRNGKey=new_key)
 
-        action = self.denormalize_action(action_norm, env_properties)
-        state = self._ode_solver_step(state, action, env_properties.static_params)
+        state = self._advance_state(state, action_norm, env_properties)
         if self._process_noise:
             state = self._apply_process_noise(state, k_proc, env_properties)
         obs = self.generate_observation(state, env_properties)
@@ -799,8 +853,7 @@ class CoreEnvironment:
 
         def one_step(state, a_t, ep_t):
             def f(s, a, p, e):
-                a_phys = self.denormalize_action(a, p)
-                s = self._ode_solver_step(s, a_phys, p.static_params)
+                s = self._advance_state(s, a, p)
                 if has_proc:
                     s = self._apply_process_noise_eps(s, e, p)
                 return s

@@ -62,6 +62,9 @@ class PMSM(CoreEnvironment):
         control_state: list = None,
         solver=None,
         tau: float = 1e-4,
+        process_noise: dict = None,
+        observation_noise: dict = None,
+        noise_mode: str = "exact",
     ):
         """
         Args:
@@ -77,6 +80,26 @@ class PMSM(CoreEnvironment):
             control_state: Physical-state components tracked by references.
             solver: ODE solver instance or registry name (default Euler).
             tau: Control/simulation step duration in seconds.
+            process_noise: Optional ``{field: sigma}`` additive
+                Euler–Maruyama disturbance on the integrated currents
+                (``i_d`` / ``i_q`` only; sigma in amperes per sqrt-second).
+                The derived torque is recomputed from the perturbed currents
+                each step, so observations and rewards stay electrically
+                consistent.  Same key semantics as the classic envs
+                (per-instance ``State.PRNGKey``); the stochastic paths are
+                ``step`` / ``vmap_step`` / ``vmap_rollout`` — ``sim_ahead``
+                and the fused drive kernels are deterministic solvers and
+                raise / fall out of scope (``rollout_path`` answers
+                ``"scan"``).
+            observation_noise: Optional ``{field: sigma}`` Gaussian sensor
+                noise on the measured columns (``i_d``, ``i_q``,
+                ``omega_el``, ``torque``; sigma in physical units, scaled
+                into the normalized band).  The epsilon encoder (cos/sin
+                columns), buffers and references stay exact; the underlying
+                state stays exact.
+            noise_mode: ``"exact"`` (per-step ``split(key, 3)`` chain) or
+                ``"fast"`` (time-parallel counter-style draws) — see
+                ``ClassicODEEnvironment``'s docstring.
         """
         self.batch_size = batch_size
         self.tau = tau
@@ -138,6 +161,13 @@ class PMSM(CoreEnvironment):
 
         self.control_state = control_state
         self.soft_constraints = soft_constraints
+        self._configure_noise(
+            process_noise,
+            observation_noise,
+            noise_mode,
+            process_fields=("i_d", "i_q"),
+            observation_fields=tuple(name for _col, name in self._obs_noise_layout),
+        )
 
         env_properties = self.EnvProperties(
             saturated=saturated,
@@ -743,6 +773,12 @@ class PMSM(CoreEnvironment):
     def sim_ahead(self, init_state, actions, env_properties, obs_stepsize, action_stepsize):
         """Trajectory simulation with hexagon constraint and deadtime shifting
         of the action sequence (reference ``pmsm_env.py:746-801``)."""
+        if self._has_noise:
+            raise ValueError(
+                "sim_ahead integrates the deterministic trajectory solve and does not "
+                "support process/observation noise — step the stochastic env through "
+                "vmap_step / vmap_rollout instead."
+            )
         actions = self.constraint_denormalization_ahead(actions, init_state, env_properties)
 
         deadtime = env_properties.static_params.deadtime
@@ -829,11 +865,11 @@ class PMSM(CoreEnvironment):
         )
         return reward, truncated, terminated
 
-    @partial(jax.jit, static_argnums=[0, 3])
-    def step(self, state, action, env_properties):
-        """One control step with actuation deadtime: the constrained action
-        enters the buffer while the buffered voltage drives the plant
-        (reference ``pmsm_env.py:851-883``)."""
+    def _advance_state(self, state, action, env_properties):
+        """Deterministic drive update of one control step with actuation
+        deadtime: the constrained action enters the buffer while the buffered
+        voltage drives the plant (reference ``pmsm_env.py:851-883``).  The
+        :meth:`CoreEnvironment.step` noise hooks compose around this."""
         action = self.constraint_denormalization(action, state, env_properties)
 
         action_buffer = jnp.array([state.physical_state.u_d_buffer, state.physical_state.u_q_buffer])
@@ -848,9 +884,62 @@ class PMSM(CoreEnvironment):
         with structures.copy_and_mutate(next_state, validate=True) as next_state_update:
             next_state_update.physical_state.u_d_buffer = updated_buffer[0]
             next_state_update.physical_state.u_q_buffer = updated_buffer[1]
+        return next_state_update
 
-        observation = self.generate_observation(next_state_update, env_properties)
-        return observation, next_state_update
+    @partial(jax.jit, static_argnums=[0, 3])
+    def step(self, state, action, env_properties):
+        """One control step with actuation deadtime (and, when configured,
+        the stochastic-simulation hooks — same key semantics as
+        ``CoreEnvironment.step``)."""
+        if self._has_noise:
+            base = self._require_noise_key(state)
+            if self._noise_mode == "fast":
+                k_step = jax.random.fold_in(base, 0)
+                k_proc = jax.random.fold_in(k_step, 0)
+                k_obs = jax.random.fold_in(k_step, 1)
+                new_key = jax.random.fold_in(base, 1)
+            else:
+                new_key, k_proc, k_obs = jax.random.split(base, 3)
+            state = structures.replace(state, PRNGKey=new_key)
+
+        next_state = self._advance_state(state, action, env_properties)
+        if self._process_noise:
+            next_state = self._apply_process_noise(next_state, k_proc, env_properties)
+        observation = self.generate_observation(next_state, env_properties)
+        if self._observation_noise:
+            observation = self._apply_observation_noise(observation, env_properties, k_obs)
+        return observation, next_state
+
+    #: observation columns eligible for sensor noise (the PMSM observation
+    #: re-encodes epsilon as cos/sin and appends buffers/references, so the
+    #: generic head-aligned default does not apply)
+    _obs_noise_layout = ((0, "i_d"), (1, "i_q"), (2, "omega_el"), (3, "torque"))
+
+    def _apply_process_noise_eps(self, state, eps, env_properties):
+        """Euler–Maruyama current disturbance: perturb ``i_d``/``i_q`` by
+        ``sigma * sqrt(tau) * xi`` and recompute the derived torque from the
+        perturbed currents (LUT or linear magnetics), so the observation and
+        reward see a consistent electrical state."""
+        items = sorted(self._process_noise.items())
+        sqrt_tau = jnp.sqrt(self.tau)
+        with structures.copy_and_mutate(state, validate=True) as noisy:
+            for j, (name, sigma) in enumerate(items):
+                setattr(
+                    noisy.physical_state,
+                    name,
+                    getattr(state.physical_state, name) + sigma * sqrt_tau * eps[j],
+                )
+        if env_properties.saturated:
+            torque = self.currents_to_torque_saturated(
+                noisy.physical_state.i_d, noisy.physical_state.i_q, env_properties
+            )
+        else:
+            torque = self.currents_to_torque(
+                noisy.physical_state.i_d, noisy.physical_state.i_q, env_properties
+            )
+        with structures.copy_and_mutate(noisy, validate=True) as out:
+            out.physical_state.torque = torque
+        return out
 
     # ------------------------------------------------------------------
     # observation / reconstruction / reward

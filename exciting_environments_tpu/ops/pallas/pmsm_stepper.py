@@ -765,6 +765,10 @@ def supports_pmsm_fused(env) -> bool:
         env.batch_size % TILE == 0
         and isinstance(env._solver, ExplicitRungeKutta)
         and int(params.deadtime) in (0, 1)
+        # stochastic drives ride the scan (the kernel integrates
+        # deterministically; the generic noise-slab streaming is a
+        # stepper.py facility the drive kernel does not implement)
+        and not getattr(env, "_has_noise", False)
     )
 
 

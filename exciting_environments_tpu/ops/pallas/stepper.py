@@ -817,27 +817,19 @@ def _denormalize_action_slab(env, actions_norm, time_major):
 
 
 def _apply_obs_noise_slab(env, obs, eps):
-    """Batched mirror of ``CoreEnvironment._apply_observation_noise``: scale
-    the precomputed standard-normal draws ``eps`` (``(B[, S], n_phys)``) by
-    the per-field normalized sigma (the same
+    """Batched mirror of ``CoreEnvironment._apply_observation_noise_eps``:
+    scale the precomputed standard-normal draws ``eps`` (``(B[, S],
+    len(layout))``) by the per-entry normalized sigma (the same
     ``CoreEnvironment._obs_noise_sigma_norm`` arithmetic, per-batch spans
-    included) and add onto the physical columns of ``obs``."""
-    sn = jnp.stack(
-        [
-            jnp.broadcast_to(jnp.asarray(v), (env.batch_size,))
-            for v in env._obs_noise_sigma_norm(env.env_properties)
-        ],
-        axis=-1,
-    )  # (B, n_phys)
-    if eps.ndim == 3:
-        sn = sn[:, None, :]
-    noise = sn * eps
-    pad = obs.shape[-1] - noise.shape[-1]
-    if pad:
-        noise = jnp.concatenate(
-            [noise, jnp.zeros(noise.shape[:-1] + (pad,), dtype=noise.dtype)], axis=-1
-        )
-    return obs + noise
+    included) and add onto the ``_obs_noise_layout`` columns of ``obs``."""
+    sigmas = [
+        jnp.broadcast_to(jnp.asarray(v), (env.batch_size,))
+        for v in env._obs_noise_sigma_norm(env.env_properties)
+    ]
+    for k, (col, _name) in enumerate(env._obs_noise_layout):
+        s = sigmas[k] if eps.ndim == 2 else sigmas[k][:, None]
+        obs = obs.at[..., col].add(s * eps[..., k])
+    return obs
 
 
 def _final_solver_state(env, y_final, last_action_phys):

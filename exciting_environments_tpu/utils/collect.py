@@ -151,8 +151,7 @@ class RolloutCollector:
         has_obs = eps_obs is not None
 
         def step1(s, a, p, ep, eo):
-            a_phys = env.denormalize_action(a, p)
-            s = env._ode_solver_step(s, a_phys, p.static_params)
+            s = env._advance_state(s, a, p)
             if has_proc:
                 s = env._apply_process_noise_eps(s, ep, p)
             obs = env.generate_observation(s, p)

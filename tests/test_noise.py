@@ -299,6 +299,108 @@ def test_fast_mode_key_contracts_and_statistics():
         excenvs.Pendulum(batch_size=4, noise_mode="bogus")
 
 
+@pytest.mark.parametrize("saturated", [True, False])
+def test_pmsm_stochastic_simulation(saturated):
+    """Stochastic drive: current-process disturbance (with the derived torque
+    recomputed from the perturbed currents), sensor noise on the measured
+    columns only, deterministic paths guarded, kernel scope excluded."""
+    variant = excenvs.MotorVariant.BRUSA
+    mk = lambda **kw: excenvs.PMSM(
+        batch_size=256, saturated=saturated, motor_variant=variant, **kw
+    )
+    env = mk(
+        process_noise={"i_d": 2.0, "i_q": 2.0},
+        observation_noise={"i_d": 0.5, "i_q": 0.5, "torque": 0.2},
+    )
+    det = mk()
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    _, st = env.vmap_reset(keys)
+    _, sd = det.vmap_reset(keys)
+    a = 0.1 * jnp.ones((256, 2))
+    obs, st1 = env.vmap_step(st, a)
+    _, sd1 = det.vmap_step(sd, a)
+
+    # one-step current increment is N(0, sigma^2 tau); buffers/epsilon exact
+    d = np.asarray(st1.physical_state.i_d) - np.asarray(sd1.physical_state.i_d)
+    expected = 2.0 * np.sqrt(env.tau)
+    assert abs(d.std() / expected - 1.0) < 0.2
+    np.testing.assert_allclose(
+        np.asarray(st1.physical_state.epsilon), np.asarray(sd1.physical_state.epsilon),
+        rtol=0, atol=1e-12,
+    )
+
+    # the derived torque reflects the PERTURBED currents (LUT or linear)
+    to_torque = (
+        env.currents_to_torque_saturated if saturated else env.currents_to_torque
+    )
+    tq = jax.vmap(lambda i_d, i_q: to_torque(i_d, i_q, env.env_properties))(
+        st1.physical_state.i_d, st1.physical_state.i_q
+    )
+    np.testing.assert_allclose(
+        np.asarray(tq).ravel(), np.asarray(st1.physical_state.torque).ravel(),
+        rtol=1e-12, atol=1e-12,
+    )
+
+    # sensor noise hits only the measured columns (i_d, i_q, torque here);
+    # omega_el unconfigured, cos/sin encoder and buffers always exact
+    clean = jax.vmap(env.generate_observation, in_axes=(0, None))(
+        st1, env.env_properties
+    )
+    dobs = np.asarray(obs - clean)
+    assert dobs[:, 0].std() > 0 and dobs[:, 1].std() > 0 and dobs[:, 3].std() > 0
+    assert np.abs(dobs[:, [2, 4, 5, 6, 7]]).max() < 1e-12
+    # normalized sigma of the i_d column: 2 * sigma / span
+    norm = env.env_properties.physical_normalizations.i_d
+    expected_col = 2 * 0.5 / float(norm.max - norm.min)
+    assert abs(dobs[:, 0].std() / expected_col - 1.0) < 0.2
+
+    # stochastic drives ride the scan: kernel scope excluded, strict raises,
+    # transparent fallback matches vmap_rollout draw-for-draw
+    assert rollout_path(env) == "scan"
+    acts = 0.1 * jnp.ones((256, 8, 2))
+    with pytest.raises(ValueError):
+        env.fused_rollout(st, acts, strict=True)
+    obs_f, fin_f = env.fused_rollout(st, acts, obs_stride=8)
+    obs_r, fin_r = env.vmap_rollout(st, acts, obs_stride=8)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_r))
+    np.testing.assert_array_equal(
+        np.asarray(fin_f.PRNGKey), np.asarray(fin_r.PRNGKey)
+    )
+
+    # deterministic trajectory paths guard
+    with pytest.raises(ValueError, match="sim_ahead"):
+        env.vmap_sim_ahead(st, jnp.zeros((256, 4, 2)), env.tau, env.tau)
+    with pytest.raises(ValueError, match="adaptive_rollout"):
+        adaptive_rollout(env, st, jnp.zeros((256, 4, 2)))
+
+    # validation: only currents take process noise, no epsilon sensor noise
+    with pytest.raises(ValueError, match="not one of"):
+        mk(process_noise={"epsilon": 0.1})
+    with pytest.raises(ValueError, match="not one of"):
+        mk(observation_noise={"epsilon": 0.1})
+
+
+def test_pmsm_fast_mode_step_realizes_one_step_rollout():
+    env = excenvs.PMSM(
+        batch_size=64, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        process_noise={"i_q": 2.0}, observation_noise={"i_d": 0.5},
+        noise_mode="fast",
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 64))
+    a = 0.1 * jnp.ones((64, 2))
+    o1, s1 = env.vmap_step(st, a)
+    orr, fr = env.vmap_rollout(st, a[:, None, :])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(orr[:, 0]), rtol=0, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(s1.PRNGKey), np.asarray(fr.PRNGKey))
+    np.testing.assert_allclose(
+        np.asarray(s1.physical_state.i_q), np.asarray(fr.physical_state.i_q),
+        rtol=0, atol=1e-12,
+    )
+    # final-key contract
+    exp = jax.vmap(lambda k: jax.random.fold_in(k, 1))(st.PRNGKey)
+    np.testing.assert_array_equal(np.asarray(s1.PRNGKey), np.asarray(exp))
+
+
 def test_typed_prng_keys_accepted():
     """New-style jax.random.key() typed keys drive the noise paths too."""
     env = excenvs.Pendulum(batch_size=8, tau=TAU, process_noise={"omega": 0.5})

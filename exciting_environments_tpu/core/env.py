@@ -602,6 +602,28 @@ class CoreEnvironment:
         obs = self.generate_observation(state, env_properties)
         return obs, state
 
+    def _state_from_normalized_physical(self, x_norm, env_properties, ref_norm=None):
+        """Single-instance :class:`State` whose physical fields take the given
+        normalized values ``x_norm`` (``PhysicalState`` field order), with an
+        inactive solver carry and a placeholder PRNG key.  ``ref_norm``
+        optionally supplies the normalized ``control_state`` reference
+        columns (NaN otherwise).
+
+        This is the physical-fields inverse of :meth:`normalize_state` — the
+        observers (EKF/UKF) and the output-feedback loop use it to rebuild a
+        steppable state from a belief vector.  The default routes through
+        :meth:`generate_state_from_observation` (valid for the classic
+        head-ordered observation layout); environments whose observation
+        re-encodes fields (PMSM) override it to build the state directly."""
+        x_norm = jnp.asarray(x_norm)
+        n_ref = len(self.control_state)
+        if ref_norm is None:
+            ref_cols = jnp.full((n_ref,), jnp.nan, x_norm.dtype)
+        else:
+            ref_cols = jnp.asarray(ref_norm)
+        obs = jnp.concatenate([x_norm, ref_cols])
+        return self.generate_state_from_observation(obs, env_properties)
+
     def _advance_state(self, state, action_norm, env_properties):
         """The deterministic state update of one control step: denormalize the
         action and integrate one ``tau`` interval.  Environments with extra

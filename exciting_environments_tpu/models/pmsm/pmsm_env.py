@@ -912,8 +912,32 @@ class PMSM(CoreEnvironment):
 
     #: observation columns eligible for sensor noise (the PMSM observation
     #: re-encodes epsilon as cos/sin and appends buffers/references, so the
-    #: generic head-aligned default does not apply)
+    #: generic head-aligned default does not apply) — also the measurable
+    #: columns for the EKF/UKF observers
     _obs_noise_layout = ((0, "i_d"), (1, "i_q"), (2, "omega_el"), (3, "torque"))
+
+    #: circular physical fields (consumed by the observers' innovation
+    #: wrapping and sysid's circular residual metric; the PMSM's own step
+    #: wraps epsilon explicitly, and no generic wrap machinery runs on it
+    #: because ``_ode_state_fields`` stays empty)
+    _angle_fields = ("epsilon",)
+
+    def _state_from_normalized_physical(self, x_norm, env_properties, ref_norm=None):
+        """Build the state directly from normalized physical fields (the
+        observation re-encodes epsilon as cos/sin, so the generic
+        observation-roundtrip default does not apply)."""
+        names = tuple(f.name for f in fields(self.PhysicalState))
+        phys = self.PhysicalState(**{name: x_norm[i] for i, name in enumerate(names)})
+        additions = self._pmsm_solver_additions(env_properties, phys)
+        ref = self._nan_reference()
+        if ref_norm is not None:
+            with structures.copy_and_mutate(ref, validate=False) as ref:
+                for pos, name in enumerate(self.control_state):
+                    setattr(ref, name, ref_norm[pos])
+        norm_state = self.State(
+            physical_state=phys, PRNGKey=jnp.nan, additions=additions, reference=ref
+        )
+        return self.denormalize_state(norm_state, env_properties)
 
     def _apply_process_noise_eps(self, state, eps, env_properties):
         """Euler–Maruyama current disturbance: perturb ``i_d``/``i_q`` by

@@ -37,11 +37,16 @@ Both filters accept a single trajectory ``(T, obs_dim)`` or a batch
 ``actions[k]`` — exactly the per-instance output of ``vmap_rollout`` /
 :class:`~exciting_environments_tpu.wrappers.gym.GymWrapper` stepping.
 
-Scope: :class:`~exciting_environments_tpu.core.classic.ClassicODEEnvironment`
-subclasses, whose observation layout is the physical dataclass fields in
-order (the bijection the dynamics reconstruction relies on).  The PMSM's
-observation embeds the angle as cos/sin and reorders fields — filtering it
-needs a drive-specific measurement map and is out of scope here.
+Scope: any :class:`~exciting_environments_tpu.core.env.CoreEnvironment` whose
+state reconstruction and measurement map the filter can resolve — classic
+envs through the head-ordered default layout, and the PMSM drive through its
+own hooks (``_state_from_normalized_physical`` builds the state directly,
+``_obs_noise_layout`` maps the measurable ``i_d``/``i_q``/``omega_el``/
+``torque`` observation columns; the filter transition includes the inverter
+hexagon constraint and the deadtime buffer swap, so an EKF over a drive sees
+exactly the applied voltages).  ``measured_fields`` must name measurable
+observation columns — the PMSM's epsilon is cos/sin-encoded and not directly
+measurable (it is reconstructed through the dynamics instead).
 
 No reference equivalent (the reference's closest hook is the
 observation↔state bijection ``generate_state_from_observation``,
@@ -56,7 +61,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 
 __all__ = ["FilterResult", "run_ekf", "run_ukf"]
 
@@ -108,18 +112,19 @@ def _as_scalar_span(env_properties, name):
 def _dynamics_fn(env):
     """``f(x_norm, action_norm, env_properties) -> x_norm'``: one
     deterministic env step in normalized coordinates, built from the env's
-    own pieces (denormalize → ``_ode_solver_step`` → normalize).
-    Differentiable; bypasses the env's stochastic perturbations (the filter
-    models those through Q/R).  Shared by the filters here and the iLQR
-    planner (which maps ``env_properties`` per batch instance)."""
+    own pieces (``_state_from_normalized_physical`` → ``_advance_state`` →
+    ``normalize_state``).  Differentiable; bypasses the env's stochastic
+    perturbations (the filter models those through Q/R).  The hooks carry
+    any per-step actuation semantics — for the PMSM the transition includes
+    the inverter hexagon constraint and the deadtime buffer swap, so the
+    filter's prediction sees exactly the plant's applied voltages.  Shared
+    by the filters here and the iLQR planner (which maps ``env_properties``
+    per batch instance)."""
     names = _phys_names(env)
-    n_ref = len(env.control_state)
 
     def f(x_norm, action_norm, props):
-        obs = jnp.concatenate([x_norm, jnp.full((n_ref,), jnp.nan, x_norm.dtype)])
-        state = env.generate_state_from_observation(obs, props)
-        action = env.denormalize_action(action_norm, props)
-        new_state = env._ode_solver_step(state, action, props.static_params)
+        state = env._state_from_normalized_physical(x_norm, props)
+        new_state = env._advance_state(state, action_norm, props)
         norm = env.normalize_state(new_state, props)
         return jnp.stack([getattr(norm.physical_state, n) for n in names])
 
@@ -198,13 +203,15 @@ def _std_dict_to_norm(env_properties, names, std, scale=1.0, what="std"):
 
 
 def _resolve_setup(env, env_properties, measured_fields, process_std, measurement_std):
-    # the dynamics reconstruction assumes the classic observation layout
-    # (physical dataclass fields in order) — the PMSM reorders fields and
-    # embeds the angle as cos/sin, so it needs a custom measurement map
-    if not isinstance(env, ClassicODEEnvironment):
+    # state reconstruction and measurement extraction go through the env's
+    # own hooks (_state_from_normalized_physical / _obs_noise_layout), so any
+    # CoreEnvironment with those — classic envs by the head-ordered default,
+    # the PMSM by its cos/sin-aware overrides — filters
+    if not hasattr(env, "_state_from_normalized_physical") or not hasattr(
+        env, "_obs_noise_layout"
+    ):
         raise TypeError(
-            "filtering needs a ClassicODEEnvironment (observation columns = "
-            f"physical fields in order); got {type(env).__name__}"
+            f"filtering needs a CoreEnvironment; got {type(env).__name__}"
         )
     # the dynamics closure captures env_properties; per-batch (axis-0) leaves
     # would silently broadcast a (batch,) array into each per-instance filter
@@ -216,15 +223,21 @@ def _resolve_setup(env, env_properties, measured_fields, process_std, measuremen
         )
     names = _phys_names(env)
     n = len(names)
+    obs_columns = {name: col for col, name in env._obs_noise_layout}
     if measured_fields is None:
-        measured_fields = names
+        # default: every directly-measurable observation column
+        measured_fields = tuple(name for _col, name in env._obs_noise_layout)
     measured_fields = tuple(measured_fields)
-    unknown = set(measured_fields) - set(names)
+    unknown = set(measured_fields) - set(obs_columns)
     if unknown:
-        raise ValueError(f"measured_fields {sorted(unknown)} not in physical fields {names}")
+        raise ValueError(
+            f"measured_fields {sorted(unknown)} are not measurable observation "
+            f"columns {sorted(obs_columns)}"
+        )
     if not measured_fields:
         raise ValueError("measured_fields must name at least one observed component")
     midx = jnp.array([names.index(m) for m in measured_fields])
+    zidx = jnp.array([obs_columns[m] for m in measured_fields])
 
     if process_std is None:
         process_std = getattr(env, "_process_noise", None) or {}
@@ -242,7 +255,7 @@ def _resolve_setup(env, env_properties, measured_fields, process_std, measuremen
     Q = jnp.diag(q_std**2)
     R = jnp.diag(r_std**2)
     periods = _angle_periods(env, env_properties, names)
-    return names, n, midx, Q, R, periods
+    return names, n, midx, zidx, Q, R, periods
 
 
 def _initial_belief(x0, P0, n, midx, R, dtype):
@@ -323,7 +336,8 @@ def run_ekf(
     """Extended Kalman filter over the env's own step dynamics.
 
     Args:
-        env: a :class:`ClassicODEEnvironment` (any solver; the filter steps
+        env: a :class:`~exciting_environments_tpu.core.env.CoreEnvironment` —
+            any classic env, or the PMSM drive (any solver; the filter steps
             the deterministic transition, so a noise-configured env filters
             the very disturbances it simulates).
         observations: normalized observations ``(T, obs_dim)`` or batched
@@ -348,7 +362,7 @@ def run_ekf(
     """
     env_properties = env.env_properties
     observations, actions = _check_traj(env, observations, actions, "run_ekf")
-    names, n, midx, Q, R, periods = _resolve_setup(
+    names, n, midx, zidx, Q, R, periods = _resolve_setup(
         env, env_properties, measured_fields, process_std, measurement_std
     )
     f = _make_dynamics(env, env_properties)
@@ -364,7 +378,7 @@ def run_ekf(
         return (x_new, P_new, nll), (x_new, P_new, x_pred, P_pred, F)
 
     def single(obs_t, act_t):
-        z_t = obs_t[:, : len(names)][:, midx]
+        z_t = obs_t[:, zidx]
         (xT, PT, nll), (xs, Ps, x_preds, P_preds, Fs) = jax.lax.scan(
             step, (x0, P0, jnp.zeros(())), (act_t, z_t)
         )
@@ -430,7 +444,7 @@ def run_ukf(
     """
     env_properties = env.env_properties
     observations, actions = _check_traj(env, observations, actions, "run_ukf")
-    names, n, midx, Q, R, periods = _resolve_setup(
+    names, n, midx, zidx, Q, R, periods = _resolve_setup(
         env, env_properties, measured_fields, process_std, measurement_std
     )
     f = _make_dynamics(env, env_properties)
@@ -476,7 +490,7 @@ def run_ukf(
         return (x_new, P_new, nll), (x_new, P_new)
 
     def single(obs_t, act_t):
-        z_t = obs_t[:, : len(names)][:, midx]
+        z_t = obs_t[:, zidx]
         (_, _, nll), (xs, Ps) = jax.lax.scan(step, (x0, P0, jnp.zeros(())), (act_t, z_t))
         return FilterResult(means=xs, covs=Ps, nll=nll)
 

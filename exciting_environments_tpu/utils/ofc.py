@@ -165,7 +165,7 @@ def run_output_feedback_mppi(
     n = len(names)
     # noise defaults come from the PLANT (the filter should model the
     # disturbances actually simulated); spans/periods from the model
-    names_chk, _, midx, Q, R, periods = _resolve_setup(
+    names_chk, _, midx, zidx, Q, R, periods = _resolve_setup(
         model, props,
         measured_fields,
         process_std if process_std is not None else getattr(plant, "_process_noise", None),
@@ -197,8 +197,10 @@ def run_output_feedback_mppi(
         ref_b = jnp.zeros((B, 0), dtype)
 
     def belief_to_state(x_hat):
-        obs = jnp.concatenate([x_hat, ref_b], axis=-1)
-        return jax.vmap(model.generate_state_from_observation, in_axes=(0, None))(obs, props)
+        # env hook (not the obs roundtrip): valid for any observation layout
+        return jax.vmap(
+            lambda x, r: model._state_from_normalized_physical(x, props, ref_norm=r)
+        )(x_hat, ref_b)
 
     def ekf_step(x, P, u, z, nll):
         x_new, P_new, innov, S, *_ = ekf(x, P, u, z)
@@ -217,7 +219,7 @@ def run_output_feedback_mppi(
             obs, plant_state, reward, _, _, _ = episodes.step_with_flags(
                 plant, plant_state, action
             )
-            z = obs[:, :n][:, midx]
+            z = obs[:, zidx]
             x_hat, P, nll = ekf_step_b(x_hat, P, action, z, nll)
             plan = jnp.concatenate([plan[:, 1:], plan[:, -1:]], axis=1)
             return (plant_state, plan, x_hat, P, nll), (obs, action, reward, x_hat, P)

@@ -187,10 +187,49 @@ def test_float32_inputs_are_promoted(pendulum_case):
     assert np.abs(d).max() < 1e-5  # only the f32 quantization of the inputs
 
 
-def test_non_classic_env_rejected():
-    pmsm = excenvs.PMSM(batch_size=B)
-    with pytest.raises(TypeError, match="ClassicODEEnvironment"):
-        estimate.run_ekf(pmsm, np.zeros((T, 8)), np.zeros((T, 2)))
+def test_ekf_on_stochastic_pmsm_drive():
+    """Current observer on the drive: the EKF transition goes through the
+    PMSM's own hooks (inverter constraint + deadtime buffer swap + derived
+    torque), measurements map through the cos/sin-aware column layout, and
+    the filtered currents beat the raw noisy sensor."""
+    B_, T_ = 2, 200
+    sig = {"i_d": 8.0, "i_q": 8.0}
+    noisy = excenvs.PMSM(batch_size=B_, saturated=False, observation_noise=sig)
+    clean = excenvs.PMSM(batch_size=B_, saturated=False)
+    keys = jax.random.split(jax.random.PRNGKey(3), B_)
+    st = noisy.vmap_reset(keys)[1]
+    st_c = clean.vmap_reset(keys)[1]
+    t = jnp.arange(T_) * noisy.tau
+    acts = jnp.broadcast_to(
+        0.15 * jnp.stack([jnp.sin(300.0 * t), jnp.cos(300.0 * t)], axis=-1)[None],
+        (B_, T_, 2),
+    )
+    obs_noisy, _ = noisy.vmap_rollout(st, acts)
+    obs_true, _ = clean.vmap_rollout(st_c, acts)
+
+    res = estimate.run_ekf(
+        noisy,
+        np.asarray(obs_noisy),
+        acts,
+        measured_fields=("i_d", "i_q", "omega_el"),
+        process_std={"i_d": 1.0, "i_q": 1.0},
+    )
+    names = tuple(f.name for f in __import__("dataclasses").fields(noisy.PhysicalState))
+    half = T_ // 2
+    for field, col in (("i_d", 0), ("i_q", 1)):
+        k = names.index(field)
+        est = np.asarray(res.means)[:, half:, k]
+        true = np.asarray(obs_true)[:, half:, col]
+        raw = np.asarray(obs_noisy)[:, half:, col]
+        rmse_f = float(np.sqrt(np.mean((est - true) ** 2)))
+        rmse_raw = float(np.sqrt(np.mean((raw - true) ** 2)))
+        assert rmse_f < 0.6 * rmse_raw, (field, rmse_f, rmse_raw)
+
+    # epsilon is cos/sin-encoded, not a measurable column
+    with pytest.raises(ValueError, match="measurable"):
+        estimate.run_ekf(
+            noisy, np.asarray(obs_noisy), acts, measured_fields=("epsilon",)
+        )
 
 
 def test_validation_errors():

@@ -1,0 +1,71 @@
+"""Device: fleet-scale output-feedback current control on the PMSM drive.
+
+B independent drive/EKF/MPPI triples close the full belief->plan->act->
+measure->assimilate loop as ONE program — per control step: an MPPI current-
+control update (n_samples x B x horizon drive steps incl. deadtime + hexagon
+constraint), one noisy-sensor plant step, and a fleet of 7-state EKF
+predict/updates whose transition re-linearizes the drive's own step
+(constraint + buffer swap included).
+
+Timing methodology per CLAUDE.md: control steps chain through the scan
+carry (plant state, belief, plan), so the marginal time between two loop
+lengths is trustworthy; the reduced reward fetch fences the timed region.
+"""
+import json, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.utils import mpc, ofc
+from exciting_environments_tpu.utils.episodes import reset_with_references
+
+B, HORIZON, SAMPLES = 512, 8, 32
+K1, K2 = 8, 1024
+
+kw = dict(batch_size=B, control_state=["i_d", "i_q"], tau=1e-4)
+plant = excenvs.PMSM(observation_noise={"i_d": 8.0, "i_q": 8.0}, **kw)
+model = excenvs.PMSM(**kw)
+_, state = jax.jit(lambda k: reset_with_references(plant, k))(jax.random.PRNGKey(0))
+cfg = mpc.MPPIConfig(horizon=HORIZON, n_samples=SAMPLES, temperature=0.02,
+                     noise_sigma=0.3, n_iterations=1, smoothing=0.3)
+
+
+def run(n_steps):
+    t0 = time.perf_counter()
+    res = ofc.run_output_feedback_mppi(
+        plant, model, state, n_steps, jax.random.PRNGKey(1), cfg,
+        measured_fields=("i_d", "i_q", "omega_el"),
+        process_std={"i_d": 1.0, "i_q": 1.0},
+    )
+    fence = float(jnp.mean(res.rewards))  # device->host fetch closes the region
+    return fence, time.perf_counter() - t0
+
+
+for n in (K1, K2):  # warm both compiles
+    fence, dt = run(n)
+    print(f"compile+run n_steps={n}: {dt:.2f}s mean-reward={fence:.4f}", flush=True)
+
+r1, t1 = run(K1)
+r2, t2 = run(K2)
+marginal = (t2 - t1) / (K2 - K1)
+cand_steps = SAMPLES * B * HORIZON
+replan_hz = 1.0 / marginal
+print(f"t1={t1:.3f}s t2={t2:.3f}s marginal={marginal * 1e3:.2f} ms/control-step", flush=True)
+print(f"drive fleet replans at {replan_hz:.0f} Hz ({cand_steps / marginal:.3e} candidate-env-steps/s "
+      f"+ {B / marginal:.3e} EKF updates/s)", flush=True)
+print(json.dumps({
+    "metric": "ofc_pmsm_fleet_replan_hz",
+    "value": replan_hz,
+    "unit": "control steps/s for the whole drive fleet (MPPI sweep + plant + 7-state EKF)",
+    "config": f"pmsm_b{B}_H{HORIZON}_K{SAMPLES}_currents_and_omega_measured",
+    "candidate_env_steps_per_s": cand_steps / marginal,
+    "ekf_updates_per_s": B / marginal,
+    "k1": K1, "k2": K2, "t_k1": t1, "t_k2": t2,
+    "scaling_ok": bool(t2 > t1 * 1.2),
+    "mean_reward": r2,
+}), flush=True)
+print("OFC PMSM DEVICE DONE", flush=True)

@@ -124,3 +124,37 @@ def test_validation_guards():
     )
     with pytest.raises(ValueError, match="physical_normalizations"):
         ofc.run_output_feedback_mppi(plant, narrow, state, 2)
+
+
+def test_output_feedback_on_pmsm_drive():
+    """The capstone composition on the drive: stochastic PMSM plant (noisy
+    current sensors) + EKF current observer (transition includes the inverter
+    constraint and deadtime buffer) + MPPI current control from the belief
+    mean — tracks dq current references it never measures exactly."""
+    from exciting_environments_tpu.utils.episodes import reset_with_references
+
+    B_ = 4
+    kw = dict(batch_size=B_, control_state=["i_d", "i_q"], tau=1e-4)
+    plant = excenvs.PMSM(observation_noise={"i_d": 8.0, "i_q": 8.0}, **kw)
+    model = excenvs.PMSM(**kw)
+    _, state = jax.jit(lambda k: reset_with_references(plant, k))(jax.random.PRNGKey(5))
+    cfg = mpc.MPPIConfig(horizon=8, n_samples=32, temperature=0.02,
+                         noise_sigma=0.3, n_iterations=1, smoothing=0.3)
+
+    def run(c):
+        return ofc.run_output_feedback_mppi(
+            plant, model, state, 40, jax.random.PRNGKey(6), c,
+            measured_fields=("i_d", "i_q", "omega_el"),
+            process_std={"i_d": 1.0, "i_q": 1.0},
+        )
+
+    res = run(cfg)
+    assert res.belief_means.shape == (B_, 40, 7)
+    for leaf in [res.observations, res.actions, res.rewards, res.belief_means, res.nll]:
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # beats the zero plan through the identical loop...
+    res0 = run(cfg._replace(n_iterations=0))
+    assert float(res.rewards.mean()) > float(res0.rewards.mean()) + 0.5
+    # ...and settles near the reference despite never seeing the true state
+    assert float(res.rewards[:, 20:].mean()) > -0.1

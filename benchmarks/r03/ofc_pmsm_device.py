@@ -30,6 +30,19 @@ kw = dict(batch_size=B, control_state=["i_d", "i_q"], tau=1e-4)
 plant = excenvs.PMSM(observation_noise={"i_d": 8.0, "i_q": 8.0}, **kw)
 model = excenvs.PMSM(**kw)
 _, state = jax.jit(lambda k: reset_with_references(plant, k))(jax.random.PRNGKey(0))
+# physical operating band: zero initial currents and moderate speeds — the
+# default random reset draws omega_el up to the band edge, where explicit
+# Euler at tau=1e-4 amplifies the rotation-dominated current ODE
+# (|1 + i*omega*tau| > 1) into divergence over 1000+ steps; real drives at
+# those speeds run finer steps, which is not what this bench measures
+from exciting_environments_tpu.core import structures
+
+with structures.copy_and_mutate(state, validate=False) as state:
+    state.physical_state.i_d = jnp.zeros(B)
+    state.physical_state.i_q = jnp.zeros(B)
+    state.physical_state.omega_el = 0.2 * state.physical_state.omega_el
+    state.reference.i_d = 0.3 * state.reference.i_d
+    state.reference.i_q = 0.3 * state.reference.i_q
 cfg = mpc.MPPIConfig(horizon=HORIZON, n_samples=SAMPLES, temperature=0.02,
                      noise_sigma=0.3, n_iterations=1, smoothing=0.3)
 

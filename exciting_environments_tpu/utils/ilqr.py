@@ -25,9 +25,11 @@ every candidate step size rolls out simultaneously (one more vmap axis) and
 the iterate only moves if the best candidate improves the nominal cost, so
 an indefinite quadratization can never make an accepted step worse.
 
-Scope: :class:`~exciting_environments_tpu.core.classic.ClassicODEEnvironment`
-subclasses (bijective observation↔state, generic ``_ode_solver_step``).  For
-the PMSM drive use the fused MPPI sweep (``mpc.mppi_plan(fused=...)``).
+Scope: any :class:`~exciting_environments_tpu.core.env.CoreEnvironment` —
+classic envs and the PMSM drive alike (the dynamics and the default cost go
+through the ``_state_from_normalized_physical`` / ``_advance_state`` hooks,
+so the drive's linearizations include the inverter hexagon constraint and
+the deadtime buffer swap).
 
 No reference counterpart (the reference exposes no planning utilities).
 """
@@ -39,7 +41,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 from exciting_environments_tpu.utils import mpc
 from exciting_environments_tpu.utils.estimate import (
     _angle_periods,
@@ -57,10 +58,9 @@ def _default_stage_cost(env, action_cost):
     energy) — ``mpc._trajectory_cost``'s default, stage by stage."""
 
     def cost(x_next_norm, u_norm, ref_norm, props):
-        obs = jnp.concatenate([x_next_norm, ref_norm])
-        state = env.generate_state_from_observation(obs, props)
+        state = env._state_from_normalized_physical(x_next_norm, props, ref_norm=ref_norm)
         action = env.denormalize_action(u_norm, props)
-        c = -env.generate_reward(state, action, props)[0]
+        c = -jnp.reshape(env.generate_reward(state, action, props), ())
         if action_cost:
             c = c + action_cost * jnp.sum(u_norm**2)
         return c
@@ -82,7 +82,8 @@ def ilqr_plan(
     """Open-loop trajectory optimization by iterative LQR.
 
     Args:
-        env: a batched :class:`ClassicODEEnvironment` (or a ``ShardedEnv``
+        env: a batched :class:`~exciting_environments_tpu.core.env.CoreEnvironment`
+            — classic or PMSM (or a ``ShardedEnv``
             wrapping one).  The default cost needs ``control_state`` and a
             state with set references (``episodes.reset_with_references``).
         state: batched state to plan from (references frozen during the plan,
@@ -110,11 +111,12 @@ def ilqr_plan(
     """
     env, place = unwrap_sharded(env)
     state, actions = place(state), place(actions)
-    if not isinstance(env, ClassicODEEnvironment):
+    if not hasattr(env, "_state_from_normalized_physical") or not hasattr(
+        env, "_advance_state"
+    ):
         raise TypeError(
-            "ilqr_plan needs a ClassicODEEnvironment (bijective observation<->state "
-            f"and the generic _ode_solver_step); got {type(env).__name__} — for the "
-            "PMSM drive use the fused MPPI sweep (mpc.mppi_plan)."
+            "ilqr_plan needs a CoreEnvironment (state reconstruction and the "
+            f"differentiable _advance_state transition); got {type(env).__name__}"
         )
     mpc._check_cost_setup(env, stage_cost, state)
     B, A = env.batch_size, env.action_dim
@@ -141,7 +143,20 @@ def ilqr_plan(
 
     dyn = _dynamics_fn(env)
 
-    def single(x0, u_init, props_i, ref):
+    # pass ONLY the per-batch property leaves through jit/vmap and close over
+    # the scalars: structural flags (e.g. the PMSM's `saturated`, which gates
+    # Python control flow in the vector field) must stay concrete, and the
+    # scalar-vs-batched split is exactly create_in_axes_dataclass's rule
+    prop_leaves, prop_treedef = jax.tree_util.tree_flatten(props)
+    leaf_batched = tuple(
+        getattr(l, "ndim", 0) > 0 and l.shape[0] == env.batch_size for l in prop_leaves
+    )
+    batched_leaves = tuple(l for l, b in zip(prop_leaves, leaf_batched) if b)
+
+    def single(x0, u_init, batched_i, ref):
+        it = iter(batched_i)
+        merged = [next(it) if b else l for l, b in zip(prop_leaves, leaf_batched)]
+        props_i = jax.tree_util.tree_unflatten(prop_treedef, merged)
         f = lambda x, u: dyn(x, u, props_i)
         l = lambda x_next, u: cost_fn(x_next, u, ref, props_i)
         g_z = lambda z: l(f(z[:n], z[n:]), z[n:])  # stage cost in (x_k, u_k)
@@ -219,8 +234,6 @@ def ilqr_plan(
         )
         return us_fin, jnp.concatenate([J_curve, J_fin[None]])
 
-    solve = jax.jit(
-        jax.vmap(single, in_axes=(0, 0, env.in_axes_env_properties, 0))
-    )
-    us_opt, cost_curves = solve(x0_b, actions, props, ref_b)
+    solve = jax.jit(jax.vmap(single, in_axes=(0, 0, 0, 0)))
+    us_opt, cost_curves = solve(x0_b, actions, batched_leaves, ref_b)
     return mpc.PlanResult(actions=us_opt, costs=jnp.mean(cost_curves, axis=0))

@@ -225,6 +225,24 @@ def test_ekf_on_stochastic_pmsm_drive():
         rmse_raw = float(np.sqrt(np.mean((raw - true) ** 2)))
         assert rmse_f < 0.6 * rmse_raw, (field, rmse_f, rmse_raw)
 
+    # the UKF shares the generalized plumbing (sigma points through the
+    # drive's constrained step) and reconstructs at least as well
+    res_u = estimate.run_ukf(
+        noisy,
+        np.asarray(obs_noisy),
+        acts,
+        measured_fields=("i_d", "i_q", "omega_el"),
+        process_std={"i_d": 1.0, "i_q": 1.0},
+    )
+    for field, col in (("i_d", 0), ("i_q", 1)):
+        k = names.index(field)
+        est = np.asarray(res_u.means)[:, half:, k]
+        true = np.asarray(obs_true)[:, half:, col]
+        raw = np.asarray(obs_noisy)[:, half:, col]
+        rmse_f = float(np.sqrt(np.mean((est - true) ** 2)))
+        rmse_raw = float(np.sqrt(np.mean((raw - true) ** 2)))
+        assert rmse_f < 0.6 * rmse_raw, (field, rmse_f, rmse_raw)
+
     # epsilon is cos/sin-encoded, not a measurable column
     with pytest.raises(ValueError, match="measurable"):
         estimate.run_ekf(

@@ -602,6 +602,40 @@ class CoreEnvironment:
         obs = self.generate_observation(state, env_properties)
         return obs, state
 
+    def _noise_step_keys(self, base):
+        """``(new_key, k_proc, k_obs)`` for one control step, per
+        ``_noise_mode`` — the single source of the per-step key derivation
+        (consumed by :meth:`step` and the PMSM's step override)."""
+        if self._noise_mode == "fast":
+            # counter-style stream: step() realizes the T=1 rollout of
+            # _noise_slabs' fast mode (fold_in(key, t) per-step keys)
+            k_step = jax.random.fold_in(base, 0)
+            return (
+                jax.random.fold_in(base, 1),
+                jax.random.fold_in(k_step, 0),
+                jax.random.fold_in(k_step, 1),
+            )
+        new_key, k_proc, k_obs = jax.random.split(base, 3)
+        return new_key, k_proc, k_obs
+
+    def _fast_noise_advance_eps(self, state, action_norm, env_properties, eps_p):
+        """One deterministic advance + caller-supplied process draws — the
+        state half of a fast-mode slab-consuming step (shared by
+        :meth:`_vmap_rollout_fast_noise` and the collector's fast-mode scan
+        so their draw sequences stay provably identical)."""
+        state = self._advance_state(state, action_norm, env_properties)
+        if self._process_noise:
+            state = self._apply_process_noise_eps(state, eps_p, env_properties)
+        return state
+
+    def _fast_noise_observe_eps(self, state, env_properties, eps_o):
+        """Observation + caller-supplied sensor draws — the observation half
+        of a fast-mode slab-consuming step."""
+        obs = self.generate_observation(state, env_properties)
+        if self._observation_noise:
+            obs = self._apply_observation_noise_eps(obs, env_properties, eps_o)
+        return obs
+
     def _state_from_normalized_physical(self, x_norm, env_properties, ref_norm=None):
         """Single-instance :class:`State` whose physical fields take the given
         normalized values ``x_norm`` (``PhysicalState`` field order), with an
@@ -653,16 +687,7 @@ class CoreEnvironment:
         )
 
         if self._has_noise:
-            base = self._require_noise_key(state)
-            if self._noise_mode == "fast":
-                # counter-style stream: step() realizes the T=1 rollout of
-                # _noise_slabs' fast mode (fold_in(key, t) per-step keys)
-                k_step = jax.random.fold_in(base, 0)
-                k_proc = jax.random.fold_in(k_step, 0)
-                k_obs = jax.random.fold_in(k_step, 1)
-                new_key = jax.random.fold_in(base, 1)
-            else:
-                new_key, k_proc, k_obs = jax.random.split(base, 3)
+            new_key, k_proc, k_obs = self._noise_step_keys(self._require_noise_key(state))
             state = structures.replace(state, PRNGKey=new_key)
 
         state = self._advance_state(state, action_norm, env_properties)
@@ -873,23 +898,10 @@ class CoreEnvironment:
         has_proc = eps_proc is not None
         has_obs = eps_obs is not None
 
-        def one_step(state, a_t, ep_t):
-            def f(s, a, p, e):
-                s = self._advance_state(s, a, p)
-                if has_proc:
-                    s = self._apply_process_noise_eps(s, e, p)
-                return s
-
-            return jax.vmap(f, in_axes=(0, 0, in_ax, 0))(state, a_t, props, ep_t)
-
-        def obs_of(state, eo_s):
-            def g(s, p, e):
-                obs = self.generate_observation(s, p)
-                if has_obs:
-                    obs = self._apply_observation_noise_eps(obs, p, e)
-                return obs
-
-            return jax.vmap(g, in_axes=(0, in_ax, 0))(state, props, eo_s)
+        step_b = jax.vmap(self._fast_noise_advance_eps, in_axes=(0, 0, in_ax, 0))
+        obs_b = jax.vmap(self._fast_noise_observe_eps, in_axes=(0, in_ax, 0))
+        one_step = lambda state, a_t, ep_t: step_b(state, a_t, props, ep_t)
+        obs_of = lambda state, eo_s: obs_b(state, props, eo_s)
 
         n_segs = n_steps // obs_stride
         acts_tm = jnp.swapaxes(actions, 0, 1)

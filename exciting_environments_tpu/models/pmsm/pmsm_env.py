@@ -892,14 +892,7 @@ class PMSM(CoreEnvironment):
         the stochastic-simulation hooks — same key semantics as
         ``CoreEnvironment.step``)."""
         if self._has_noise:
-            base = self._require_noise_key(state)
-            if self._noise_mode == "fast":
-                k_step = jax.random.fold_in(base, 0)
-                k_proc = jax.random.fold_in(k_step, 0)
-                k_obs = jax.random.fold_in(k_step, 1)
-                new_key = jax.random.fold_in(base, 1)
-            else:
-                new_key, k_proc, k_obs = jax.random.split(base, 3)
+            new_key, k_proc, k_obs = self._noise_step_keys(self._require_noise_key(state))
             state = structures.replace(state, PRNGKey=new_key)
 
         next_state = self._advance_state(state, action, env_properties)

@@ -151,13 +151,11 @@ class RolloutCollector:
         has_obs = eps_obs is not None
 
         def step1(s, a, p, ep, eo):
-            s = env._advance_state(s, a, p)
-            if has_proc:
-                s = env._apply_process_noise_eps(s, ep, p)
-            obs = env.generate_observation(s, p)
-            if has_obs:
-                obs = env._apply_observation_noise_eps(obs, p, eo)
-            return obs, s
+            # the same slab-consuming composition as the fast-mode rollout
+            # scan — single-sourced on CoreEnvironment so the two paths stay
+            # draw-identical
+            s = env._fast_noise_advance_eps(s, a, p, ep)
+            return env._fast_noise_observe_eps(s, p, eo), s
 
         step_batch = jax.vmap(step1, in_axes=(0, 0, in_axes, 0, 0))
         reward_batch = jax.vmap(env.generate_reward, in_axes=(0, 0, in_axes))

@@ -167,13 +167,16 @@ def test_fused_stochastic_rollout_matches_scan(noise_mode):
 
 
 @pytest.mark.slow
-def test_fused_stochastic_rollout_is_differentiable():
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_fused_stochastic_rollout_is_differentiable(noise_mode):
     """Reparameterized gradients flow through the noisy kernel path and
-    match the scan path."""
+    match the scan path (both draw-stream modes)."""
     from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
 
     B_, T = 1024, 16
-    env = excenvs.Pendulum(batch_size=B_, tau=TAU, process_noise={"omega": 0.5})
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU, process_noise={"omega": 0.5}, noise_mode=noise_mode
+    )
     _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
     acts = jax.random.uniform(jax.random.PRNGKey(1), (B_, T, 1), minval=-1, maxval=1)
 

@@ -152,3 +152,37 @@ def test_resample_inside_jit_via_explicit_props():
         resample_env_properties(plain, KEY, spec)
     with pytest.raises(ValueError, match="no field"):
         resample_env_properties(env, KEY, {"nope": (0.0, 1.0)})
+
+
+def test_randomize_pmsm_drive_fleet():
+    """Domain randomization on the drive: per-batch stator resistance (e.g.
+    winding-temperature spread) through randomize_env with the motor-preset
+    defaults passed explicitly (PMSM defaults come from the motor variant,
+    not a class attribute)."""
+    from exciting_environments_tpu.utils import randomize
+
+    defaults = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
+    env = randomize.randomize_env(
+        excenvs.PMSM,
+        KEY,
+        {"r_s": randomize.Uniform(15e-3, 20e-3)},
+        batch_size=32,
+        defaults=defaults,
+        saturated=False,
+    )
+    r_s = np.asarray(env.env_properties.static_params.r_s)
+    assert r_s.shape == (32,) and (r_s >= 15e-3).all() and (r_s <= 20e-3).all()
+    assert len(np.unique(r_s)) > 1
+
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), 32))
+    obs, st1 = env.vmap_step(st, 0.1 * jnp.ones((32, 2)))
+    assert np.isfinite(np.asarray(obs)[:, :4]).all()
+    # per-batch static params are out of the drive kernel's scope -> scan
+    assert rollout_path(env) == "scan"
+
+    # jit-safe pure redraw keeps shapes/structure
+    props2 = randomize.resample_env_properties(
+        env, jax.random.PRNGKey(2), {"r_s": randomize.Uniform(15e-3, 20e-3)}
+    )
+    assert np.asarray(props2.static_params.r_s).shape == (32,)
+    assert not np.array_equal(np.asarray(props2.static_params.r_s), r_s)

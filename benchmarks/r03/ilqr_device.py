@@ -32,9 +32,11 @@ _, state = jax.jit(lambda k: reset_with_references(env, k))(jax.random.PRNGKey(0
 u0 = jnp.zeros((B, H, 1))
 
 
-def run(iters):
+def run(iters, rep=0):
+    # fresh args per timed repeat (relay (executable, args) cache, CLAUDE.md)
+    u = u0 + 1e-6 * rep
     t0 = time.perf_counter()
-    res = ilqr.ilqr_plan(env, state, u0, iterations=iters)
+    res = ilqr.ilqr_plan(env, state, u, iterations=iters)
     fence = float(res.costs[-1])  # device->host fetch closes the timed region
     return fence, time.perf_counter() - t0
 
@@ -43,8 +45,8 @@ for it in (K1, K2):  # warm both compiles
     fence, dt = run(it)
     print(f"compile+run iters={it}: {dt:.2f}s mean-cost={fence:.4f}", flush=True)
 
-c1, t1 = run(K1)
-c2, t2 = run(K2)
+c1, t1 = run(K1, rep=1)
+c2, t2 = run(K2, rep=2)
 marginal = (t2 - t1) / (K2 - K1)
 # per iteration per instance: H backward re-linearizations + N_ALPHA*H forward steps
 step_evals = B * H * (1 + N_ALPHA)

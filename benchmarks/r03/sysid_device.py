@@ -37,10 +37,12 @@ recorded, _, _ = env.sim_ahead(init_state, actions, props, TAU, TAU)
 print("recorded", recorded.shape, float(jnp.abs(recorded).max()), flush=True)
 
 
-def fit(iters):
+def fit(iters, rep=0):
+    # fresh args per timed repeat (relay (executable, args) cache, CLAUDE.md)
+    rec = recorded * (1.0 + 1e-9 * rep)
     t0 = time.perf_counter()
     r = fit_parameters(
-        env, actions, recorded, {"l": 1.0, "m": 1.0},
+        env, actions, rec, {"l": 1.0, "m": 1.0},
         init_state=init_state, n_starts=N_STARTS, iterations=iters,
         segment_length=SEG, spread=0.5,
     )
@@ -53,8 +55,8 @@ for it in (K1, K2):
     r, dt = fit(it)
     print(f"compile+run iters={it}: {dt:.2f}s loss={r.final_loss:.3e}", flush=True)
 
-r1, t1 = fit(K1)
-r2, t2 = fit(K2)
+r1, t1 = fit(K1, rep=1)
+r2, t2 = fit(K2, rep=2)
 marginal = (t2 - t1) / (K2 - K1)
 # one iteration = forward + VJP over N_STARTS x T env-steps (fwd-equivalent count)
 steps_per_iter = N_STARTS * T

@@ -123,8 +123,8 @@ def train_policy(
         if not env.closed_loop_in_scope(interpret):
             raise ValueError(
                 "train_policy requires closed-loop kernel scope for this "
-                "sharded env (kernel scope, scalar normalizations, or "
-                "per-shard batch tiling)"
+                "sharded env (kernel scope, scalar normalizations, "
+                "deterministic env, or per-shard batch tiling)"
             )
 
         def rollout(p):
@@ -137,7 +137,10 @@ def train_policy(
         if kernel is None:
             raise ValueError(
                 "train_policy requires closed-loop kernel scope "
-                "(batch multiple of 1024, scalar normalizations)"
+                "(batch multiple of 1024, scalar normalizations, explicit RK "
+                "solver, deterministic env — the closed-loop kernels do not "
+                "take process/observation noise; train stochastic policies "
+                "through train_ppo/train_sac or plan with run_mppi instead)"
             )
 
         def rollout(p):

@@ -794,3 +794,31 @@ def test_per_batch_physical_norms_route_to_scan(mesh):
     obs, fin = senv.fused_rollout(st, acts)  # transparent scan fallback -> final obs
     obs_ref, fin_ref = env.vmap_rollout(st, acts, 8)
     np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref[:, -1]), rtol=1e-12)
+
+
+def test_sharded_ekf_fleet_equals_single_device(mesh):
+    """Fleet filtering scales over the mesh for free: the EKF is a vmapped
+    program over the batch, so mesh-sharded observation/action inputs
+    auto-partition it (zero communication — each shard filters its own
+    plants) and the beliefs match the single-device run exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from exciting_environments_tpu.utils import estimate
+
+    B_, T = 64, 40
+    env = excenvs.Pendulum(batch_size=B_, tau=2e-2, observation_noise={"theta": 0.08})
+    st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(7), B_))[1]
+    t = jnp.arange(T) * 2e-2
+    acts = jnp.broadcast_to(0.3 * jnp.sin(2.0 * t)[None, :, None], (B_, T, 1))
+    obs, _ = env.vmap_rollout(st, acts)
+
+    kw = dict(measured_fields=("theta",), process_std={"omega": 0.05})
+    res_ref = estimate.run_ekf(env, obs, acts, **kw)
+
+    sh = NamedSharding(mesh, P("batch"))
+    run = jax.jit(lambda o, a: estimate.run_ekf(env, o, a, **kw))
+    res_s = run(jax.device_put(obs, sh), jax.device_put(acts, sh))
+
+    assert not res_s.means.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(res_s.means), np.asarray(res_ref.means))
+    np.testing.assert_array_equal(np.asarray(res_s.nll), np.asarray(res_ref.nll))

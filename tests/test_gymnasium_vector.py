@@ -127,3 +127,33 @@ def test_from_registry_and_lazy_export():
     assert obs.shape == (8, 4)
     obs, r, term, trunc, _ = venv.step(venv.action_space.sample())
     assert obs.shape == (8, 4) and np.isfinite(obs).all()
+
+
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_vector_env_with_stochastic_env(noise_mode):
+    """Stochastic envs drop into the vector adapter: the per-step draws ride
+    the same jitted vector step (chained-step stream in both modes), the
+    autoreset branch reseeds from the per-instance keys, and two identically
+    seeded adapters reproduce each other exactly."""
+    def mk():
+        env = excenvs.Pendulum(
+            batch_size=4, control_state=["theta"],
+            process_noise={"omega": 0.3}, observation_noise={"theta": 0.02},
+            noise_mode=noise_mode,
+        )
+        return GymnasiumVectorEnv(env, max_episode_steps=8, seed=0)
+
+    a, b = mk(), mk()
+    obs_a, _ = a.reset(seed=3)
+    obs_b, _ = b.reset(seed=3)
+    np.testing.assert_array_equal(obs_a, obs_b)
+    act = np.zeros((4, 1), np.float32)
+    saw_trunc = False
+    for _ in range(20):
+        oa, ra, ta, tra, _ = a.step(act)
+        ob, rb, tb, trb, _ = b.step(act)
+        np.testing.assert_array_equal(oa, ob)
+        np.testing.assert_array_equal(ra, rb)
+        saw_trunc = saw_trunc or bool(np.any(tra))
+        assert np.isfinite(oa).all()
+    assert saw_trunc  # the time limit fired (autoreset exercised under noise)

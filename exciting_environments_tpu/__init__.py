@@ -18,6 +18,7 @@ from exciting_environments_tpu.models import (
     Acrobot,
     CartPole,
     FluidTank,
+    InductionMachine,
     MassSpringDamper,
     MotorVariant,
     Pendulum,

@@ -53,7 +53,7 @@ def _builtin(name: str) -> Callable:
     return resolver
 
 
-for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM", "VanDerPol"):
+for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM", "VanDerPol", "InductionMachine"):
     register(f"{_name}-v0", _builtin(_name))
 
 
@@ -67,6 +67,7 @@ class EnvironmentRegistry(Enum):
     PMSM = "PMSM-v0"
     ACROBOT = "Acrobot-v0"
     VAN_DER_POL = "VanDerPol-v0"  # beyond-reference stiffness benchmark
+    INDUCTION_MACHINE = "InductionMachine-v0"  # beyond-reference drive workhorse
 
     def make(self, **env_kwargs):
         """Instantiate the environment class behind this registry id."""

@@ -7,3 +7,4 @@ from exciting_environments_tpu.models.mass_spring_damper import MassSpringDamper
 from exciting_environments_tpu.models.pendulum import Pendulum
 from exciting_environments_tpu.models.pmsm import PMSM, MotorVariant
 from exciting_environments_tpu.models.van_der_pol import VanDerPol
+from exciting_environments_tpu.models.induction_machine import InductionMachine

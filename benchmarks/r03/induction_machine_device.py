@@ -21,7 +21,8 @@ from exciting_environments_tpu.ops.pallas import rollout_path
 from exciting_environments_tpu.ops.pallas.stepper import env_fused_rollout
 from exciting_environments_tpu.utils import estimate
 
-B, T, K = 65536, 8192, 4
+B, T = 65536, 4096  # A=2 doubles the action slab vs the 1-action envs; T=4096 keeps it ~2 GB
+K1, K2 = 2, 64  # one link is only ~2.7 ms (HBM-bound) — span the chain well past the ~120 ms dispatch+fetch constant
 env = excenvs.InductionMachine(batch_size=B)
 assert rollout_path(env) == "fused"
 _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
@@ -39,7 +40,7 @@ def chain_time(k):
     jax.block_until_ready(out)
     best = 1e9
     for rep in (1, 2):
-        a = acts * (1.0 + 1e-3 * rep)
+        a = acts * (1.0 + 1e-3 * (rep + k))  # vary per repeat AND per k: relay caches args
         t0 = time.perf_counter()
         st = chain(s0, a)
         f = float(jnp.mean(st.physical_state.psi_rd))
@@ -48,11 +49,11 @@ def chain_time(k):
     return best
 
 
-t1 = chain_time(1)
-tk = chain_time(K)
-marg = (tk - t1) / (K - 1)
+t1 = chain_time(K1)
+tk = chain_time(K2)
+marg = (tk - t1) / (K2 - K1)
 ok = (tk - t1) > 0.3 * t1
-val = B * T / marg if ok and marg > 0 else B * T * K / tk
+val = B * T / marg if ok and marg > 0 else B * T * K2 / tk
 
 # agreement vs the scan path on a short horizon (device f32)
 a16 = acts[:16]
@@ -68,44 +69,59 @@ print(json.dumps({
 }), flush=True)
 
 # --- rotor-flux observer fleet (4-state EKF from noisy current sensors) ---
-BE, T1, T2 = 4096, 128, 2048
+BE, TE = 4096, 2048
+KE1, KE2 = 1, 4
 envn = excenvs.InductionMachine(
     batch_size=BE, observation_noise={"i_sd": 0.5, "i_sq": 0.5}
 )
 keys = jax.random.split(jax.random.PRNGKey(2), BE)
 st = envn.vmap_reset(keys)[1]
 w_s = float(envn.env_properties.static_params.omega) / 0.96
-t_grid = jnp.arange(T2) * envn.tau
+t_grid = jnp.arange(TE) * envn.tau
 acts_e = 0.4 * jnp.broadcast_to(
-    jnp.stack([jnp.cos(w_s * t_grid), jnp.sin(w_s * t_grid)], axis=-1)[None], (BE, T2, 2)
+    jnp.stack([jnp.cos(w_s * t_grid), jnp.sin(w_s * t_grid)], axis=-1)[None], (BE, TE, 2)
 )
 obs_e, _ = envn.vmap_rollout(st, acts_e)
 
 
-def run(T, rep=0):
-    o = obs_e[:, :T] * (1.0 + 1e-9 * rep)
-    t0 = time.perf_counter()
-    res = estimate.run_ekf(
-        envn, o, acts_e[:, :T],
-        measured_fields=("i_sd", "i_sq"),
-        process_std={"psi_rd": 0.02, "psi_rq": 0.02},
-    )
-    fence = float(jnp.mean(res.nll))
-    return fence, time.perf_counter() - t0
+def ekf_chain_time(k):
+    # Chained-marginal for the filter too: link j's observations are scaled
+    # by link j-1's nll scalar, so the k filter passes are sequentially
+    # data-dependent inside ONE jitted program (relay early-fetch defeated).
+    @jax.jit
+    def chain(o):
+        nll = jnp.float32(0.0)
+        for _ in range(k):
+            res = estimate.run_ekf(
+                envn, o * (1.0 + 1e-12 * nll), acts_e,
+                measured_fields=("i_sd", "i_sq"),
+                process_std={"psi_rd": 0.02, "psi_rq": 0.02},
+            )
+            nll = jnp.mean(res.nll)
+        return nll
+
+    jax.block_until_ready(chain(obs_e))
+    best = 1e9
+    for rep in (1, 2):
+        o = obs_e * (1.0 + 1e-9 * (rep + k))
+        t0 = time.perf_counter()
+        f = float(chain(o))
+        assert jnp.isfinite(f)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-for T_ in (T1, T2):
-    fence, dt = run(T_)
-    print(f"compile+run T={T_}: {dt:.2f}s", flush=True)
-_, te1 = run(T1, rep=1)
-_, te2 = run(T2, rep=2)
-marg_e = (te2 - te1) / (T2 - T1)
+te1 = ekf_chain_time(KE1)
+te2 = ekf_chain_time(KE2)
+marg_e = (te2 - te1) / ((KE2 - KE1) * TE)
+ok_e = (te2 - te1) > 0.3 * te1
+val_e = BE / marg_e if ok_e and marg_e > 0 else BE * TE * KE2 / te2
 print(json.dumps({
     "metric": "ekf_induction_machine_flux_observer_updates_per_s",
-    "value": BE / marg_e,
+    "value": val_e,
     "unit": "4-state filter-updates/s (rotor flux reconstructed from noisy currents)",
     "config": f"scim_b{BE}_currents_measured",
-    "t_k1": te1, "t_k2": te2, "k1": T1, "k2": T2,
-    "scaling_ok": bool(te2 > te1 * 1.2),
+    "t_k1": te1, "t_k2": te2, "k1": KE1, "k2": KE2,
+    "scaling_ok": ok_e,
 }), flush=True)
 print("INDUCTION MACHINE DEVICE DONE", flush=True)

@@ -1,0 +1,184 @@
+"""Sensorless rotor-flux-oriented control (FOC) for the induction machine.
+
+The canonical industrial drive-control workflow, composed from this
+framework's own pieces: the EKF of
+:mod:`~exciting_environments_tpu.utils.estimate` reconstructs the
+unmeasurable rotor flux from noisy stator-current sensors, and the control
+law here orients on that *estimated* flux — the textbook "sensorless" FOC
+structure (no flux sensor, no position encoder required for the electrical
+subsystem).  Run it against a noise-configured
+:class:`~exciting_environments_tpu.models.induction_machine.InductionMachine`
+plant through
+:func:`~exciting_environments_tpu.utils.ofc.run_output_feedback_controller`:
+
+    noisy i_s --EKF--> (i_s, psi_r) belief --FOC--> u_s --plant--> noisy i_s
+
+Per control step the law is a handful of elementwise ops (one atan2-free
+rotation built directly from the flux components, two PI updates, one
+inverse rotation), so whole fleets replan at simulation rate — where the
+MPPI output-feedback controller pays an (n_samples x horizon) candidate
+sweep per step.
+
+The law (amplitude-invariant stationary-frame model, see the env docstring):
+
+1. Flux orientation: ``rho = angle(psi_r)`` via the unit vector
+   ``(cos rho, sin rho) = psi_r / |psi_r|`` (guarded at zero flux).
+2. Park rotation of the *estimated* stator current into the flux frame:
+   ``i_dq = e^{-j rho} i_s``.
+3. Cascaded outer FLUX loop: ``i_d* = psi*/L_m + PI(psi* - |psi_hat|)``.
+   The feedforward alone (the continuous steady-state relation
+   ``psi = L_m i_d``) is systematically wrong on a discretized plant —
+   explicit Euler at ``omega tau ~ 0.03`` rad/step inflates the flux gain
+   by ``(h/tau_r) / (1 - |1 + h(-1/tau_r + j omega)|) ~ 1.9x`` — so the
+   outer loop regulates the *estimated* flux magnitude to the setpoint
+   regardless of discretization or parameter error.  Torque-producing
+   reference ``i_q* = T* / (1.5 p (L_m/L_r) max(|psi_hat|, psi_floor))``.
+4. Magnetize-first torque gating: ``i_q*`` ramps in only once the
+   *estimated* flux has built past half its setpoint.  Applying torque
+   current into a weak flux is the classic startup failure — the flux
+   overshoots into the region where the back-EMF ``omega k_r psi`` exceeds
+   the inverter voltage, the q-axis loop saturates permanently and the
+   drive locks into a railed equilibrium (reproduced in
+   ``tests/test_foc.py`` history before the gate existed).
+5. Discrete PI loops on ``(i_d* - i_d, i_q* - i_q)`` with
+   conditional-integration anti-windup (integrators freeze while the
+   voltage vector is limited).
+6. Voltage-VECTOR limiting ``|u_dq| <= u_lim`` (per-axis clipping would
+   distort the command direction under saturation), inverse rotation
+   ``u_s = e^{j rho} u_dq``, and normalization onto the env's action band.
+
+No reference counterpart (the reference ships neither the induction
+machine, nor observers, nor controllers).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["make_sensorless_foc"]
+
+
+def make_sensorless_foc(
+    model,
+    *,
+    psi_ref: float,
+    torque_ref: float,
+    kp: float = 40.0,
+    ki: float = 8000.0,
+    kp_psi: float = 10.0,
+    ki_psi: float = 200.0,
+    psi_floor: float = 0.05,
+    i_max: float = None,
+):
+    """Build a rotor-flux-oriented PI current controller for the
+    :class:`~exciting_environments_tpu.models.induction_machine.InductionMachine`.
+
+    Args:
+        model: the deterministic InductionMachine twin (its static params
+            supply ``L_m``/``L_r``/``p`` for the current references and its
+            action normalization the voltage band).  Heterogeneous
+            per-batch params are fine — the law broadcasts.
+        psi_ref: rotor-flux-magnitude setpoint [Vs] (``i_d* = psi_ref/L_m``).
+            Must be a feasible operating point: the steady back-EMF
+            ``omega * (L_m/L_r) * psi_ref`` plus resistive/coupling drops
+            has to fit inside the voltage circle with margin — otherwise
+            the drive parks on the voltage limit with frozen integrators
+            (high-speed operation needs a field-weakening outer loop, which
+            this law deliberately does not include).
+        torque_ref: electromagnetic-torque setpoint [Nm].
+        kp / ki: current-loop PI gains [V/A] and [V/(A s)] — the defaults
+            are a deadbeat-ish tuning for the default machine at tau = 1e-4
+            (sigma*L_s ~ 21 mH: kp = 40 places the current-loop bandwidth
+            near 2 krad/s).
+        kp_psi / ki_psi: outer flux-loop PI gains [A/Vs] and [A/(Vs s)] —
+            an order of magnitude slower than the current loop (cascade
+            separation).
+        psi_floor: lower clamp [Vs] on the flux magnitude used in the
+            ``i_q*`` division and the orientation unit vector, so startup
+            from zero flux is well-defined.
+        i_max: current-command limit [A] (standard drive practice: the flux
+            reference has priority, the torque reference gets the remaining
+            circle ``sqrt(i_max^2 - i_d*^2)`` — this also caps the startup
+            ``i_q*`` spike while the estimated flux sits at ``psi_floor``).
+            Default: 90% of the model's stator-current normalization band.
+
+    Returns:
+        ``(controller, carry0)`` for
+        :func:`~exciting_environments_tpu.utils.ofc.run_output_feedback_controller`:
+        ``controller(belief_state, carry, k) -> (normalized_action, carry)``
+        with ``carry = (int_d, int_q, int_psi, free)`` — the current-loop
+        integrators [V], the flux-loop integrator [A], and the anti-windup
+        "voltage vector was unsaturated" flag.
+    """
+    params = model.env_properties.static_params
+    tau = float(model.tau)
+    act_norms = model.env_properties.action_normalizations
+    u_max_d = float(act_norms.u_sd.max)
+    u_max_q = float(act_norms.u_sq.max)
+    if i_max is None:
+        i_norm = model.env_properties.physical_normalizations.i_sd
+        i_max = 0.9 * min(abs(float(i_norm.min)), abs(float(i_norm.max)))
+    B = model.batch_size
+    carry0 = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,), bool))
+
+    u_lim = min(u_max_d, u_max_q)  # stationary components of |u_dq|<=u_lim stay in band
+
+    def controller(belief, carry, k):
+        phys = belief.physical_state
+        k_r = params.l_m / params.l_r
+        # 1. orientation from the ESTIMATED flux (never the plant's).
+        # Below the flux floor there is nothing to orient on — fall back to
+        # a frame rotating AT THE ROTOR SPEED (a known static param).  A
+        # fixed fallback axis would command DC stator current, and a
+        # spinning rotor shorts DC excitation to
+        # |psi| = L_m i / sqrt(1 + (omega tau_r)^2) ~ 0.03 Vs here — below
+        # the floor, so the drive could never magnetize (flux pickup on a
+        # rotating machine must synchronize the current vector first).
+        psi_mag = jnp.sqrt(phys.psi_rd**2 + phys.psi_rq**2)
+        denom = jnp.maximum(psi_mag, psi_floor)
+        theta_f = params.omega * tau * k
+        use_est = psi_mag > psi_floor
+        cos_rho = jnp.where(use_est, phys.psi_rd / denom, jnp.cos(theta_f))
+        sin_rho = jnp.where(use_est, phys.psi_rq / denom, jnp.sin(theta_f))
+        # 2. estimated currents into the flux frame
+        i_d = cos_rho * phys.i_sd + sin_rho * phys.i_sq
+        i_q = cos_rho * phys.i_sq - sin_rho * phys.i_sd
+        # 3. current references: outer flux PI (feedforward + correction of
+        # the discretization/parameter gain error) and the torque relation,
+        # limited to the command circle (flux priority — standard FOC
+        # current limiting)
+        int_d, int_q, int_psi, free = carry
+        e_psi = psi_ref - psi_mag
+        i_d_ref = jnp.clip(
+            psi_ref / params.l_m + kp_psi * e_psi + int_psi, -i_max, i_max
+        )
+        int_psi = jnp.where(free, int_psi + ki_psi * tau * e_psi, int_psi)
+        i_q_cap = jnp.sqrt(jnp.maximum(i_max**2 - i_d_ref**2, 0.0))
+        i_q_ref = jnp.clip(
+            torque_ref / (1.5 * params.p * k_r * denom), -i_q_cap, i_q_cap
+        )
+        # 4. magnetize first: torque current only once the estimated flux
+        # has built (ramp open over [0.5, 0.75]*psi_ref)
+        gate = jnp.clip((psi_mag - 0.5 * psi_ref) / (0.25 * psi_ref), 0.0, 1.0)
+        i_q_ref = gate * i_q_ref
+        # 5. PI with conditional-integration anti-windup: integrate only
+        # while the previous voltage vector was inside the limit circle
+        e_d = i_d_ref - i_d
+        e_q = i_q_ref - i_q
+        int_d = jnp.where(free, int_d + ki * tau * e_d, int_d)
+        int_q = jnp.where(free, int_q + ki * tau * e_q, int_q)
+        u_d = kp * e_d + int_d
+        u_q = kp * e_q + int_q
+        # 6. voltage-VECTOR limit (per-axis clipping would distort the
+        # command direction under saturation), then back to the stationary
+        # frame, normalized onto the action band
+        u_mag = jnp.sqrt(u_d**2 + u_q**2)
+        scale = jnp.minimum(1.0, u_lim / jnp.maximum(u_mag, 1e-9))
+        u_d = u_d * scale
+        u_q = u_q * scale
+        u_sd = cos_rho * u_d - sin_rho * u_q
+        u_sq = sin_rho * u_d + cos_rho * u_q
+        action = jnp.stack([u_sd / u_max_d, u_sq / u_max_q], axis=-1)
+        return action, (int_d, int_q, int_psi, u_mag <= u_lim)
+
+    return controller, carry0

@@ -32,20 +32,27 @@ action_sets = [
 ]
 
 # parity gate vs the scan path (same 1e-3 absolute budget as the equal-grid
-# gate in run_benchmarks.py; XLA-vs-Mosaic division rounding ~1 ulp/step)
-a_small = action_sets[0][:, :8]
-obs_r, _, last_r = env.vmap_sim_ahead(state, a_small, OBS_DT, ACT_DT)
-obs_f, last_f = env_fused_sim_ahead(env, state, a_small, OBS_DT, ACT_DT, strict=True)
+# gate in run_benchmarks.py; XLA-vs-Mosaic division rounding ~1 ulp/step).
+# Runs on a SMALLER batch: the full-trajectory save buffer (64 obs-grid
+# saves x tile x 4 state fields) must fit the 16 MB scoped-VMEM limit — at
+# b=65536 the (512,128) tile would need a 24 MB save block (device OOM);
+# the timed runs below save only the final state and are VMEM-light.
+BP = 8192
+envp = excenvs.CartPole(batch_size=BP, solver="tsit5")
+_, statep = envp.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BP))
+a_small = action_sets[0][:BP, :8]
+obs_r, _, last_r = envp.vmap_sim_ahead(statep, a_small, OBS_DT, ACT_DT)
+obs_f, last_f = env_fused_sim_ahead(envp, statep, a_small, OBS_DT, ACT_DT, strict=True)
 dev_state = max(
     float(jnp.max(jnp.abs(jnp.asarray(getattr(last_r.physical_state, n))
                           - jnp.asarray(getattr(last_f.physical_state, n)))))
-    for n in env._ode_state_fields
+    for n in envp._ode_state_fields
 )
 dev_obs = float(jnp.max(jnp.abs(obs_r - obs_f)))
 if not (dev_state < 1e-3 and dev_obs < 1e-3):
     raise RuntimeError(f"finer-obs fused sim_ahead deviates: state {dev_state}, obs {dev_obs}")
 print(json.dumps({
-    "metric": "cartpole_b65536_tsit5_finer_obs_fused_agreement",
+    "metric": f"cartpole_b{BP}_tsit5_finer_obs_fused_agreement",
     "value": dev_state, "obs_dev": dev_obs,
     "unit": "max_abs_dev_vs_scan_64steps", "ratio": RATIO,
 }), flush=True)

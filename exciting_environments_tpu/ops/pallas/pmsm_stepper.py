@@ -471,11 +471,29 @@ def _pmsm_fused_core(
     has_next = sim_ahead and _needs_next_action(solver)
 
     # largest time chunk keeping the double-buffered voltage block <= ~2 MB
+    # AND the total double-buffered block set (both voltage streams + the
+    # three per-leaf trajectory save blocks) under the ~16 MB scoped-VMEM
+    # ceiling with margin (same guard as the generic launcher — without it
+    # a trajectory-dense config passes the stream budget yet OOMs Mosaic's
+    # kernel stack at compile time)
     itemsize = jnp.dtype(i_d0.dtype).itemsize
     max_chunk = max(1, (2 * 1024 * 1024) // (2 * rows * LANES * itemsize))
+    stream_blocks = 2 * (2 if has_next else 1)  # (u_d, u_q) per stream
+
+    def _scoped_block_bytes(c):
+        width = stream_blocks * c
+        if traj_stride is not None:
+            width += max(1, c // traj_stride) * 3
+        return 2 * width * rows * LANES * itemsize  # x2: double-buffered
+
     chunk = 1
     for c in range(1, n_steps + 1):
-        if n_steps % c == 0 and c <= max_chunk and (traj_stride is None or c % traj_stride == 0):
+        if (
+            n_steps % c == 0
+            and c <= max_chunk
+            and (traj_stride is None or c % traj_stride == 0)
+            and _scoped_block_bytes(c) <= 12 * 1024 * 1024
+        ):
             chunk = c
     if traj_stride is not None and chunk % traj_stride != 0:
         raise ValueError("no time chunk compatible with obs_stride; use a smaller stride")

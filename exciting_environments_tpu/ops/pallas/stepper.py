@@ -315,15 +315,30 @@ def _launch(
 
     # time chunk: largest divisor of n_steps keeping the STREAMED blocks
     # (action slab + optional noise slab — Pallas double-buffers both)
-    # <= ~2 MB, and compatible with the trajectory stride
+    # <= ~2 MB, compatible with the trajectory stride, AND with the TOTAL
+    # double-buffered block set (streams incl. the shifted next-action
+    # stream, plus the per-leaf trajectory save blocks) under the ~16 MB
+    # scoped-VMEM ceiling with margin — without the last constraint a
+    # trajectory-dense config (many saves per chunk x n_state leaves)
+    # passes the stream budget yet OOMs Mosaic's kernel stack at compile
+    # time (seen at b=65536, n_steps=64, stride 1, Tsit5 sim-ahead)
     streamed_width = n_action + len(noise_idx)
     max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * 4))
+    stream_blocks = n_action * (2 if has_next else 1) + len(noise_idx)
+
+    def _scoped_block_bytes(c):
+        width = stream_blocks * c
+        if traj_stride is not None:
+            width += max(1, c // traj_stride) * n_state
+        return 2 * width * rows * LANES * 4  # x2: Pallas double-buffers
+
     chunk = 1
     for c in range(1, n_steps + 1):
         if (
             n_steps % c == 0
             and c <= max_chunk
             and (traj_stride is None or c % traj_stride == 0 or traj_stride % c == 0)
+            and _scoped_block_bytes(c) <= 12 * 1024 * 1024
         ):
             chunk = c
     if traj_stride is not None and chunk % traj_stride != 0 and traj_stride % chunk != 0:

@@ -1,0 +1,93 @@
+"""Device: fleet-scale sensorless field-oriented control of the induction machine.
+
+B independent drive/EKF/FOC triples close the belief->law->act->measure->
+assimilate loop as ONE program — per control step: the flux-oriented PI law
+(a handful of elementwise ops), one noisy-current-sensor plant step, and a
+fleet of 4-state EKF predict/updates reconstructing the rotor flux the law
+orients on.  The analytic-law counterpart of the MPPI output-feedback
+benches (`ofc_device.py` / `ofc_pmsm_device.py`): no candidate sweep, so the
+fleet replans at simulation rate.
+
+Timing methodology per CLAUDE.md: control steps chain through the scan
+carry (plant state, belief, PI integrators), so the marginal time between
+two loop lengths is trustworthy; the reduced NLL fetch fences the region,
+and the initial state is perturbed per timed run (relay caches args).
+"""
+import json, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.core import structures
+from exciting_environments_tpu.utils import foc, ofc
+
+B = 4096
+K1, K2 = 256, 4096  # K2 bounded by the materialized belief covariances (B x T x 4 x 4)
+PSI_REF, TORQUE_REF = 0.7, 8.0
+
+plant = excenvs.InductionMachine(
+    batch_size=B, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
+)
+model = excenvs.InductionMachine(batch_size=B)
+_, state0 = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
+with structures.copy_and_mutate(state0, validate=False) as state0:
+    state0.physical_state.i_sd = jnp.zeros(B)
+    state0.physical_state.i_sq = jnp.zeros(B)
+    state0.physical_state.psi_rd = jnp.zeros(B)
+    state0.physical_state.psi_rq = jnp.zeros(B)
+controller, carry0 = foc.make_sensorless_foc(
+    model, psi_ref=PSI_REF, torque_ref=TORQUE_REF
+)
+
+
+def run(n_steps, rep=0):
+    st = state0
+    if rep:
+        with structures.copy_and_mutate(st, validate=False) as st:
+            st.physical_state.psi_rd = jnp.full((B,), 1e-6 * rep)
+    t0 = time.perf_counter()
+    res = ofc.run_output_feedback_controller(
+        plant, model, st, n_steps, controller, controller_carry=carry0,
+        measured_fields=("i_sd", "i_sq"),
+        process_std={"psi_rd": 0.02, "psi_rq": 0.02},
+        x0=jnp.zeros((4,)),
+    )
+    fence = float(jnp.mean(res.nll))  # device->host fetch closes the region
+    return res, fence, time.perf_counter() - t0
+
+
+for n in (K1, K2):  # warm both compiles
+    res, fence, dt = run(n)
+    print(f"compile+run n_steps={n}: {dt:.2f}s nll/step={fence / n:.3f}", flush=True)
+
+# control quality at the long horizon: TRUE flux/torque vs setpoints
+fs = res.final_state.physical_state
+psi = jnp.sqrt(fs.psi_rd**2 + fs.psi_rq**2)
+tq = model.torque(res.final_state)
+psi_err = float(jnp.max(jnp.abs(psi - PSI_REF)))
+tq_err = float(jnp.max(jnp.abs(tq - TORQUE_REF)))
+print(f"fleet max |psi-{PSI_REF}|={psi_err:.3f}, max |T-{TORQUE_REF}|={tq_err:.3f}", flush=True)
+assert psi_err < 0.1 and tq_err < 1.5
+
+_, _, t1 = run(K1, rep=1)
+_, _, t2 = run(K2, rep=2)
+marginal = (t2 - t1) / (K2 - K1)
+print(f"t1={t1:.3f}s t2={t2:.3f}s marginal={marginal * 1e3:.3f} ms/control-step", flush=True)
+print(f"FOC fleet replans at {1.0 / marginal:.0f} Hz "
+      f"({B / marginal:.3e} law+plant+EKF triples/s)", flush=True)
+print(json.dumps({
+    "metric": "foc_fleet_replan_hz",
+    "value": 1.0 / marginal,
+    "unit": "control steps/s for the whole fleet (FOC law + plant + 4-state EKF)",
+    "config": f"scim_b{B}_currents_measured_psi{PSI_REF}_T{TORQUE_REF}",
+    "triples_per_s": B / marginal,
+    "k1": K1, "k2": K2, "t_k1": t1, "t_k2": t2,
+    "scaling_ok": bool(t2 > t1 * 1.2),
+    "fleet_max_abs_psi_err": psi_err,
+    "fleet_max_abs_torque_err": tq_err,
+}), flush=True)
+print("FOC DEVICE DONE", flush=True)

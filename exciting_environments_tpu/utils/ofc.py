@@ -18,6 +18,12 @@ The whole ``n_steps`` loop — candidate sweeps, plant stepping, Jacobian
 re-linearizations — is a single jitted ``lax.scan``: one device dispatch,
 B independent plant/observer/controller triples in parallel.
 
+:func:`run_output_feedback_controller` drives the identical composition
+with an explicit analytic control LAW instead of a planner (PI cascades,
+LQR gains, the sensorless field-oriented drive control of
+:mod:`~exciting_environments_tpu.utils.foc`) — one law evaluation per
+control step in place of the candidate sweep.
+
 Plant/model separation is explicit (the standard MPC framing): ``plant`` is
 the environment being controlled (typically noise-configured), ``model`` is
 the deterministic twin the planner and filter reason with — pass the same

@@ -323,14 +323,15 @@ def _launch(
     # passes the stream budget yet OOMs Mosaic's kernel stack at compile
     # time (seen at b=65536, n_steps=64, stride 1, Tsit5 sim-ahead)
     streamed_width = n_action + len(noise_idx)
-    max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * 4))
+    itemsize = jnp.asarray(y0[0]).dtype.itemsize  # f64 in interpret runs
+    max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
     stream_blocks = n_action * (2 if has_next else 1) + len(noise_idx)
 
     def _scoped_block_bytes(c):
         width = stream_blocks * c
         if traj_stride is not None:
             width += max(1, c // traj_stride) * n_state
-        return 2 * width * rows * LANES * 4  # x2: Pallas double-buffers
+        return 2 * width * rows * LANES * itemsize  # x2: Pallas double-buffers
 
     chunk = 1
     for c in range(1, n_steps + 1):

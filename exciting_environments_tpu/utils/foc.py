@@ -56,6 +56,7 @@ machine, nor observers, nor controllers).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["make_sensorless_foc"]
 
@@ -115,15 +116,33 @@ def make_sensorless_foc(
     params = model.env_properties.static_params
     tau = float(model.tau)
     act_norms = model.env_properties.action_normalizations
-    u_max_d = float(act_norms.u_sd.max)
-    u_max_q = float(act_norms.u_sq.max)
+    # The vector limit + `u / u_max` normalization preserve the command
+    # DIRECTION only when denormalization is linear through zero, i.e. the
+    # action band is symmetric (min == -max); an asymmetric band would
+    # silently apply a DC offset voltage, so reject it loudly.  Per-batch
+    # (B,)-shaped symmetric bands are fine — everything below broadcasts.
+    for ax in ("u_sd", "u_sq"):
+        norm = getattr(act_norms, ax)
+        if not np.allclose(np.asarray(norm.min), -np.asarray(norm.max)):
+            raise ValueError(
+                f"make_sensorless_foc needs a symmetric {ax} action band "
+                f"(min == -max) to keep the voltage-vector limit "
+                f"orientation-preserving; got min={norm.min}, max={norm.max}"
+            )
+    u_max_d = jnp.asarray(act_norms.u_sd.max)
+    u_max_q = jnp.asarray(act_norms.u_sq.max)
     if i_max is None:
         i_norm = model.env_properties.physical_normalizations.i_sd
-        i_max = 0.9 * min(abs(float(i_norm.min)), abs(float(i_norm.max)))
+        i_max = 0.9 * jnp.minimum(
+            jnp.abs(jnp.asarray(i_norm.min)), jnp.abs(jnp.asarray(i_norm.max))
+        )
+    else:
+        i_max = jnp.asarray(i_max)
     B = model.batch_size
     carry0 = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,), bool))
 
-    u_lim = min(u_max_d, u_max_q)  # stationary components of |u_dq|<=u_lim stay in band
+    # stationary components of |u_dq| <= u_lim stay inside the band
+    u_lim = jnp.minimum(u_max_d, u_max_q)
 
     def controller(belief, carry, k):
         phys = belief.physical_state
@@ -151,10 +170,14 @@ def make_sensorless_foc(
         # current limiting)
         int_d, int_q, int_psi, free = carry
         e_psi = psi_ref - psi_mag
-        i_d_ref = jnp.clip(
-            psi_ref / params.l_m + kp_psi * e_psi + int_psi, -i_max, i_max
-        )
-        int_psi = jnp.where(free, int_psi + ki_psi * tau * e_psi, int_psi)
+        i_d_raw = psi_ref / params.l_m + kp_psi * e_psi + int_psi
+        i_d_ref = jnp.clip(i_d_raw, -i_max, i_max)
+        # conditional integration on BOTH saturations the flux loop can hit:
+        # the voltage-vector limit (free) and its own current-command clip —
+        # an infeasible psi_ref under i_max would otherwise wind int_psi up
+        # without bound while the voltage stays comfortably inside the circle
+        psi_free = free & (jnp.abs(i_d_raw) <= i_max)
+        int_psi = jnp.where(psi_free, int_psi + ki_psi * tau * e_psi, int_psi)
         i_q_cap = jnp.sqrt(jnp.maximum(i_max**2 - i_d_ref**2, 0.0))
         i_q_ref = jnp.clip(
             torque_ref / (1.5 * params.p * k_r * denom), -i_q_cap, i_q_cap

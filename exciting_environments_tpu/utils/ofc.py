@@ -220,12 +220,14 @@ def run_output_feedback_mppi(
     dtype = jnp.result_type(float)
     if plan is None:
         plan = jnp.zeros((B, H, A), dtype)
-    mpc._validate_plan(model, config, plan, cost_fn, state)
-
+    # setup first: its plant-vs-model batch/action check must fire before
+    # _validate_plan, or a batch mismatch surfaces as a confusing
+    # plan-shape error (the default plan is built with the PLANT's B)
     belief_to_state, ekf_step_b, x_b, P_b, zidx = _ofc_setup(
         plant, model, state, measured_fields, process_std, measurement_std,
         x0, P0, dtype,
     )
+    mpc._validate_plan(model, config, plan, cost_fn, state)
 
     @jax.jit
     def run(plant_state, plan, x_b, P_b, key):

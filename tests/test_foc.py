@@ -114,6 +114,89 @@ def test_foc_voltage_vector_limit():
     assert carry[3].shape == (64,)
 
 
+def test_foc_rejects_asymmetric_action_band():
+    """An asymmetric action band breaks the vector-limit direction guarantee
+    (denormalization is no longer linear through zero) — reject loudly
+    instead of silently applying a DC offset voltage."""
+    from exciting_environments_tpu.utils import MinMaxNormalization
+
+    model = excenvs.InductionMachine(
+        batch_size=2,
+        action_normalizations={
+            "u_sd": MinMaxNormalization(min=-300.0, max=350.0),
+            "u_sq": MinMaxNormalization(min=-325.0, max=325.0),
+        },
+    )
+    with pytest.raises(ValueError, match="symmetric"):
+        foc.make_sensorless_foc(model, psi_ref=0.5, torque_ref=1.0)
+
+
+def test_foc_per_batch_bands():
+    """Heterogeneous per-batch voltage/current bands construct and broadcast
+    (the docstring's promise): each instance's commanded vector respects its
+    OWN inverter limit."""
+    from exciting_environments_tpu.utils import MinMaxNormalization
+
+    u_max = jnp.array([250.0, 325.0, 400.0, 325.0])
+    i_band = jnp.array([10.0, 20.0, 20.0, 5.0])
+    model = excenvs.InductionMachine(
+        batch_size=4,
+        action_normalizations={
+            "u_sd": MinMaxNormalization(min=-u_max, max=u_max),
+            "u_sq": MinMaxNormalization(min=-u_max, max=u_max),
+        },
+        physical_normalizations={
+            "i_sd": MinMaxNormalization(min=-i_band, max=i_band),
+            "i_sq": MinMaxNormalization(min=-i_band, max=i_band),
+            "psi_rd": MinMaxNormalization(min=-1.5, max=1.5),
+            "psi_rq": MinMaxNormalization(min=-1.5, max=1.5),
+        },
+    )
+    controller, carry0 = foc.make_sensorless_foc(
+        model, psi_ref=PSI_REF, torque_ref=500.0
+    )
+    _, state = model.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 4))
+    action, carry = controller(state, carry0, 0)
+    assert action.shape == (4, 2)
+    assert np.isfinite(np.asarray(action)).all()
+    # the normalized action is the voltage divided by the PER-INSTANCE band,
+    # so in-band means |a| <= 1 for every instance
+    assert bool((jnp.abs(action) <= 1.0 + 1e-6).all())
+
+
+def test_foc_flux_integrator_antiwindup():
+    """An infeasible flux setpoint under i_max must not wind int_psi up
+    without bound: once the i_d command clips, the flux integrator freezes
+    even while the voltage vector stays unsaturated."""
+    model = excenvs.InductionMachine(batch_size=2)
+    # i_d demand psi_ref/L_m ~ 3.1 A > i_max=2 A: permanently clipped
+    controller, carry = foc.make_sensorless_foc(
+        model, psi_ref=0.7, torque_ref=0.0, i_max=2.0
+    )
+    _, state = model.vmap_reset(jax.random.split(jax.random.PRNGKey(5), 2))
+    with structures.copy_and_mutate(state, validate=False) as state:
+        state.physical_state.i_sd = jnp.full((2,), 1.9)
+        state.physical_state.i_sq = jnp.zeros(2)
+        state.physical_state.psi_rd = jnp.full((2,), 0.4)  # below setpoint
+        state.physical_state.psi_rq = jnp.zeros(2)
+
+    @jax.jit
+    def run(carry, k0, n):
+        def body(k, c):
+            _, c = controller(state, c, k0 + k)
+            return c
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    carry_200 = run(carry, 0, 200)
+    carry_1200 = run(carry_200, 200, 1000)
+    # frozen, not growing: 1000 further steps leave int_psi unchanged
+    np.testing.assert_allclose(
+        np.asarray(carry_1200[2]), np.asarray(carry_200[2]), rtol=0, atol=1e-9
+    )
+    assert np.abs(np.asarray(carry_1200[2])).max() < 10.0
+
+
 def test_generic_controller_runner_on_pendulum():
     """run_output_feedback_controller is env-generic: a PD law from the
     belief tracks the pendulum reference through noisy angle measurements."""

@@ -25,40 +25,50 @@ import exciting_environments_tpu as excenvs
 from exciting_environments_tpu.core import structures
 from exciting_environments_tpu.utils import foc, ofc
 
-B = 4096
-K1, K2 = 256, 4096  # K2 bounded by the materialized belief covariances (B x T x 4 x 4)
 PSI_REF, TORQUE_REF = 0.7, 8.0
 
-plant = excenvs.InductionMachine(
-    batch_size=B, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
-)
-model = excenvs.InductionMachine(batch_size=B)
-_, state0 = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B))
-with structures.copy_and_mutate(state0, validate=False) as state0:
-    state0.physical_state.i_sd = jnp.zeros(B)
-    state0.physical_state.i_sq = jnp.zeros(B)
-    state0.physical_state.psi_rd = jnp.zeros(B)
-    state0.physical_state.psi_rq = jnp.zeros(B)
-controller, carry0 = foc.make_sensorless_foc(
-    model, psi_ref=PSI_REF, torque_ref=TORQUE_REF
-)
 
-
-def run(n_steps, rep=0):
-    st = state0
-    if rep:
-        with structures.copy_and_mutate(st, validate=False) as st:
-            st.physical_state.psi_rd = jnp.full((B,), 1e-6 * rep)
-    t0 = time.perf_counter()
-    res = ofc.run_output_feedback_controller(
-        plant, model, st, n_steps, controller, controller_carry=carry0,
-        measured_fields=("i_sd", "i_sq"),
-        process_std={"psi_rd": 0.02, "psi_rq": 0.02},
-        x0=jnp.zeros((4,)),
+def make_fleet(batch, seed):
+    """One drive fleet: noisy plant, deterministic twin, rest-start state
+    (machine at standstill, zero flux — the canonical startup), FOC law."""
+    plant = excenvs.InductionMachine(
+        batch_size=batch, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
     )
-    fence = float(jnp.mean(res.nll))  # device->host fetch closes the region
-    return res, fence, time.perf_counter() - t0
+    model = excenvs.InductionMachine(batch_size=batch)
+    _, st = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(seed), batch))
+    with structures.copy_and_mutate(st, validate=False) as st:
+        st.physical_state.i_sd = jnp.zeros(batch)
+        st.physical_state.i_sq = jnp.zeros(batch)
+        st.physical_state.psi_rd = jnp.zeros(batch)
+        st.physical_state.psi_rq = jnp.zeros(batch)
+    controller, carry0 = foc.make_sensorless_foc(
+        model, psi_ref=PSI_REF, torque_ref=TORQUE_REF
+    )
 
+    def run(n_steps, rep=0, **kw):
+        """Timed closed loop; rep != 0 perturbs the start flux so the relay
+        cannot serve a cached execution for the timed repeats."""
+        s = st
+        if rep:
+            with structures.copy_and_mutate(s, validate=False) as s:
+                s.physical_state.psi_rd = jnp.full((batch,), 1e-6 * rep)
+        t0 = time.perf_counter()
+        res = ofc.run_output_feedback_controller(
+            plant, model, s, n_steps, controller, controller_carry=carry0,
+            measured_fields=("i_sd", "i_sq"),
+            process_std={"psi_rd": 0.02, "psi_rq": 0.02},
+            x0=jnp.zeros((4,)), **kw,
+        )
+        fence = float(jnp.mean(res.nll))  # device->host fetch closes the region
+        return res, fence, time.perf_counter() - t0
+
+    return model, run
+
+
+# --- b=4096, full trajectories -------------------------------------------
+B = 4096
+K1, K2 = 256, 4096  # K2 bounded by the materialized belief covariances (B x T x 4 x 4)
+model, run = make_fleet(B, seed=0)
 
 for n in (K1, K2):  # warm both compiles
     res, fence, dt = run(n)
@@ -90,49 +100,21 @@ print(json.dumps({
     "fleet_max_abs_psi_err": psi_err,
     "fleet_max_abs_torque_err": tq_err,
 }), flush=True)
-# --- fleet scale: is the loop per-plant-work-bound or dispatch-bound?
+
+# --- fleet scale: is the loop per-plant-work-bound or dispatch-bound? ----
 # (Measured answer: work-bound — per-step time scales linearly with B, so
 # triples/s is batch-invariant at ~1.1e6.)  return_trajectories=False
 # keeps memory bounded by the fleet (the belief-covariance history alone
 # would be 17 GB here).
 BF = 65536
 KF1, KF2 = 64, 512
-plant_f = excenvs.InductionMachine(
-    batch_size=BF, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
-)
-model_f = excenvs.InductionMachine(batch_size=BF)
-_, state_f = plant_f.vmap_reset(jax.random.split(jax.random.PRNGKey(5), BF))
-with structures.copy_and_mutate(state_f, validate=False) as state_f:
-    state_f.physical_state.i_sd = jnp.zeros(BF)
-    state_f.physical_state.i_sq = jnp.zeros(BF)
-    state_f.physical_state.psi_rd = jnp.zeros(BF)
-    state_f.physical_state.psi_rq = jnp.zeros(BF)
-controller_f, carry0_f = foc.make_sensorless_foc(
-    model_f, psi_ref=PSI_REF, torque_ref=TORQUE_REF
-)
-
-
-def run_f(n_steps, rep=0):
-    st = state_f
-    if rep:
-        with structures.copy_and_mutate(st, validate=False) as st:
-            st.physical_state.psi_rd = jnp.full((BF,), 1e-6 * rep)
-    t0 = time.perf_counter()
-    res = ofc.run_output_feedback_controller(
-        plant_f, model_f, st, n_steps, controller_f, controller_carry=carry0_f,
-        measured_fields=("i_sd", "i_sq"),
-        process_std={"psi_rd": 0.02, "psi_rq": 0.02},
-        x0=jnp.zeros((4,)), return_trajectories=False,
-    )
-    fence = float(jnp.mean(res.nll))
-    return fence, time.perf_counter() - t0
-
+_, run_f = make_fleet(BF, seed=5)
 
 for n in (KF1, KF2):
-    fence, dt = run_f(n)
+    _, fence, dt = run_f(n, return_trajectories=False)
     print(f"compile+run fleet n_steps={n}: {dt:.2f}s", flush=True)
-_, tf1 = run_f(KF1, rep=1)
-_, tf2 = run_f(KF2, rep=2)
+_, _, tf1 = run_f(KF1, rep=1, return_trajectories=False)
+_, _, tf2 = run_f(KF2, rep=2, return_trajectories=False)
 marg_f = (tf2 - tf1) / (KF2 - KF1)
 print(f"fleet t1={tf1:.3f}s t2={tf2:.3f}s marginal={marg_f * 1e3:.3f} ms/control-step", flush=True)
 print(json.dumps({

@@ -17,8 +17,8 @@ Per control step the law is a handful of elementwise ops (one atan2-free
 rotation built directly from the flux components, two PI updates, one
 inverse rotation) — the loop cost is the OBSERVER's, not the controller's
 (no (n_samples x horizon) candidate sweep like the MPPI runner pays).
-Measured on device: a 4,096-drive fleet replans at 271 Hz — per plant and
-control step ~9x cheaper than the drive MPPI composition
+Measured on device: a 4,096-drive fleet replans at 291 Hz — per plant and
+control step ~10x cheaper than the drive MPPI composition
 (`benchmarks/r03/foc_device.py`, `BENCHMARKS.md`).
 
 The law (amplitude-invariant stationary-frame model, see the env docstring):
@@ -42,9 +42,26 @@ The law (amplitude-invariant stationary-frame model, see the env docstring):
    the inverter voltage, the q-axis loop saturates permanently and the
    drive locks into a railed equilibrium (reproduced in
    ``tests/test_foc.py`` history before the gate existed).
-5. Discrete PI loops on ``(i_d* - i_d, i_q* - i_q)`` with
-   conditional-integration anti-windup (integrators freeze while the
-   voltage vector is limited).
+5. Discrete PI loops on ``(i_d* - i_d, i_q* - i_q)`` with the textbook
+   decoupling feedforward ``u_d += -omega_s sigma L_s i_q``,
+   ``u_q += omega_s (sigma L_s i_d + k_r |psi_hat|)`` at the slip-adjusted
+   synchronous speed ``omega_s = omega + L_m i_q / (tau_r |psi_hat|)``
+   (without it the integrators must supply the entire back-EMF — hundreds
+   of volts of slowly-learned state standing between a railed transient
+   and recovery), and BACK-CALCULATION anti-windup: the integrators track
+   the applied (limited) voltage,
+   ``int += ki tau e + (tau ki / kp)(u_applied - u_unsat)``, so a railed
+   transient UNWINDS instead of freezing — pure conditional integration
+   deadlocks here: a flux overshoot rails the inverter, freezing the
+   wound-up integrators at exactly the values that keep it railed
+   (reproduced in ``tests/test_foc.py`` history).  The outer flux loop
+   back-calculates against the ACHIEVED d-current (bounding its integrator
+   on the ``i_max`` clip and tracking the plant through railed transients)
+   and uses DIRECTIONAL conditional integration against voltage
+   saturation: while the inverter is railed the flux error integrates only
+   in the direction that shrinks the current command — a railed
+   equilibrium is self-consistent, so symmetric freezing would park the
+   drive above the setpoint forever.
 6. Voltage-VECTOR limiting ``|u_dq| <= u_lim`` (per-axis clipping would
    distort the command direction under saturation), inverse rotation
    ``u_s = e^{j rho} u_dq``, and normalization onto the env's action band.
@@ -72,6 +89,8 @@ def make_sensorless_foc(
     ki_psi: float = 200.0,
     psi_floor: float = 0.05,
     i_max: float = None,
+    field_weakening: bool = False,
+    u_margin: float = 0.85,
 ):
     """Build a rotor-flux-oriented PI current controller for the
     :class:`~exciting_environments_tpu.models.induction_machine.InductionMachine`.
@@ -85,9 +104,9 @@ def make_sensorless_foc(
             Must be a feasible operating point: the steady back-EMF
             ``omega * (L_m/L_r) * psi_ref`` plus resistive/coupling drops
             has to fit inside the voltage circle with margin — otherwise
-            the drive parks on the voltage limit with frozen integrators
-            (high-speed operation needs a field-weakening outer loop, which
-            this law deliberately does not include).
+            the drive parks on the voltage limit with frozen integrators.
+            For high-speed machines pass ``field_weakening=True`` to derate
+            the setpoint automatically.
         torque_ref: electromagnetic-torque setpoint [Nm].
         kp / ki: current-loop PI gains [V/A] and [V/(A s)] — the defaults
             are a deadbeat-ish tuning for the default machine at tau = 1e-4
@@ -104,6 +123,18 @@ def make_sensorless_foc(
             circle ``sqrt(i_max^2 - i_d*^2)`` — this also caps the startup
             ``i_q*`` spike while the estimated flux sits at ``psi_floor``).
             Default: 90% of the model's stator-current normalization band.
+        field_weakening: derate the flux setpoint above base speed with the
+            standard ``1/omega`` feedforward law
+            ``psi* = min(psi_ref, u_margin * u_lim / (|omega| L_m/L_r))`` so
+            the back-EMF ``omega (L_m/L_r) psi`` never exceeds
+            ``u_margin * u_lim`` — without it a high-speed machine parks ON
+            the voltage limit with frozen integrators (the infeasibility
+            warned about under ``psi_ref``).  Uses the model's frozen
+            electrical rotor speed (per-batch ``omega`` broadcasts: each
+            instance weakens at its own speed); the ``1 - u_margin`` slack
+            absorbs the resistive/leakage-reactance drops and slip.
+        u_margin: fraction of the voltage-vector limit the back-EMF may
+            occupy under field weakening.
 
     Returns:
         ``(controller, carry0)`` for
@@ -144,6 +175,17 @@ def make_sensorless_foc(
     # stationary components of |u_dq| <= u_lim stay inside the band
     u_lim = jnp.minimum(u_max_d, u_max_q)
 
+    # effective flux setpoint: constant below base speed, 1/omega feedforward
+    # field weakening above it (omega is a frozen static param, so this is a
+    # construction-time constant — possibly per-batch)
+    psi_star = psi_ref
+    if field_weakening:
+        omega = model.env_properties.static_params.omega
+        k_r0 = params.l_m / params.l_r
+        psi_star = jnp.minimum(
+            psi_ref, u_margin * u_lim / (jnp.maximum(jnp.abs(omega), 1e-6) * k_r0)
+        )
+
     def controller(belief, carry, k):
         phys = belief.physical_state
         k_r = params.l_m / params.l_r
@@ -169,38 +211,59 @@ def make_sensorless_foc(
         # limited to the command circle (flux priority — standard FOC
         # current limiting)
         int_d, int_q, int_psi, free = carry
-        e_psi = psi_ref - psi_mag
-        i_d_raw = psi_ref / params.l_m + kp_psi * e_psi + int_psi
+        e_psi = psi_star - psi_mag
+        i_d_raw = psi_star / params.l_m + kp_psi * e_psi + int_psi
         i_d_ref = jnp.clip(i_d_raw, -i_max, i_max)
-        # conditional integration on BOTH saturations the flux loop can hit:
-        # the voltage-vector limit (free) and its own current-command clip —
-        # an infeasible psi_ref under i_max would otherwise wind int_psi up
-        # without bound while the voltage stays comfortably inside the circle
-        psi_free = free & (jnp.abs(i_d_raw) <= i_max)
-        int_psi = jnp.where(psi_free, int_psi + ki_psi * tau * e_psi, int_psi)
+        # cascade anti-windup, two complementary pieces:
+        # - DIRECTIONAL conditional integration: while the inverter is
+        #   railed (previous-step flag — the inner current loop has no
+        #   authority then) integrate only in the direction that SHRINKS
+        #   the flux command.  Plain conditional integration deadlocks: a
+        #   railed equilibrium is self-consistent (the achieved flux/current
+        #   are whatever the limited voltage delivers), so with the error
+        #   term frozen nothing ever commands the flux back inside the
+        #   feasible circle.
+        # - back-calculation against the ACHIEVED d-current, which bounds
+        #   int_psi when the command sits on the i_max clip (infeasible
+        #   psi_ref) and tracks the plant through voltage-railed transients.
+        unwind = e_psi * i_d_raw < 0.0
+        int_psi = (
+            int_psi
+            + jnp.where(free | unwind, ki_psi * tau * e_psi, 0.0)
+            + (tau * ki_psi / kp_psi) * (i_d - i_d_raw)
+        )
         i_q_cap = jnp.sqrt(jnp.maximum(i_max**2 - i_d_ref**2, 0.0))
         i_q_ref = jnp.clip(
             torque_ref / (1.5 * params.p * k_r * denom), -i_q_cap, i_q_cap
         )
         # 4. magnetize first: torque current only once the estimated flux
         # has built (ramp open over [0.5, 0.75]*psi_ref)
-        gate = jnp.clip((psi_mag - 0.5 * psi_ref) / (0.25 * psi_ref), 0.0, 1.0)
+        gate = jnp.clip((psi_mag - 0.5 * psi_star) / (0.25 * psi_star), 0.0, 1.0)
         i_q_ref = gate * i_q_ref
-        # 5. PI with conditional-integration anti-windup: integrate only
-        # while the previous voltage vector was inside the limit circle
+        # 5. PI with decoupling feedforward at the slip-adjusted synchronous
+        # speed (the indirect-FOC slip relation, on ESTIMATED quantities):
+        # the feedforward carries the back-EMF and cross-coupling so the PI
+        # only closes the small-signal loop
         e_d = i_d_ref - i_d
         e_q = i_q_ref - i_q
-        int_d = jnp.where(free, int_d + ki * tau * e_d, int_d)
-        int_q = jnp.where(free, int_q + ki * tau * e_q, int_q)
-        u_d = kp * e_d + int_d
-        u_q = kp * e_q + int_q
+        sigma_l_s = params.l_s - params.l_m * k_r
+        omega_s = params.omega + params.l_m * i_q / (
+            (params.l_r / params.r_r) * denom
+        )
+        u_d_unsat = kp * e_d + int_d - omega_s * sigma_l_s * i_q
+        u_q_unsat = kp * e_q + int_q + omega_s * (sigma_l_s * i_d + k_r * psi_mag)
         # 6. voltage-VECTOR limit (per-axis clipping would distort the
-        # command direction under saturation), then back to the stationary
-        # frame, normalized onto the action band
-        u_mag = jnp.sqrt(u_d**2 + u_q**2)
+        # command direction under saturation), back-calculation tracking of
+        # the applied voltage (see module docstring: this is what lets a
+        # railed transient unwind), then back to the stationary frame,
+        # normalized onto the action band
+        u_mag = jnp.sqrt(u_d_unsat**2 + u_q_unsat**2)
         scale = jnp.minimum(1.0, u_lim / jnp.maximum(u_mag, 1e-9))
-        u_d = u_d * scale
-        u_q = u_q * scale
+        u_d = u_d_unsat * scale
+        u_q = u_q_unsat * scale
+        k_t = tau * ki / kp  # tracking gain: T_t = kp/ki (the PI's own T_i)
+        int_d = int_d + ki * tau * e_d + k_t * (u_d - u_d_unsat)
+        int_q = int_q + ki * tau * e_q + k_t * (u_q - u_q_unsat)
         u_sd = cos_rho * u_d - sin_rho * u_q
         u_sq = sin_rho * u_d + cos_rho * u_q
         action = jnp.stack([u_sd / u_max_d, u_sq / u_max_q], axis=-1)

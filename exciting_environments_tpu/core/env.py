@@ -969,20 +969,26 @@ class CoreEnvironment:
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
-                          policy_params=None, return_traj_states: bool = False):
+                          policy_params=None, return_traj_states: bool = False,
+                          policy_carry=None):
         """Closed-loop rollout with the policy evaluated INSIDE the fused
         Pallas kernel on (rows, 128) tiles — the whole observation -> action
         -> step loop VMEM-resident, zero action traffic (see
         :func:`exciting_environments_tpu.ops.pallas.stepper.env_fused_closed_loop`
-        for the policy contract).  Raises out of kernel scope (a closed loop
-        has no open-loop fallback; use
-        ``RolloutCollector.collect_policy`` there)."""
+        for the policy contract).  ``policy_carry`` (tuple of ``(B,)`` float
+        leaves) makes the policy STATEFUL — ``policy(obs, step, carry[,
+        params]) -> (action, carry)`` with the carry VMEM-resident between
+        steps (PI/PID laws, filters, recurrent policies at kernel speed);
+        every return shape then gains the final carry as its last element.
+        Raises out of kernel scope (a closed loop has no open-loop fallback;
+        use ``RolloutCollector.collect_policy`` there)."""
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
 
         return env_fused_closed_loop(
             self, init_state, policy, n_steps,
             obs_stride=obs_stride, interpret=interpret,
             policy_params=policy_params, return_traj_states=return_traj_states,
+            policy_carry=policy_carry,
         )
 
     @partial(jax.jit, static_argnums=0)

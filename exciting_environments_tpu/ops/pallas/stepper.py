@@ -1198,14 +1198,18 @@ def env_fused_sim_ahead(
 def _make_closed_loop_kernel(
     ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
     wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
-    pp_treedef, n_pp,
+    pp_treedef, n_pp, n_carry,
 ):
     """Kernel body over refs ``([pparams,] *params, *refs, *state_in,
-    *state_out[, *traj_state, *traj_action])``; grid ``(batch_tiles,
-    time_chunks)`` with the state carried in revisited output blocks (see
-    :func:`_make_kernel`).  ``pparams`` is the flattened policy-parameter
-    vector in SMEM (``n_pp`` scalars, re-assembled into the user's pytree
-    per ``pp_treedef``); with ``n_pp == 0`` the policy is parameter-free."""
+    *carry_in, *state_out, *carry_out[, *traj_state, *traj_action,
+    *traj_carry])``; grid ``(batch_tiles, time_chunks)`` with the state
+    carried in revisited output blocks (see :func:`_make_kernel`).
+    ``pparams`` is the flattened policy-parameter vector in SMEM (``n_pp``
+    scalars, re-assembled into the user's pytree per ``pp_treedef``); with
+    ``n_pp == 0`` the policy is parameter-free.  With ``n_carry > 0`` the
+    policy is STATEFUL: its per-instance carry leaves ride VMEM planes
+    exactly like the integration state and the call contract becomes
+    ``policy(obs, step, carry[, params]) -> (action, carry)``."""
 
     def kernel(*refs):
         if n_pp:
@@ -1217,9 +1221,9 @@ def _make_closed_loop_kernel(
         refs = refs[n_params:]
         ref_refs = refs[:n_refs]
         refs = refs[n_refs:]
-        in_refs = refs[:n_state]
-        state_refs = refs[n_state : 2 * n_state]
-        traj_refs = refs[2 * n_state :]
+        in_refs = refs[: n_state + n_carry]
+        state_refs = refs[n_state + n_carry : 2 * (n_state + n_carry)]
+        traj_refs = refs[2 * (n_state + n_carry) :]
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -1234,7 +1238,8 @@ def _make_closed_loop_kernel(
             lambda leaf: ((leaf + jnp.pi) % (2 * jnp.pi)) - jnp.pi
         )
 
-        def body(i, y):
+        def body(i, yc):
+            y, c = yc[:n_state], yc[n_state:]
             step = k * chunk + i
             # observation: the exact MinMaxNormalization arithmetic of
             # generate_observation, leaf by leaf, plus the normalized
@@ -1243,7 +1248,12 @@ def _make_closed_loop_kernel(
                 2 * (leaf - mn) / (mx - mn) - 1
                 for leaf, (mn, mx) in zip(y, obs_norms)
             ) + ref_tiles
-            a_norm = policy(obs, step, pparams) if n_pp else policy(obs, step)
+            if n_carry:
+                out = policy(obs, step, c, pparams) if n_pp else policy(obs, step, c)
+                a_norm, c1 = out[0], tuple(out[1])
+            else:
+                a_norm = policy(obs, step, pparams) if n_pp else policy(obs, step)
+                c1 = ()
             # denormalize_action, per component
             action = _IndexableAction(tuple(
                 (a + 1) / 2 * (mx - mn) + mn
@@ -1265,14 +1275,16 @@ def _make_closed_loop_kernel(
                     slot = (i + 1) // traj_stride - 1
                     for ref, leaf in zip(traj_refs[:n_state], y1):
                         ref[slot] = leaf
-                    for ref, leaf in zip(traj_refs[n_state:], a_norm):
+                    for ref, leaf in zip(traj_refs[n_state : n_state + n_action], a_norm):
+                        ref[slot] = leaf
+                    for ref, leaf in zip(traj_refs[n_state + n_action :], c1):
                         ref[slot] = leaf
 
-            return y1
+            return y1 + c1
 
-        y = tuple(ref[:] for ref in state_refs)
-        y = jax.lax.fori_loop(0, chunk, body, y)
-        for ref, leaf in zip(state_refs, y):
+        yc = tuple(ref[:] for ref in state_refs)
+        yc = jax.lax.fori_loop(0, chunk, body, yc)
+        for ref, leaf in zip(state_refs, yc):
             ref[:] = leaf
 
     return kernel
@@ -1281,16 +1293,20 @@ def _make_closed_loop_kernel(
 def _cl_launch(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    y0, param_leaves, ref_leaves, pp_flat,
+    y0, param_leaves, ref_leaves, pp_flat, carry0=None,
 ):
     """Tile the operands and launch the closed-loop kernel (primal of
-    :func:`fused_closed_loop`)."""
+    :func:`fused_closed_loop`).  With ``carry0`` (tuple of ``(B,)`` float
+    leaves) the policy is stateful; returns gain a ``final_carry`` element
+    and, with ``traj_stride``, a carry trajectory: ``(final, final_carry)``
+    or ``(final, final_carry, traj_state, traj_act, traj_carry)``."""
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     if traj_stride is not None and n_steps % traj_stride != 0:
         raise ValueError("n_steps must be divisible by traj_stride")
     n_state = len(y0)
+    n_carry = 0 if carry0 is None else len(carry0)
     n_params = len(param_leaves)
     n_refs = len(ref_leaves)
     n_pp = 0 if pp_flat is None else pp_flat.shape[0]
@@ -1309,6 +1325,9 @@ def _cl_launch(
 
     y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)
     dtype = y0_tiled[0].dtype
+    carry_tiled = tuple(
+        jnp.asarray(leaf, dtype).reshape(total_rows, LANES) for leaf in (carry0 or ())
+    )
 
     def state_block():
         return pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
@@ -1324,28 +1343,31 @@ def _cl_launch(
     for leaf in ref_leaves:
         in_specs.append(state_block())
         operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
-    in_specs += [state_block() for _ in range(n_state)]
-    operands += list(y0_tiled)
+    in_specs += [state_block() for _ in range(n_state + n_carry)]
+    operands += list(y0_tiled) + list(carry_tiled)
 
-    out_specs = [state_block() for _ in range(n_state)]
-    out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_state)]
+    out_specs = [state_block() for _ in range(n_state + n_carry)]
+    out_shape = [
+        jax.ShapeDtypeStruct((total_rows, LANES), dtype)
+        for _ in range(n_state + n_carry)
+    ]
     if traj_stride is not None:
         n_saves = n_steps // traj_stride
         saves_per_chunk = chunk // traj_stride
         traj_index = lambda b, k: (k, b, 0)
         out_specs += [
             pl.BlockSpec((saves_per_chunk, rows, LANES), traj_index, memory_space=pltpu.VMEM)
-            for _ in range(n_state + n_action)
+            for _ in range(n_state + n_action + n_carry)
         ]
         out_shape += [
             jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype)
-            for _ in range(n_state + n_action)
+            for _ in range(n_state + n_action + n_carry)
         ]
 
     kernel = _make_closed_loop_kernel(
         ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
         wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
-        pp_treedef, n_pp,
+        pp_treedef, n_pp, n_carry,
     )
     out = pl.pallas_call(
         kernel,
@@ -1357,29 +1379,43 @@ def _cl_launch(
     )(*operands)
 
     final = tuple(o.reshape(batch) for o in out[:n_state])
+    final_carry = tuple(o.reshape(batch) for o in out[n_state : n_state + n_carry])
     if traj_stride is None:
-        return final
+        return (final, final_carry) if n_carry else final
     n_saves = n_steps // traj_stride
-    rest = out[n_state:]
-    traj_state = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[:n_state])
-    traj_act = tuple(jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in rest[n_state:])
+    rest = out[n_state + n_carry :]
+
+    def _t(o):
+        return jnp.moveaxis(o.reshape(n_saves, batch), 0, 1)
+
+    traj_state = tuple(_t(o) for o in rest[:n_state])
+    traj_act = tuple(_t(o) for o in rest[n_state : n_state + n_action])
+    traj_carry = tuple(_t(o) for o in rest[n_state + n_action :])
+    if n_carry:
+        return final, final_carry, traj_state, traj_act, traj_carry
     return final, traj_state, traj_act
 
 
 def _plain_cl_step(
     ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
-    fast_wrap, has_pp, params,
+    fast_wrap, has_pp, params, has_carry=False,
 ):
     """The closed-loop kernel's per-step computation in plain
     (differentiable) JAX over ``(B,)`` leaves: normalize -> policy ->
-    denormalize -> RK step -> wrap/clip.  Returns ``(y1, a_norm)``."""
+    denormalize -> RK step -> wrap/clip.  Returns ``(y1, c1, a_norm)``
+    (``c1 = ()`` for stateless policies)."""
 
-    def step(y, t_step, refs, pparams):
+    def step(y, c, t_step, refs, pparams):
         obs = tuple(
             2 * (leaf - mn) / (mx - mn) - 1
             for leaf, (mn, mx) in zip(y, obs_norms)
         ) + refs
-        a_norm = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+        if has_carry:
+            out = policy(obs, t_step, c, pparams) if has_pp else policy(obs, t_step, c)
+            a_norm, c1 = out[0], tuple(out[1])
+        else:
+            a_norm = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+            c1 = ()
         action = _IndexableAction(tuple(
             (a + 1) / 2 * (mx - mn) + mn
             for a, (mn, mx) in zip(a_norm, act_norms)
@@ -1396,7 +1432,7 @@ def _plain_cl_step(
         )
         if clip_fn is not None:
             y1 = clip_fn(y1)
-        return y1, a_norm
+        return y1, c1, a_norm
 
     return step
 
@@ -1425,36 +1461,44 @@ _N_CL_STATIC = 14
 def _cl_core(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    y0, param_leaves, ref_leaves, pp_flat,
+    y0, param_leaves, ref_leaves, pp_flat, carry0,
 ):
     return _cl_launch(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-        y0, param_leaves, ref_leaves, pp_flat,
+        y0, param_leaves, ref_leaves, pp_flat, carry0,
     )
 
 
 def _cl_core_fwd(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    y0, param_leaves, ref_leaves, pp_flat,
+    y0, param_leaves, ref_leaves, pp_flat, carry0,
 ):
     ckpt = _ckpt_stride(n_steps, traj_stride)
-    final, saves, act_saves = _cl_launch(
+    has_carry = carry0 is not None
+    res = _cl_launch(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, ckpt, fast_wrap, interpret, pp_treedef,
-        y0, param_leaves, ref_leaves, pp_flat,
+        y0, param_leaves, ref_leaves, pp_flat, carry0,
     )
+    if has_carry:
+        final, final_c, saves, act_saves, carry_saves = res
+    else:
+        final, saves, act_saves = res
+        final_c, carry_saves = (), ()
     if traj_stride is None:
-        out = final
+        out = (final, final_c) if has_carry else final
     else:
         skip = traj_stride // ckpt
-        out = (
-            final,
-            tuple(s[:, skip - 1 :: skip] for s in saves),
-            tuple(a[:, skip - 1 :: skip] for a in act_saves),
-        )
-    return out, (y0, param_leaves, ref_leaves, pp_flat, saves)
+        st = tuple(s[:, skip - 1 :: skip] for s in saves)
+        at = tuple(a[:, skip - 1 :: skip] for a in act_saves)
+        if has_carry:
+            ct = tuple(c[:, skip - 1 :: skip] for c in carry_saves)
+            out = (final, final_c, st, at, ct)
+        else:
+            out = (final, st, at)
+    return out, (y0, param_leaves, ref_leaves, pp_flat, carry0, saves, carry_saves)
 
 
 def _cl_core_bwd(
@@ -1462,90 +1506,113 @@ def _cl_core_bwd(
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
     res, g,
 ):
-    y0, param_leaves, ref_leaves, pp_flat, saves = res
+    y0, param_leaves, ref_leaves, pp_flat, carry0, saves, carry_saves = res
     batch = y0[0].shape[0]
     ckpt = _ckpt_stride(n_steps, traj_stride)
     n_seg = n_steps // ckpt
     has_pp = pp_flat is not None
+    has_carry = carry0 is not None
+    n_carry = len(carry0) if has_carry else 0
 
     if traj_stride is None:
-        g_final = g
-        g_traj = g_traj_act = None
+        if has_carry:
+            g_final, g_final_c = g
+        else:
+            g_final, g_final_c = g, ()
+        g_traj = g_traj_act = g_traj_c = None
+    elif has_carry:
+        g_final, g_final_c, g_traj, g_traj_act, g_traj_c = g
     else:
         g_final, g_traj, g_traj_act = g
+        g_final_c, g_traj_c = (), None
 
-    starts = tuple(
-        jnp.concatenate([jnp.asarray(leaf0)[None], jnp.moveaxis(s[:, :-1], 1, 0)], axis=0)
-        for leaf0, s in zip(y0, saves)
-    )
+    def _starts(leaves0, save_leaves):
+        return tuple(
+            jnp.concatenate(
+                [jnp.asarray(l0)[None], jnp.moveaxis(s[:, :-1], 1, 0)], axis=0
+            )
+            for l0, s in zip(leaves0, save_leaves)
+        )
+
+    starts = _starts(y0, saves)
+    c_starts = _starts(carry0, carry_saves) if has_carry else ()
     ts_seg = jnp.asarray(
         np.arange(n_steps, dtype=np.int64).reshape(n_seg, ckpt)
     )
 
-    # saved-state cotangents land on the segment-end carry; the saved ACTION
-    # of a save step is the policy output at the segment's LAST pre-step
-    # state, exposed as a secondary segment output
-    if g_traj is not None:
+    # saved-state/carry cotangents land on the segment-end carry; the saved
+    # ACTION of a save step is the policy output at the segment's LAST
+    # pre-step state, exposed as a secondary segment output
+    def _inject(traj_g, templates):
+        if traj_g is None:
+            return tuple(
+                jnp.zeros((n_seg, batch), dtype=jnp.result_type(t)) for t in templates
+            )
         skip = traj_stride // ckpt
-        g_save_seg = tuple(
-            jnp.zeros((n_seg, batch), dtype=jnp.asarray(l).dtype)
+        return tuple(
+            jnp.zeros((n_seg, batch), dtype=jnp.result_type(t))
             .at[skip - 1 :: skip]
             .set(jnp.moveaxis(leaf, 1, 0))
-            for leaf, l in zip(g_traj, y0)
+            for leaf, t in zip(traj_g, templates)
         )
-        g_act_seg = tuple(
-            jnp.zeros((n_seg, batch), dtype=leaf.dtype)
-            .at[skip - 1 :: skip]
-            .set(jnp.moveaxis(leaf, 1, 0))
-            for leaf in g_traj_act
-        )
-    else:
-        g_save_seg = tuple(jnp.zeros((n_seg, batch), dtype=jnp.asarray(l).dtype) for l in y0)
-        g_act_seg = tuple(jnp.zeros((n_seg, batch), dtype=jnp.asarray(y0[0]).dtype) for _ in range(n_action))
 
-    def seg_apply(y_start, t_s, params, refs, pp):
+    g_save_seg = _inject(g_traj, tuple(jnp.asarray(l) for l in y0))
+    g_act_seg = _inject(
+        g_traj_act, tuple(jnp.asarray(y0[0]) for _ in range(n_action))
+    )
+    g_carry_seg = (
+        _inject(g_traj_c, tuple(jnp.asarray(l) for l in carry0)) if has_carry else ()
+    )
+
+    def seg_apply(y_start, c_start, t_s, params, refs, pp):
         ppy = pp_treedef(pp) if has_pp else None
         inner = _plain_cl_step(
             ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
-            fast_wrap, has_pp, params,
+            fast_wrap, has_pp, params, has_carry=has_carry,
         )
 
-        def body(y, t_step):
-            y1, a_norm = inner(y, t_step, refs, ppy)
-            return y1, a_norm
+        def body(yc, t_step):
+            y, c = yc
+            y1, c1, a_norm = inner(y, c, t_step, refs, ppy)
+            return (y1, c1), a_norm
 
-        y_end, a_all = jax.lax.scan(body, y_start, t_s)
+        (y_end, c_end), a_all = jax.lax.scan(body, (y_start, c_start), t_s)
         # only the LAST step's action can be a save (ckpt divides traj_stride)
         a_last = tuple(a[-1] for a in a_all)
-        return y_end, a_last
+        return y_end, c_end, a_last
 
     g_params0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in param_leaves)
     g_refs0 = tuple(jnp.zeros_like(jnp.asarray(r)) for r in ref_leaves)
     g_pp0 = jnp.zeros_like(pp_flat) if has_pp else None
 
     def bwd_body(carry, xs):
-        g_y, g_params, g_refs, g_pp = carry
-        start_s, t_s, g_save_s, g_act_s = xs
+        g_y, g_c, g_params, g_refs, g_pp = carry
+        start_s, c_start_s, t_s, g_save_s, g_act_s, g_carry_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
+        g_c = tuple(gc + gs for gc, gs in zip(g_c, g_carry_s))
         _, vjp_fn = jax.vjp(
-            lambda y, p, r, pp: seg_apply(y, t_s, p, r, pp),
-            start_s, param_leaves, ref_leaves,
+            lambda y, c, p, r, pp: seg_apply(y, c, t_s, p, r, pp),
+            start_s, c_start_s, param_leaves, ref_leaves,
             pp_flat if has_pp else jnp.zeros((0,)),
         )
-        gy_in, gp, gr, gpp = vjp_fn((g_y, g_act_s))
+        gy_in, gc_in, gp, gr, gpp = vjp_fn((g_y, g_c, g_act_s))
         g_params = tuple(a + b for a, b in zip(g_params, gp))
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
         if has_pp:
             g_pp = g_pp + gpp
-        return (gy_in, g_params, g_refs, g_pp), None
+        return (gy_in, gc_in, g_params, g_refs, g_pp), None
 
-    (g_y0, g_params, g_refs, g_pp), _ = jax.lax.scan(
+    (g_y0, g_c0, g_params, g_refs, g_pp), _ = jax.lax.scan(
         bwd_body,
-        (g_final, g_params0, g_refs0, g_pp0 if has_pp else jnp.zeros((0,))),
-        (starts, ts_seg, g_save_seg, g_act_seg),
+        (g_final, g_final_c, g_params0, g_refs0, g_pp0 if has_pp else jnp.zeros((0,))),
+        (starts, c_starts, ts_seg, g_save_seg, g_act_seg, g_carry_seg),
         reverse=True,
     )
-    return (g_y0, g_params, g_refs, g_pp if has_pp else None)
+    return (
+        g_y0, g_params, g_refs,
+        g_pp if has_pp else None,
+        g_c0 if has_carry else None,
+    )
 
 
 _cl_core.defvjp(_cl_core_fwd, _cl_core_bwd)
@@ -1577,6 +1644,7 @@ def fused_closed_loop(
     ref_leaves: tuple = (),
     policy_params=None,
     pp_treedef=None,
+    policy_carry=None,
     interpret: bool = False,
 ):
     """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step[,
@@ -1594,10 +1662,19 @@ def fused_closed_loop(
     scalar vector of a policy-parameter pytree, streamed through SMEM and
     re-assembled in-kernel — pass it to make the loop DIFFERENTIABLE w.r.t.
     the policy (checkpointed-recompute VJP, like the open-loop kernels).
+    ``policy_carry`` (tuple of ``(B,)`` float leaves) makes the policy
+    STATEFUL: the leaves ride VMEM planes exactly like the integration
+    state (zero HBM traffic) and the call contract becomes
+    ``policy(obs, step, carry[, params]) -> (action_tuple, carry_tuple)``
+    — PI/PID integrators, low-pass filters, and other recurrent laws run
+    in-kernel; the VJP extends to the carry (gradients flow into
+    ``policy_carry`` and through it into ``policy_params``).
 
     Returns ``final_state_tuple`` — or, with ``traj_stride``,
     ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
-    leaves have shape ``(B, n_steps // traj_stride)``.
+    leaves have shape ``(B, n_steps // traj_stride)``.  With
+    ``policy_carry``: ``(final_tuple, final_carry_tuple)`` /
+    ``(final, final_carry, traj_state, traj_action, traj_carry)``.
     """
     # validate here, not only in _cl_launch: the VJP forward launches with
     # the checkpoint stride instead of traj_stride, so an invalid stride must
@@ -1608,6 +1685,7 @@ def fused_closed_loop(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
         y0, tuple(param_leaves), tuple(ref_leaves), policy_params,
+        None if policy_carry is None else tuple(policy_carry),
     )
 
 
@@ -1639,6 +1717,7 @@ def env_fused_closed_loop(
     interpret: bool = False,
     return_traj_states: bool = False,
     policy_params=None,
+    policy_carry=None,
 ):
     """Environment-level closed-loop kernel rollout.
 
@@ -1653,6 +1732,13 @@ def env_fused_closed_loop(
     Raises out of scope (no silent fallback: a closed loop cannot be
     replayed through the open-loop scan without re-evaluating the policy
     per step — use ``RolloutCollector.collect_policy`` there).
+
+    ``policy_carry`` (tuple of ``(B,)`` float leaves) makes the policy
+    STATEFUL — ``policy(obs, step, carry[, params]) -> (action, carry)``
+    with the carry VMEM-resident between steps (PI/PID integrators,
+    low-pass filters, recurrent laws at kernel speed); every return shape
+    then gains the final carry tuple as its last element, and the
+    checkpointed-recompute VJP extends through the carry.
     """
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
@@ -1698,6 +1784,7 @@ def env_fused_closed_loop(
         # with params given, the policy signature is policy(obs, t, params)
         # and the whole loop is differentiable w.r.t. them
         pp_flat, pp_unravel = _cached_unravel(policy_params)
+    has_carry = policy_carry is not None
     result = fused_closed_loop(
         tile_ode,
         env._solver,
@@ -1716,11 +1803,18 @@ def env_fused_closed_loop(
         ref_leaves=ref_leaves,
         policy_params=pp_flat,
         pp_treedef=pp_unravel,
+        policy_carry=None if policy_carry is None else tuple(policy_carry),
         interpret=interpret,
     )
+    final_carry = None
     if obs_stride is None:
-        y_final = result
+        if has_carry:
+            y_final, final_carry = result
+        else:
+            y_final = result
         traj_state_t = traj_act_t = None
+    elif has_carry:
+        y_final, final_carry, traj_state_t, traj_act_t, _traj_carry_t = result
     else:
         y_final, traj_state_t, traj_act_t = result
 
@@ -1740,11 +1834,18 @@ def env_fused_closed_loop(
                 2 * (jnp.asarray(leaf) - mn) / (mx - mn) - 1
                 for leaf, (mn, mx) in zip(y_final, obs_norms)
             ) + ref_leaves
-            a_norm_last = (
-                policy(obs_leaves, n_steps - 1, policy_params)
+            if has_carry:
+                # post-final carry (the pre-final one is not retained) —
+                # structural parity only, like the stateless branch below
+                pol_args = (obs_leaves, n_steps - 1, final_carry)
+            else:
+                pol_args = (obs_leaves, n_steps - 1)
+            out_last = (
+                policy(*pol_args, policy_params)
                 if policy_params is not None
-                else policy(obs_leaves, n_steps - 1)
+                else policy(*pol_args)
             )
+            a_norm_last = out_last[0] if has_carry else out_last
         a_phys_last = jnp.stack(
             [(a + 1) / 2 * (mx - mn) + mn for a, (mn, mx) in zip(a_norm_last, act_norms)],
             axis=-1,
@@ -1763,6 +1864,8 @@ def env_fused_closed_loop(
         final_state, env.env_properties
     )
     if obs_stride is None:
+        if has_carry:
+            return obs_final, final_state, final_carry
         return obs_final, final_state
 
     n_saves = n_steps // obs_stride
@@ -1789,5 +1892,9 @@ def env_fused_closed_loop(
     )(traj_state, env.env_properties)
     actions_traj = jnp.stack(traj_act_t, axis=-1)
     if return_traj_states:
+        if has_carry:
+            return obs_traj, actions_traj, traj_state, final_state, final_carry
         return obs_traj, actions_traj, traj_state, final_state
+    if has_carry:
+        return obs_traj, actions_traj, final_state, final_carry
     return obs_traj, actions_traj, final_state

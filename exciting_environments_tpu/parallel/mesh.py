@@ -362,12 +362,16 @@ class ShardedEnv:
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
-                          policy_params=None, return_traj_states: bool = False):
+                          policy_params=None, return_traj_states: bool = False,
+                          policy_carry=None):
         """Policy-in-kernel closed loop per shard: each chip runs its local
         slice's observation -> action -> step loop fully in VMEM (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
-        elementwise over tiles, so sharding it is trivially zero-communication.
-        Raises out of scope — a closed loop has no open-loop fallback."""
+        elementwise over tiles, so sharding it is trivially zero-communication
+        — including a STATEFUL policy's ``policy_carry``, whose per-instance
+        ``(B,)`` leaves shard with their batch entries (generic-kernel envs
+        only; the PMSM drive kernel has no carry support).  Raises out of
+        scope — a closed loop has no open-loop fallback."""
         from exciting_environments_tpu.ops.pallas import select_closed_loop
 
         env = self.env
@@ -377,25 +381,45 @@ class ShardedEnv:
                 "fused_closed_loop out of scope for this sharded env (kernel "
                 "scope, scalar normalizations, or per-shard tiling)"
             )
+        if policy_carry is not None and "gather" in extra:
+            raise ValueError(
+                "policy_carry is not supported on the PMSM drive kernel; "
+                "use a generic-kernel env or fold the state into the policy"
+            )
         shadow = self._local_shadow()
+        spec = P(self.axis_name)
 
-        def local(state):
+        if policy_carry is None:
+
+            def local(state):
+                return kernel(
+                    shadow, state, policy, n_steps,
+                    obs_stride=obs_stride, interpret=interpret,
+                    policy_params=policy_params,
+                    return_traj_states=return_traj_states, **extra,
+                )
+
+            sharded = jax.shard_map(
+                local, mesh=self.mesh, in_specs=(spec,),
+                out_specs=spec,  # prefix: every output leaf batch-sharded
+                check_vma=False,
+            )
+            return sharded(self.shard(init_state))
+
+        def local(state, carry):
             return kernel(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,
                 policy_params=policy_params,
-                return_traj_states=return_traj_states, **extra,
+                return_traj_states=return_traj_states,
+                policy_carry=carry, **extra,
             )
 
-        spec = P(self.axis_name)
         sharded = jax.shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(spec,),
-            out_specs=spec,  # prefix: every output leaf batch-sharded
-            check_vma=False,
+            local, mesh=self.mesh, in_specs=(spec, spec),
+            out_specs=spec, check_vma=False,
         )
-        return sharded(self.shard(init_state))
+        return sharded(self.shard(init_state), self.shard(tuple(policy_carry)))
 
     def adaptive_rollout(self, init_state, actions_norm, **kwargs):
         """Per-instance adaptive rollout, sharded over the mesh.

@@ -460,6 +460,69 @@ def test_fused_closed_loop_matches_scan_policy():
         env_fused_closed_loop(env, s0, policy_tile, 12, interpret=True, return_traj_states=True)
 
 
+@pytest.mark.slow
+def test_fused_closed_loop_stateful_policy_matches_scan():
+    """policy_carry makes the in-kernel policy STATEFUL: a PI tracking law
+    (integrator carried between steps in VMEM) equals the same law threaded
+    through a scan closed loop, including the returned final carry."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(21), BATCH))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, BATCH))
+    )
+    T = 12
+    kp_, ki_, kd_ = 0.7, 0.08, 0.2
+
+    def policy_tile(obs, t, carry):
+        e = obs[2] - obs[0]
+        integ = carry[0] + ki_ * e
+        return (kp_ * e + integ - kd_ * obs[1],), (integ,)
+
+    carry0 = (jnp.zeros(BATCH),)
+    obs_f, acts_f, last_f, fc = env_fused_closed_loop(
+        env, s0, policy_tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, _):
+        state, obs, integ = carry
+        e = obs[:, 2] - obs[:, 0]
+        integ = integ + ki_ * e
+        a = (kp_ * e + integ - kd_ * obs[:, 1])[:, None]
+        obs, state = step_b(state, a, env.env_properties)
+        return (state, obs, integ), (obs, a)
+
+    (last_s, _, integ_s), (obs_s, acts_s) = jax.lax.scan(
+        body, (s0, obs0, carry0[0]), None, length=T
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(jnp.swapaxes(obs_s, 0, 1)), rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_f), np.asarray(jnp.swapaxes(acts_s, 0, 1)), rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(np.asarray(fc[0]), np.asarray(integ_s), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.theta),
+        np.asarray(last_s.physical_state.theta), rtol=1e-10, atol=1e-10,
+    )
+
+    # final-only mode returns (obs, final_state, final_carry)
+    obs_fin, last_fin, fc2 = env_fused_closed_loop(
+        env, s0, policy_tile, T, interpret=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(fc2[0]), np.asarray(integ_s), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(obs_fin), np.asarray(obs_s[-1]), rtol=1e-10, atol=1e-10
+    )
+
+
 def test_fused_closed_loop_fsal_state_structure_parity():
     """For FSAL solvers the closed loop's final state must carry the
     reconstructed solver carry like every other fused path — not None —

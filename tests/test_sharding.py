@@ -476,6 +476,39 @@ def test_sharded_fused_closed_loop(mesh):
     assert not last_f.physical_state.theta.sharding.is_fully_replicated
 
 
+def test_sharded_fused_closed_loop_stateful(mesh):
+    """A STATEFUL in-kernel policy shards with the batch: per-instance PI
+    integrator carry leaves split over the mesh like state leaves, and the
+    sharded run equals the single-device kernel, final carry included."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    batch, T = 8192, 8
+    env = excenvs.Pendulum(batch_size=batch, control_state=["theta"])
+    senv = ShardedEnv(env, mesh)
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(2), batch))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, batch))
+    )
+    state = senv.shard(state)
+
+    def policy_tile(obs, t, carry):
+        e = obs[2] - obs[0]
+        integ = carry[0] + 0.05 * e
+        return (0.8 * e + integ - 0.3 * obs[1],), (integ,)
+
+    carry0 = (0.01 * jnp.linspace(-1.0, 1.0, batch),)
+    obs_f, acts_f, last_f, fc = senv.fused_closed_loop(
+        state, policy_tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+    obs_1, acts_1, last_1, fc_1 = env_fused_closed_loop(
+        env, state, policy_tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_1), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fc[0]), np.asarray(fc_1[0]), rtol=1e-12, atol=1e-12)
+    assert not fc[0].sharding.is_fully_replicated
+
+
 @pytest.mark.slow
 def test_sharded_closed_loop_policy_grad_matches_plain(mesh):
     """Policy-parameter gradients through the SHARDED closed loop equal the

@@ -684,14 +684,17 @@ class PMSM(CoreEnvironment):
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
                           policy_params=None, return_traj_states: bool = False,
-                          gather: str = "int8"):
+                          gather: str = "int8", policy_carry=None):
         """Closed-loop rollout with the policy evaluated INSIDE the fused
         drive kernel: the inverter constraint moves in-kernel and angle +
         deadtime buffers become VMEM-carried planes (see
         :func:`...ops.pallas.pmsm_stepper.pmsm_fused_closed_loop` for the
         tile-policy/observation contract).  Differentiable w.r.t.
-        ``policy_params``; raises out of kernel scope (no open-loop
-        fallback)."""
+        ``policy_params``; ``policy_carry`` makes the policy STATEFUL (a
+        real PI current controller with VMEM-resident integrators —
+        ``policy(obs, t, carry[, params]) -> ((a_d, a_q), carry)``), every
+        return shape then ending with the final carry.  Raises out of
+        kernel scope (no open-loop fallback)."""
         from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
             pmsm_fused_closed_loop,
         )
@@ -700,6 +703,7 @@ class PMSM(CoreEnvironment):
             self, init_state, policy, n_steps,
             obs_stride=obs_stride, gather=gather, interpret=interpret,
             return_traj_states=return_traj_states, policy_params=policy_params,
+            policy_carry=policy_carry,
         )
 
     def fast_rollout(self, init_state, actions, time_major: bool = False,

@@ -1482,12 +1482,13 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
 def _make_cl_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
     gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
-    u_dc, emit_u_last,
+    u_dc, emit_u_last, n_carry=0,
 ):
     """Closed-loop kernel over refs ``([pparams,] omega, i_d0, i_q0, eps0,
-    bd0, bq0, [V | lin], *refs, i_d, i_q, eps, bd, bq, torque[, u_last_d,
-    u_last_q][, traj x7])``; grid ``(batch_tiles, time_chunks)``, the five
-    state planes carried in revisited output blocks.
+    bd0, bq0, [V | lin], *refs, *carry_in, i_d, i_q, eps, bd, bq, torque[,
+    u_last_d, u_last_q], *carry_out[, traj x7, *traj_carry])``; grid
+    ``(batch_tiles, time_chunks)``, the five state planes (plus any policy
+    carry planes) carried in revisited output blocks.
 
     ``obs_norms`` is the six scalar ``(min, max)`` pairs for (i_d, i_q,
     omega_el, torque, u_d_buffer, u_q_buffer).  Trajectory outputs per save:
@@ -1495,7 +1496,10 @@ def _make_cl_kernel(
     ``(u_con_d, u_con_q)`` (the post-step buffers under deadtime) and the
     policy's normalized actions ``(a_d, a_q)``.  For LUT magnetics the
     save's torque is deferred to the next step's first-stage gather (same
-    state, same arithmetic — see the open-loop ``reuse`` path)."""
+    state, same arithmetic — see the open-loop ``reuse`` path).  With
+    ``n_carry > 0`` the policy is STATEFUL (``policy(obs, step, carry[,
+    params]) -> (action, carry)``); its carry planes save at the same
+    slots so the VJP's segment replay can restart from them."""
 
     def lut_channels(V, i_d, i_q):
         corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
@@ -1523,11 +1527,15 @@ def _make_cl_kernel(
         refs = refs[1:]
         ref_tiles = tuple(r[:] for r in refs[:n_refs])
         refs = refs[n_refs:]
+        carry_in = refs[:n_carry]
+        refs = refs[n_carry:]
         id_out, iq_out, eps_out, bd_out, bq_out, tq_out = refs[:6]
         refs = refs[6:]
         if emit_u_last:
             uld_out, ulq_out = refs[:2]
             refs = refs[2:]
+        carry_out = refs[:n_carry]
+        refs = refs[n_carry:]
         traj_refs = refs
         k = pl.program_id(1)
 
@@ -1538,6 +1546,8 @@ def _make_cl_kernel(
             eps_out[:] = eps_in[:]
             bd_out[:] = bd_in[:]
             bq_out[:] = bq_in[:]
+            for ref, src in zip(carry_out, carry_in):
+                ref[:] = src[:]
 
         omega = omega_ref[:]
         rate = _eps_rate(solver, omega)
@@ -1553,7 +1563,8 @@ def _make_cl_kernel(
             return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
 
         def body(i, carry):
-            i_d, i_q, eps, bd, bq = carry
+            i_d, i_q, eps, bd, bq = carry[:5]
+            c = carry[5:]
             if saturated:
                 vals = lut_channels(V, i_d, i_q)
                 torque = p15 * (vals[4] * i_q - vals[5] * i_d)
@@ -1573,7 +1584,12 @@ def _make_cl_kernel(
                 norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
                 jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
             ) + ref_tiles
-            a = policy(obs, step, pparams) if n_pp else policy(obs, step)
+            if n_carry:
+                out = policy(obs, step, c, pparams) if n_pp else policy(obs, step, c)
+                a, c1 = out[0], tuple(out[1])
+            else:
+                a = policy(obs, step, pparams) if n_pp else policy(obs, step)
+                c1 = ()
             a_d, a_q = a[0], a[1]
             u_con_d, u_con_q = _hex_constrain(
                 a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime
@@ -1614,6 +1630,8 @@ def _make_cl_kernel(
                     traj_refs[4][slot] = u_con_q
                     traj_refs[5][slot] = a_d
                     traj_refs[6][slot] = a_q
+                    for ref, leaf in zip(traj_refs[7:], c1):
+                        ref[slot] = leaf
 
             if emit_u_last:
 
@@ -1622,15 +1640,20 @@ def _make_cl_kernel(
                     uld_out[:] = u_app[0]
                     ulq_out[:] = u_app[1]
 
-            return (i_d1, i_q1, eps1, bd1, bq1)
+            return (i_d1, i_q1, eps1, bd1, bq1) + c1
 
-        carry = (id_out[:], iq_out[:], eps_out[:], bd_out[:], bq_out[:])
-        i_d, i_q, eps, bd, bq = jax.lax.fori_loop(0, chunk, body, carry)
+        carry = (id_out[:], iq_out[:], eps_out[:], bd_out[:], bq_out[:]) + tuple(
+            ref[:] for ref in carry_out
+        )
+        out_carry = jax.lax.fori_loop(0, chunk, body, carry)
+        i_d, i_q, eps, bd, bq = out_carry[:5]
         id_out[:] = i_d
         iq_out[:] = i_q
         eps_out[:] = eps
         bd_out[:] = bd
         bq_out[:] = bq
+        for ref, leaf in zip(carry_out, out_carry[5:]):
+            ref[:] = leaf
         if saturated:
             vals = lut_channels(V, i_d, i_q)
             torque = p15 * (vals[4] * i_q - vals[5] * i_d)
@@ -1647,9 +1670,11 @@ def _make_cl_kernel(
 def _pmsm_cl_launch(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    y0, omega, ref_leaves, pp_flat, vflat,
+    y0, omega, ref_leaves, pp_flat, vflat, carry0=None,
 ):
-    """Tile the operands and launch the closed-loop PMSM kernel (primal)."""
+    """Tile the operands and launch the closed-loop PMSM kernel (primal).
+    Returns ``(final, traj, u_last, final_carry, traj_carry)`` — the last
+    two ``None`` for stateless policies (``carry0 is None``)."""
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
@@ -1660,11 +1685,12 @@ def _pmsm_cl_launch(
     n_batch_tiles = total_rows // rows
     n_refs = len(ref_leaves)
     n_pp = 0 if pp_flat is None else pp_flat.shape[0]
+    n_carry = 0 if carry0 is None else len(carry0)
     emit_u_last = solver.fsal
 
     dtype = y0[0].dtype
-    # per-leaf trajectory blocks (7 leaves) bounded to ~2 MB each, same
-    # budgeting as the generic closed-loop launch
+    # per-leaf trajectory blocks (7 + n_carry leaves) bounded to ~2 MB each,
+    # same budgeting as the generic closed-loop launch
     from exciting_environments_tpu.ops.pallas.stepper import _traj_chunk
 
     chunk = _traj_chunk(n_steps, traj_stride, rows, jnp.dtype(dtype).itemsize)
@@ -1690,8 +1716,11 @@ def _pmsm_cl_launch(
     for leaf in ref_leaves:
         in_specs.append(state_block())
         operands.append(tile(leaf))
+    for leaf in (carry0 or ()):
+        in_specs.append(state_block())
+        operands.append(tile(jnp.asarray(leaf, dtype)))
 
-    n_final = 6 + (2 if emit_u_last else 0)
+    n_final = 6 + (2 if emit_u_last else 0) + n_carry
     out_specs = [state_block() for _ in range(n_final)]
     out_shape = [jax.ShapeDtypeStruct((total_rows, LANES), dtype) for _ in range(n_final)]
     if traj_stride is not None:
@@ -1699,14 +1728,17 @@ def _pmsm_cl_launch(
         n_saves = n_steps // traj_stride
         out_specs += [
             pl.BlockSpec((saves_per_chunk, rows, LANES), lambda b, k: (k, b, 0), memory_space=pltpu.VMEM)
-            for _ in range(7)
+            for _ in range(7 + n_carry)
         ]
-        out_shape += [jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype) for _ in range(7)]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype)
+            for _ in range(7 + n_carry)
+        ]
 
     kernel = _make_cl_kernel(
         chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
         gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
-        act_norms, u_dc, emit_u_last,
+        act_norms, u_dc, emit_u_last, n_carry,
     )
     out = pl.pallas_call(
         kernel,
@@ -1718,37 +1750,48 @@ def _pmsm_cl_launch(
     )(*operands)
 
     final = tuple(o.reshape(batch) for o in out[:6])
-    u_last = tuple(o.reshape(batch) for o in out[6:n_final]) if emit_u_last else None
+    n_ul = 6 + (2 if emit_u_last else 0)
+    u_last = tuple(o.reshape(batch) for o in out[6:n_ul]) if emit_u_last else None
+    final_carry = (
+        tuple(o.reshape(batch) for o in out[n_ul:n_final]) if n_carry else None
+    )
     if traj_stride is None:
-        return final, None, u_last
+        return final, None, u_last, final_carry, None
     n_saves = n_steps // traj_stride
-    traj = tuple(
+    rest = tuple(
         jnp.moveaxis(o.reshape(n_saves, batch), 0, 1) for o in out[n_final:]
     )
-    return final, traj, u_last
+    traj = rest[:7]
+    traj_carry = rest[7:] if n_carry else None
+    return final, traj, u_last, final_carry, traj_carry
 
 
 def _plain_pmsm_cl_step(
     saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
-    deadtime, obs_norms, act_norms, u_dc,
+    deadtime, obs_norms, act_norms, u_dc, has_carry=False,
 ):
     """The closed-loop kernel's per-step computation in plain (differentiable)
-    JAX over ``(B,)`` leaves; returns ``(carry1, (a_d, a_q, u_con_d,
-    u_con_q))``."""
+    JAX over ``(B,)`` leaves; returns ``(carry1, pc1, (a_d, a_q, u_con_d,
+    u_con_q))`` with ``pc1 = ()`` for stateless policies."""
     ode, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
 
     def norm(leaf, idx):
         mn, mx = obs_norms[idx]
         return 2 * (leaf - mn) / (mx - mn) - 1
 
-    def step(carry, t_step, refs, pparams, omega):
+    def step(carry, pc, t_step, refs, pparams, omega):
         i_d, i_q, eps, bd, bq = carry
         torque = torque_fn((i_d, i_q))
         obs = (
             norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
             jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
         ) + refs
-        a = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+        if has_carry:
+            out = policy(obs, t_step, pc, pparams) if has_pp else policy(obs, t_step, pc)
+            a, pc1 = out[0], tuple(out[1])
+        else:
+            a = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
+            pc1 = ()
         a_d, a_q = a[0], a[1]
         u_con_d, u_con_q = _hex_constrain(
             a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime
@@ -1766,7 +1809,7 @@ def _plain_pmsm_cl_step(
         rate = _eps_rate(solver, omega)
         eps1 = eps + tau * rate
         eps1 = ((eps1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
-        return (i_d1, i_q1, eps1, bd1, bq1), (a_d, a_q, u_con_d, u_con_q)
+        return (i_d1, i_q1, eps1, bd1, bq1), pc1, (a_d, a_q, u_con_d, u_con_q)
 
     return step
 
@@ -1778,40 +1821,50 @@ _N_PMSM_CL_STATIC = 17
 def _pmsm_cl_core(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+    y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
 ):
     """Differentiable closed-loop core: one kernel launch forward; backward
     by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
     scheme as :func:`_pmsm_core_diff` / ``stepper._cl_core``).  Cotangents
-    flow to the initial state planes, omega, the normalized references and
-    the policy-parameter vector; the FSAL ``u_last`` outputs are
-    informational (zero pull-back, like the scan's re-initialized carry)."""
-    return _pmsm_cl_launch(
+    flow to the initial state planes, omega, the normalized references, the
+    policy-parameter vector and (for stateful policies) the initial policy
+    carry; the FSAL ``u_last`` outputs are informational (zero pull-back,
+    like the scan's re-initialized carry).  Returns ``(final, traj,
+    u_last)`` — plus ``final_carry`` when ``carry0`` is given."""
+    final, traj, u_last, final_carry, _tc = _pmsm_cl_launch(
         n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride,
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
-        u_dc, y0, omega, ref_leaves, pp_flat, vflat,
+        u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
     )
+    if carry0 is None:
+        return final, traj, u_last
+    return final, traj, u_last, final_carry
 
 
 def _pmsm_cl_core_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+    y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
     ckpt = _ckpt_stride(n_steps, traj_stride)
-    final, saves, u_last = _pmsm_cl_launch(
+    final, saves, u_last, final_carry, carry_saves = _pmsm_cl_launch(
         n_steps, tau, saturated, solver, r_s, lin, p15, geom, ckpt,
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
-        u_dc, y0, omega, ref_leaves, pp_flat, vflat,
+        u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
     )
     if traj_stride is None:
-        out = (final, None, u_last)
+        traj_out = None
     else:
         skip = traj_stride // ckpt
-        out = (final, tuple(s[:, skip - 1 :: skip] for s in saves), u_last)
-    return out, (y0, omega, ref_leaves, pp_flat, lut_vals, saves)
+        traj_out = tuple(s[:, skip - 1 :: skip] for s in saves)
+    out = (
+        (final, traj_out, u_last)
+        if carry0 is None
+        else (final, traj_out, u_last, final_carry)
+    )
+    return out, (y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves)
 
 
 def _pmsm_cl_core_bwd(
@@ -1821,8 +1874,13 @@ def _pmsm_cl_core_bwd(
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
-    y0, omega, ref_leaves, pp_flat, lut_vals, saves = res
-    g_final, g_traj, _g_u_last = g  # u_last: informational FSAL carry
+    y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves = res
+    has_carry = carry0 is not None
+    if has_carry:
+        g_final, g_traj, _g_u_last, g_final_pc = g
+    else:
+        g_final, g_traj, _g_u_last = g  # u_last: informational FSAL carry
+        g_final_pc = ()
     batch = y0[0].shape[0]
     dtype = y0[0].dtype
     ckpt = _ckpt_stride(n_steps, traj_stride)
@@ -1833,7 +1891,7 @@ def _pmsm_cl_core_bwd(
     _, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
     inner = _plain_pmsm_cl_step(
         saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
-        deadtime, obs_norms, act_norms, u_dc,
+        deadtime, obs_norms, act_norms, u_dc, has_carry=has_carry,
     )
 
     # pre-step electrical angles (state-independent replay, as everywhere)
@@ -1851,6 +1909,16 @@ def _pmsm_cl_core_bwd(
         bd_starts = jnp.broadcast_to(y0[3][None], (n_seg, batch))
         bq_starts = jnp.broadcast_to(y0[4][None], (n_seg, batch))
     starts = (id_starts, iq_starts, eps_starts, bd_starts, bq_starts)
+    pc_starts = (
+        tuple(
+            jnp.concatenate(
+                [jnp.asarray(c0)[None], jnp.moveaxis(cs[:, :-1], 1, 0)], axis=0
+            )
+            for c0, cs in zip(carry0, carry_saves)
+        )
+        if has_carry
+        else ()
+    )
     ts_seg = jnp.asarray(np.arange(n_steps, dtype=np.int64).reshape(n_seg, ckpt))
 
     # final-state cotangent: torque output pulls back through the pointwise
@@ -1892,39 +1960,40 @@ def _pmsm_cl_core_bwd(
         g_save_seg = tuple(zeros_seg() for _ in range(5))
         g_aux_seg = tuple(zeros_seg() for _ in range(4))
 
-    def seg_apply(y_start, t_s, refs, pp, om):
+    def seg_apply(y_start, pc_start, t_s, refs, pp, om):
         ppy = pp_treedef(pp) if has_pp else None
 
         def body(carry, t_step):
-            carry1, aux = inner(carry, t_step, refs, ppy, om)
-            return carry1, aux
+            y, pc = carry
+            y1, pc1, aux = inner(y, pc, t_step, refs, ppy, om)
+            return (y1, pc1), aux
 
-        y_end, aux_all = jax.lax.scan(body, y_start, t_s)
+        (y_end, pc_end), aux_all = jax.lax.scan(body, (y_start, pc_start), t_s)
         # only the segment's last step can be a save (ckpt divides traj_stride)
         a_d, a_q, ucd, ucq = (leaf[-1] for leaf in aux_all)
-        return y_end, (a_d, a_q, ucd, ucq)
+        return y_end, pc_end, (a_d, a_q, ucd, ucq)
 
     g_refs0 = tuple(jnp.zeros_like(jnp.asarray(r)) for r in ref_leaves)
     g_pp0 = jnp.zeros_like(pp_flat) if has_pp else jnp.zeros((0,), dtype)
     g_om0 = jnp.zeros_like(omega)
 
     def bwd_body(carry, xs):
-        g_y, g_refs, g_pp, g_om = carry
-        start_s, t_s, g_save_s, g_aux_s = xs
+        g_y, g_pc, g_refs, g_pp, g_om = carry
+        start_s, pc_start_s, t_s, g_save_s, g_aux_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
-            lambda y, r, pp, om: seg_apply(y, t_s, r, pp, om),
-            start_s, ref_leaves,
+            lambda y, pc, r, pp, om: seg_apply(y, pc, t_s, r, pp, om),
+            start_s, pc_start_s, ref_leaves,
             pp_flat if has_pp else jnp.zeros((0,), dtype), omega,
         )
-        gy_in, gr, gpp, gom = vjp_fn((g_y, g_aux_s))
+        gy_in, gpc_in, gr, gpp, gom = vjp_fn((g_y, g_pc, g_aux_s))
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
-        return (gy_in, g_refs, g_pp + gpp, g_om + gom), None
+        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom), None
 
-    (g_y0, g_refs, g_pp, g_omega), _ = jax.lax.scan(
+    (g_y0, g_pc0, g_refs, g_pp, g_omega), _ = jax.lax.scan(
         bwd_body,
-        (g_y, g_refs0, g_pp0, g_om0),
-        (starts, ts_seg, g_save_seg, g_aux_seg),
+        (g_y, g_final_pc, g_refs0, g_pp0, g_om0),
+        (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg),
         reverse=True,
     )
     return (
@@ -1934,6 +2003,7 @@ def _pmsm_cl_core_bwd(
         g_pp if has_pp else None,
         None,
         jnp.zeros_like(lut_vals),
+        g_pc0 if has_carry else None,
     )
 
 
@@ -1960,6 +2030,7 @@ def pmsm_fused_closed_loop(
     interpret: bool = False,
     return_traj_states: bool = False,
     policy_params=None,
+    policy_carry=None,
 ):
     """Closed-loop PMSM rollout with the policy evaluated INSIDE the fused
     drive kernel.
@@ -1978,11 +2049,17 @@ def pmsm_fused_closed_loop(
     With ``policy_params`` the policy signature is ``policy(obs, t,
     params)`` and the rollout is differentiable w.r.t. the parameter
     pytree, the initial state and the references (checkpointed-recompute
-    VJP).  Returns ``(obs, final_state)``, or with ``obs_stride``
-    ``(obs_traj, actions_traj, final_state)`` (``actions_traj`` the
-    normalized policy outputs); ``return_traj_states`` additionally yields
-    the reconstructed per-save states.  Raises out of scope — a closed loop
-    has no open-loop fallback (use ``RolloutCollector.collect_policy``).
+    VJP).  With ``policy_carry`` (tuple of ``(B,)`` float leaves) the
+    policy is STATEFUL — ``policy(obs, t, carry[, params]) -> ((a_d, a_q),
+    carry)`` with the carry VMEM-resident between steps (PI current
+    controllers with real integrators, filters) and differentiable like
+    everything else; every return shape then gains the final carry tuple
+    as its last element.  Returns ``(obs, final_state)``, or with
+    ``obs_stride`` ``(obs_traj, actions_traj, final_state)``
+    (``actions_traj`` the normalized policy outputs);
+    ``return_traj_states`` additionally yields the reconstructed per-save
+    states.  Raises out of scope — a closed loop has no open-loop fallback
+    (use ``RolloutCollector.collect_policy``).
     """
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
@@ -2005,6 +2082,7 @@ def pmsm_fused_closed_loop(
     return impl(
         init_state,
         policy_params,
+        None if policy_carry is None else tuple(policy_carry),
         policy=policy,
         n_steps=n_steps,
         obs_stride=obs_stride,
@@ -2015,8 +2093,8 @@ def pmsm_fused_closed_loop(
 
 
 def _pmsm_cl_impl(
-    env, init_state, policy_params, *, policy, n_steps, obs_stride, gather,
-    interpret, return_traj_states,
+    env, init_state, policy_params, policy_carry, *, policy, n_steps,
+    obs_stride, gather, interpret, return_traj_states,
 ):
     from exciting_environments_tpu.core import structures
     from exciting_environments_tpu.ops.pallas.stepper import _cached_unravel
@@ -2089,12 +2167,21 @@ def _pmsm_cl_impl(
     lut_vals = (
         jnp.asarray(env._lut.values, dtype) if saturated else jnp.zeros((0,), dtype)
     )
-    final, traj, u_last = _pmsm_cl_core(
+    has_carry = policy_carry is not None
+    carry0 = (
+        tuple(bcast(leaf) for leaf in policy_carry) if has_carry else None
+    )
+    core_out = _pmsm_cl_core(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
         obs_stride, gather, interpret, policy, pp_unravel, deadtime,
         obs_norms, act_norms, u_dc,
-        y0, omega, ref_leaves, pp_flat, vflat, lut_vals,
+        y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
     )
+    if has_carry:
+        final, traj, u_last, final_carry = core_out
+    else:
+        final, traj, u_last = core_out
+        final_carry = None
     i_d, i_q, eps_final, buf_d, buf_q, torque = final
 
     solver_state = None
@@ -2127,6 +2214,8 @@ def _pmsm_cl_impl(
         final_state, props
     )
     if obs_stride is None:
+        if has_carry:
+            return obs_final, final_state, final_carry
         return obs_final, final_state
 
     i_d_t, i_q_t, torque_t, ucd_t, ucq_t, a_d_t, a_q_t = traj
@@ -2176,5 +2265,9 @@ def _pmsm_cl_impl(
     )(traj_state, props)
     actions_traj = jnp.stack([a_d_t, a_q_t], axis=-1)
     if return_traj_states:
+        if has_carry:
+            return obs_traj, actions_traj, traj_state, final_state, final_carry
         return obs_traj, actions_traj, traj_state, final_state
+    if has_carry:
+        return obs_traj, actions_traj, final_state, final_carry
     return obs_traj, actions_traj, final_state

@@ -369,9 +369,9 @@ class ShardedEnv:
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
         elementwise over tiles, so sharding it is trivially zero-communication
         — including a STATEFUL policy's ``policy_carry``, whose per-instance
-        ``(B,)`` leaves shard with their batch entries (generic-kernel envs
-        only; the PMSM drive kernel has no carry support).  Raises out of
-        scope — a closed loop has no open-loop fallback."""
+        ``(B,)`` leaves shard with their batch entries (generic and PMSM
+        drive kernels alike).  Raises out of scope — a closed loop has no
+        open-loop fallback."""
         from exciting_environments_tpu.ops.pallas import select_closed_loop
 
         env = self.env
@@ -380,11 +380,6 @@ class ShardedEnv:
             raise ValueError(
                 "fused_closed_loop out of scope for this sharded env (kernel "
                 "scope, scalar normalizations, or per-shard tiling)"
-            )
-        if policy_carry is not None and "gather" in extra:
-            raise ValueError(
-                "policy_carry is not supported on the PMSM drive kernel; "
-                "use a generic-kernel env or fold the state into the policy"
             )
         shadow = self._local_shadow()
         spec = P(self.axis_name)

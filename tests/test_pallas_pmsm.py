@@ -409,6 +409,92 @@ def test_pmsm_fused_closed_loop_matches_scan(saturated, variant):
     )
 
 
+def test_pmsm_fused_closed_loop_stateful_policy():
+    """policy_carry on the DRIVE kernel: a true PI current controller (one
+    VMEM-resident integrator per axis) equals the same law threaded through
+    a scan closed loop — states, actions, final carry — and the gradient
+    w.r.t. the initial integrators matches the scan's."""
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.PMSM(batch_size=BATCH, control_state=["i_d", "i_q"])
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(31), BATCH))
+    s0 = structures.replace(
+        s0,
+        reference=structures.replace(
+            s0.reference,
+            i_d=jnp.linspace(-200.0, -10.0, BATCH),
+            i_q=jnp.linspace(-150.0, 150.0, BATCH),
+        ),
+    )
+    ki = 0.02
+
+    def policy_tile(obs, t, carry):
+        e_d = obs[8] - obs[0]
+        e_q = obs[9] - obs[1]
+        int_d = carry[0] + ki * e_d
+        int_q = carry[1] + ki * e_q
+        a_d = 0.7 * e_d + int_d - 0.1 * obs[1]
+        a_q = 0.7 * e_q + int_q + 0.1 * obs[0]
+        return (a_d, a_q), (int_d, int_q)
+
+    carry0 = (jnp.zeros(BATCH), 0.01 * jnp.linspace(-1.0, 1.0, BATCH))
+    obs_f, acts_f, last_f, fc = env.fused_closed_loop(
+        s0, policy_tile, T, obs_stride=1, interpret=True, gather="take",
+        policy_carry=carry0,
+    )
+
+    in_ax = env.in_axes_env_properties
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(s0, env.env_properties)
+    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def scan_loop(c0, n):
+        def body(carry, _):
+            st, obs, int_d, int_q = carry
+            e_d = obs[:, 8] - obs[:, 0]
+            e_q = obs[:, 9] - obs[:, 1]
+            int_d = int_d + ki * e_d
+            int_q = int_q + ki * e_q
+            a = jnp.stack(
+                (0.7 * e_d + int_d - 0.1 * obs[:, 1],
+                 0.7 * e_q + int_q + 0.1 * obs[:, 0]),
+                axis=-1,
+            )
+            obs, st = step_b(st, a, env.env_properties)
+            return (st, obs, int_d, int_q), (obs, a)
+
+        return jax.lax.scan(body, (s0, obs0, c0[0], c0[1]), None, length=n)
+
+    (last_s, _, int_d_s, int_q_s), (obs_s, acts_s) = scan_loop(carry0, T)
+    np.testing.assert_allclose(
+        np.asarray(obs_f), np.asarray(jnp.swapaxes(obs_s, 0, 1)), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(acts_f), np.asarray(jnp.swapaxes(acts_s, 0, 1)), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(fc[0]), np.asarray(int_d_s), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fc[1]), np.asarray(int_q_s), rtol=1e-10, atol=1e-12)
+    _assert_state_close(last_s, last_f, rtol=1e-9, atol=1e-9)
+
+    # gradients w.r.t. the initial integrator state flow through the kernel's
+    # checkpointed-recompute VJP and match the scan loop
+    def loss_fused(c0):
+        obs, _, _, fcr = env.fused_closed_loop(
+            s0, policy_tile, T, obs_stride=1, interpret=True, gather="take",
+            policy_carry=c0,
+        )
+        return jnp.mean((obs[:, :, 0] - obs[:, :, 8]) ** 2) + 1e-4 * jnp.mean(fcr[1] ** 2)
+
+    def loss_scan(c0):
+        (_, _, _, int_q_e), (obs_t, _) = scan_loop(c0, T)
+        obs_t = jnp.swapaxes(obs_t, 0, 1)
+        return jnp.mean((obs_t[:, :, 0] - obs_t[:, :, 8]) ** 2) + 1e-4 * jnp.mean(int_q_e**2)
+
+    gf = jax.grad(loss_fused)(carry0)
+    gs = jax.grad(loss_scan)(carry0)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gs[0]), rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gs[1]), rtol=1e-8, atol=1e-12)
+
+
 def test_pmsm_fused_closed_loop_out_of_scope_raises():
     """A closed loop has no open-loop fallback: out-of-scope envs raise."""
     small = excenvs.PMSM(

@@ -72,6 +72,7 @@ def train_policy(
     optimizer=None,
     loss_fn: Callable = None,
     interpret: bool = False,
+    policy_carry=None,
 ) -> TrainResult:
     """Train ``policy(obs, t, params)`` by backprop through the closed loop.
 
@@ -79,7 +80,12 @@ def train_policy(
         env: a :class:`CoreEnvironment` (or PMSM / ``ShardedEnv``) inside
             closed-loop kernel scope.
         policy: tile policy taking ``(obs_tuple, step, params)`` and
-            returning the normalized action component tuple.
+            returning the normalized action component tuple — or, with
+            ``policy_carry``, a STATEFUL ``(obs_tuple, step, carry, params)
+            -> (action_tuple, carry)`` law whose per-instance state (PI
+            integrators, filters) rides VMEM planes between steps; gradients
+            flow through the carry into the parameters, so PI/PID gains
+            tune by the same descent loop.
         params: initial parameter pytree (gains, small MLP weights, ...).
         state: batched initial state (references set where tracked).
         n_steps: rollout length per training iteration.
@@ -92,6 +98,9 @@ def train_policy(
             normalized-action trajectories; defaults to
             :func:`default_tracking_loss`.
         interpret: run the kernels in interpreter mode (CPU testing).
+        policy_carry: optional tuple of ``(B,)`` float leaves — the
+            stateful policy's initial carry, reset to this value at the
+            start of every training rollout.
 
     Returns:
         :class:`TrainResult`.  Raises when ``env`` is out of closed-loop
@@ -130,7 +139,7 @@ def train_policy(
         def rollout(p):
             return env.fused_closed_loop(
                 state, policy, n_steps, obs_stride=1, interpret=interpret,
-                policy_params=p,
+                policy_params=p, policy_carry=policy_carry,
             )
     else:
         kernel, extra = select_closed_loop(env, interpret)
@@ -146,11 +155,12 @@ def train_policy(
         def rollout(p):
             return kernel(
                 env, state, policy, n_steps, obs_stride=1, interpret=interpret,
-                policy_params=p, **extra,
+                policy_params=p, policy_carry=policy_carry, **extra,
             )
 
     def loss(p):
-        obs, acts, _ = rollout(p)
+        out = rollout(p)
+        obs, acts = out[0], out[1]
         return loss_fn(obs, acts)
 
     vg = jax.value_and_grad(loss)

@@ -25,42 +25,56 @@ from exciting_environments_tpu.core.structures import pytree_dataclass
 
 
 def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
-                     collect_trajectory: bool):
+                     collect_trajectory: bool, policy_carry=None):
     """Closed loop over a tile-contract policy as a ``lax.scan`` — the CPU /
     out-of-kernel-scope fallback shared by :class:`RolloutCollector` and
     ``FleetRunner``.
 
     The policy keeps the in-kernel contract (``policy(obs_tuple, step[,
     params]) -> action component tuple`` with ``obs_tuple`` indexable per
-    observation column), evaluated here on ``(B,)`` columns.  Returns
-    ``(final_obs, final_state)``, or with ``collect_trajectory`` the
-    batch-major ``(obs, actions, traj_states, final_state)``.
+    observation column), evaluated here on ``(B,)`` columns; with
+    ``policy_carry`` the stateful contract ``policy(obs, step, carry[,
+    params]) -> (action, carry)``.  Returns ``(final_obs, final_state)``,
+    or with ``collect_trajectory`` the batch-major ``(obs, actions,
+    traj_states, final_state)`` — each gaining the final carry as its last
+    element when ``policy_carry`` is given.
     """
     in_ax = env.in_axes_env_properties
     props = env.env_properties
     obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
     step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+    has_carry = policy_carry is not None
 
     def body(carry, t):
-        st, obs = carry
+        st, obs, pc = carry
         cols = tuple(obs[:, i] for i in range(obs.shape[1]))
-        a = (
-            policy_tile(cols, t, policy_params)
-            if policy_params is not None
-            else policy_tile(cols, t)
-        )
+        if has_carry:
+            args = (cols, t, pc) + ((policy_params,) if policy_params is not None else ())
+            a, pc = policy_tile(*args)
+            pc = tuple(pc)
+        else:
+            a = (
+                policy_tile(cols, t, policy_params)
+                if policy_params is not None
+                else policy_tile(cols, t)
+            )
         action = jnp.stack(a, axis=-1)
         obs, st = step_b(st, action, props)
-        return (st, obs), ((obs, action, st) if collect_trajectory else None)
+        return (st, obs, pc), ((obs, action, st) if collect_trajectory else None)
 
-    (final_state, final_obs), ys = jax.lax.scan(
-        body, (state, obs0), jnp.arange(n_steps)
+    pc0 = tuple(policy_carry) if has_carry else ()
+    (final_state, final_obs, final_pc), ys = jax.lax.scan(
+        body, (state, obs0, pc0), jnp.arange(n_steps)
     )
     if not collect_trajectory:
+        if has_carry:
+            return final_obs, final_state, final_pc
         return final_obs, final_state
     obs, action, traj_state = ys
     batch_major = lambda x: jnp.swapaxes(x, 0, 1)
     traj_state = jax.tree_util.tree_map(batch_major, traj_state)
+    if has_carry:
+        return batch_major(obs), batch_major(action), traj_state, final_state, final_pc
     return batch_major(obs), batch_major(action), traj_state, final_state
 
 
@@ -275,7 +289,8 @@ class RolloutCollector:
         )
 
     def collect_policy_fused(self, policy_tile, state, n_steps: int,
-                             interpret: bool = False, policy_params=None):
+                             interpret: bool = False, policy_params=None,
+                             policy_carry=None):
         """Closed-loop collection with the policy evaluated INSIDE the fused
         Pallas kernel (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop` for the
@@ -287,42 +302,56 @@ class RolloutCollector:
         evaluated on the kernel's reconstructed per-step states in the same
         jitted program; the returned ``TrajectoryBatch`` matches
         :meth:`collect_policy`'s contract (post-step observations, the
-        policy's normalized actions).  Raises when the environment is out
+        policy's normalized actions).  With ``policy_carry`` the policy is
+        STATEFUL (``policy(obs, t, carry[, params]) -> (action, carry)`` —
+        PI laws, filters; see ``env_fused_closed_loop``) and the return
+        gains the final carry: ``(TrajectoryBatch, final_state,
+        final_carry)``.  Raises when the environment is out
         of closed-loop kernel scope.  On the CPU backend without
         ``interpret`` the same tile-policy contract rides a ``lax.scan``
         (compiled Mosaic kernels only exist on TPU — same guard as
         :meth:`collect_fused` and ``FleetRunner``).
         """
+        pc = None if policy_carry is None else tuple(policy_carry)
         if not interpret and jax.default_backend() == "cpu":
             # ShardedEnv included: its attribute forwarding gives the scan
             # impl everything it needs, and compiled Mosaic kernels cannot
             # lower on a CPU (virtual-device) mesh any more than single-chip
-            return self._collect_policy_scan_impl(policy_tile, state, n_steps, policy_params)
+            return self._collect_policy_scan_impl(
+                policy_tile, state, n_steps, policy_params, pc
+            )
         return self._collect_policy_fused_impl(
-            policy_tile, state, n_steps, interpret, policy_params
+            policy_tile, state, n_steps, interpret, policy_params, pc
         )
 
     @partial(jax.jit, static_argnums=(0, 1, 3))
-    def _collect_policy_scan_impl(self, policy_tile, state, n_steps, policy_params):
+    def _collect_policy_scan_impl(self, policy_tile, state, n_steps, policy_params,
+                                  policy_carry=None):
         """Scan fallback with the fused collector's exact contract: the tile
         policy evaluated over ``(B,)`` observation columns each step."""
-        obs, action, traj_state, final_state = tile_policy_scan(
+        out = tile_policy_scan(
             self.env, state, n_steps, policy_tile, policy_params,
-            collect_trajectory=True,
+            collect_trajectory=True, policy_carry=policy_carry,
         )
-        return self._assemble_batch(obs, action, traj_state, final_state)
+        obs, action, traj_state, final_state = out[:4]
+        assembled = self._assemble_batch(obs, action, traj_state, final_state)
+        if policy_carry is not None:
+            return assembled + (out[4],)
+        return assembled
 
     @partial(jax.jit, static_argnums=(0, 1, 3, 4))
-    def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret, policy_params):
+    def _collect_policy_fused_impl(self, policy_tile, state, n_steps, interpret,
+                                   policy_params, policy_carry=None):
         from exciting_environments_tpu.ops.pallas import select_closed_loop
         from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
         from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
         env = self.env
         if isinstance(env, ShardedEnv):
-            obs, actions, traj_state, final_state = env.fused_closed_loop(
+            out = env.fused_closed_loop(
                 state, policy_tile, n_steps, obs_stride=1, interpret=interpret,
                 policy_params=policy_params, return_traj_states=True,
+                policy_carry=policy_carry,
             )
         else:
             kernel, extra = select_closed_loop(env, interpret)
@@ -330,12 +359,16 @@ class RolloutCollector:
                 # out of kernel scope: let the generic entry point raise its
                 # descriptive error (a closed loop has no open-loop fallback)
                 kernel = env_fused_closed_loop
-            obs, actions, traj_state, final_state = kernel(
+            out = kernel(
                 env, state, policy_tile, n_steps, obs_stride=1,
                 interpret=interpret, return_traj_states=True,
-                policy_params=policy_params, **extra,
+                policy_params=policy_params, policy_carry=policy_carry, **extra,
             )
-        return self._assemble_batch(obs, actions, traj_state, final_state)
+        obs, actions, traj_state, final_state = out[:4]
+        assembled = self._assemble_batch(obs, actions, traj_state, final_state)
+        if policy_carry is not None:
+            return assembled + (out[4],)
+        return assembled
 
     @partial(jax.jit, static_argnums=(0, 1, 4))
     def collect_policy(self, policy, state, rng, n_steps: int):

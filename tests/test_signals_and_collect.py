@@ -196,6 +196,44 @@ def test_collect_policy_fused_matches_scan_collector():
 
 
 @pytest.mark.slow
+def test_collect_policy_fused_stateful_carry():
+    """Stateful collection: a carried-PI policy through the kernel path
+    equals the tile-policy scan fallback — TrajectoryBatch AND final carry
+    — so datasets collected under integrator-bearing laws are path-stable."""
+    from exciting_environments_tpu.core import structures
+
+    env = excenvs.Pendulum(batch_size=1024, control_state=["theta"])
+    col = RolloutCollector(env)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 1024))
+    s0 = structures.replace(
+        s0, reference=structures.replace(s0.reference, theta=jnp.linspace(-1.0, 1.0, 1024))
+    )
+
+    def pi_tile(obs, t, carry):
+        e = obs[2] - obs[0]
+        integ = carry[0] + 0.05 * e
+        return (0.7 * e + integ - 0.2 * obs[1],), (integ,)
+
+    carry0 = (0.01 * jnp.linspace(-1.0, 1.0, 1024),)
+    tb_f, last_f, fc_f = col.collect_policy_fused(
+        pi_tile, s0, 8, interpret=True, policy_carry=carry0
+    )
+    # CPU-backend guard path (interpret=False) rides the tile-policy scan
+    tb_s, last_s, fc_s = col.collect_policy_fused(pi_tile, s0, 8, policy_carry=carry0)
+    for name in ("observations", "actions", "rewards", "terminated", "truncated"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(tb_f, name)).astype(np.float64),
+            np.asarray(getattr(tb_s, name)).astype(np.float64),
+            rtol=1e-10, atol=1e-10, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fc_f[0]), np.asarray(fc_s[0]), rtol=1e-12, atol=1e-12
+    )
+    # the integrator actually moved (the law is genuinely stateful)
+    assert float(jnp.abs(fc_f[0] - carry0[0]).max()) > 0.0
+
+
+@pytest.mark.slow
 def test_collector_policy_fused_pmsm():
     """collect_policy_fused routes PMSM through the closed-loop drive kernel;
     observations equal the kernel's and rewards/flags are evaluated on the

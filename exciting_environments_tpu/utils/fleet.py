@@ -156,10 +156,10 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
             interpret
         ):
 
-            def run(state, n_steps, policy_params):
+            def run(state, n_steps, policy_params, policy_carry=None):
                 return senv.fused_closed_loop(
                     state, policy, n_steps, interpret=interpret,
-                    policy_params=policy_params,
+                    policy_params=policy_params, policy_carry=policy_carry,
                 )
 
             return run, senv.env, "sharded_closed_loop"
@@ -167,9 +167,10 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
         from exciting_environments_tpu.utils.collect import tile_policy_scan
 
         @functools.partial(jax.jit, static_argnums=1)
-        def run(state, n_steps, policy_params):
+        def run(state, n_steps, policy_params, policy_carry=None):
             return tile_policy_scan(
-                env, state, n_steps, policy, policy_params, collect_trajectory=False
+                env, state, n_steps, policy, policy_params,
+                collect_trajectory=False, policy_carry=policy_carry,
             )
 
         return run, env, "closed_loop_scan"
@@ -182,10 +183,10 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
     )
     if kernel is not None:
 
-        def run(state, n_steps, policy_params):
+        def run(state, n_steps, policy_params, policy_carry=None):
             return kernel(
                 env, state, policy, n_steps, interpret=interpret,
-                policy_params=policy_params, **extra,
+                policy_params=policy_params, policy_carry=policy_carry, **extra,
             )
 
         name = "pmsm_closed_loop_fused" if isinstance(env, PMSM) else "closed_loop_fused"
@@ -195,9 +196,10 @@ def _select_closed_loop(env_or_sharded, policy, interpret: bool):
     from exciting_environments_tpu.utils.collect import tile_policy_scan
 
     @functools.partial(jax.jit, static_argnums=1)
-    def run(state, n_steps, policy_params):
+    def run(state, n_steps, policy_params, policy_carry=None):
         return tile_policy_scan(
-            env, state, n_steps, policy, policy_params, collect_trajectory=False
+            env, state, n_steps, policy, policy_params,
+            collect_trajectory=False, policy_carry=policy_carry,
         )
 
     return run, env, "closed_loop_scan"
@@ -302,6 +304,7 @@ class FleetRunner:
         policy_params=None,
         metric_hook: Callable = None,
         max_retries: int = 0,
+        policy_carry=None,
     ):
         """Closed-loop variant of :meth:`run`: instead of an external action
         source, ``policy_tile(obs, step[, params])`` (the tile-policy
@@ -311,6 +314,15 @@ class FleetRunner:
         policy object and surfaced via :attr:`closed_loop_path`; all chunk
         bookkeeping (running statistics, NaN gate, sink, checkpoints,
         ``max_retries`` elastic recovery) matches :meth:`run`.
+
+        ``policy_carry`` (tuple of ``(B,)`` float leaves) runs a STATEFUL
+        law — ``policy(obs, step, carry[, params]) -> (action, carry)`` —
+        with the carry threaded BETWEEN chunks like the simulation state:
+        it snapshots/rolls back with elastic recovery, re-shards on a mesh,
+        and lands in checkpoints (resume with
+        ``like_state=(state_template, carry_template)`` and pass the
+        returned carry back in).  Returns ``(final_state, final_carry)``
+        instead of the plain final state.
         """
         cached = getattr(self, "_closed_loop", None)
         if cached is None or cached[0] is not policy_tile:
@@ -323,12 +335,25 @@ class FleetRunner:
             self._closed_loop = cached = (policy_tile, run_fn)
         run_fn = cached[1]
 
-        def chunk(k, state):
-            t0 = time.perf_counter()
-            obs, state = run_fn(state, chunk_steps, policy_params)
-            return obs, state, {"final_obs": obs}, t0
+        if policy_carry is None:
 
-        return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
+            def chunk(k, state):
+                t0 = time.perf_counter()
+                obs, state = run_fn(state, chunk_steps, policy_params)
+                return obs, state, {"final_obs": obs}, t0
+
+            return self._drive(state, n_chunks, chunk_steps, chunk, metric_hook, max_retries)
+
+        def chunk(k, state_pc):
+            st, pc = state_pc
+            t0 = time.perf_counter()
+            obs, st, pc = run_fn(st, chunk_steps, policy_params, tuple(pc))
+            return obs, (st, pc), {"final_obs": obs}, t0
+
+        return self._drive(
+            (state, tuple(policy_carry)), n_chunks, chunk_steps, chunk,
+            metric_hook, max_retries,
+        )
 
     # -- elastic recovery ----------------------------------------------------
 

@@ -135,6 +135,48 @@ def test_fleet_runner_closed_loop_fused():
     assert np.isfinite(np.asarray(s["obs_mean"])).all()
 
 
+def test_fleet_runner_closed_loop_stateful_carry():
+    """run_policy(policy_carry=...) threads a PI integrator BETWEEN chunks:
+    4 chunks x 8 steps equals one unchunked 32-step kernel run — final
+    state AND final carry — and returns (final_state, final_carry)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+
+    env = excenvs.Pendulum(batch_size=BATCH, control_state=["theta"])
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(6), BATCH))
+    state = structures.replace(
+        state, reference=structures.replace(state.reference, theta=jnp.linspace(-1, 1, BATCH))
+    )
+
+    def pi_policy(obs, t, carry):
+        e = obs[2] - obs[0]
+        integ = carry[0] + 0.05 * e
+        return (0.7 * e + integ - 0.2 * obs[1],), (integ,)
+
+    carry0 = (jnp.zeros(BATCH),)
+    runner = FleetRunner(env, interpret=True)
+    final_state, final_carry = runner.run_policy(
+        state, pi_policy, n_chunks=4, chunk_steps=8, policy_carry=carry0,
+        max_retries=1,  # the carry must survive the snapshot machinery too
+    )
+    assert runner.closed_loop_path == "closed_loop_fused"
+    assert runner.summary()["env_steps"] == 4 * BATCH * 8
+
+    # NOTE: chunked-vs-unchunked equality is exact in interpret mode — each
+    # chunk re-enters the kernel from the carried (state, integ) pair, which
+    # is precisely the step-32k boundary state of the long run
+    _, last_1, fc_1 = env_fused_closed_loop(
+        env, state, pi_policy, 32, interpret=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_state.physical_state.theta),
+        np.asarray(last_1.physical_state.theta), rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_carry[0]), np.asarray(fc_1[0]), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_fleet_runner_closed_loop_scan_fallback_matches_kernel():
     """Out-of-tiling-scope envs ride the scan closed loop with the SAME tile
     policy contract; trajectories match the kernel path on a tiled env."""

@@ -19,7 +19,12 @@ inverse rotation) — the loop cost is the OBSERVER's, not the controller's
 (no (n_samples x horizon) candidate sweep like the MPPI runner pays).
 Measured on device: a 4,096-drive fleet replans at 291 Hz — per plant and
 control step ~10x cheaper than the drive MPPI composition
-(`benchmarks/r03/foc_device.py`, `BENCHMARKS.md`).
+(`benchmarks/r03/foc_device.py`, `BENCHMARKS.md`).  When the true state may
+be read (tuning sweeps, feasibility scans, dataset generation),
+:func:`make_foc_tile` runs the identical law INSIDE the fused closed-loop
+kernel as a stateful tile policy — 1.53e10 law+plant pairs/s with the
+controller state on VMEM carry planes
+(`benchmarks/r03/foc_in_kernel_device.py`).
 
 The law (amplitude-invariant stationary-frame model, see the env docstring):
 
@@ -75,7 +80,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_sensorless_foc"]
+__all__ = ["make_sensorless_foc", "make_foc_tile"]
 
 
 def make_sensorless_foc(
@@ -160,20 +165,32 @@ def make_sensorless_foc(
                 f"(min == -max) to keep the voltage-vector limit "
                 f"orientation-preserving; got min={norm.min}, max={norm.max}"
             )
-    u_max_d = jnp.asarray(act_norms.u_sd.max)
-    u_max_q = jnp.asarray(act_norms.u_sq.max)
+    # scalar constants stay PYTHON floats (the kernel tile variant closes
+    # over them — Pallas rejects captured device constants); per-batch
+    # (B,)-shaped bands become arrays and broadcast in the belief-space law
+    def _maybe_scalar(v):
+        a = np.asarray(v)
+        return float(a) if a.ndim == 0 else jnp.asarray(a)
+
+    u_max_d = _maybe_scalar(act_norms.u_sd.max)
+    u_max_q = _maybe_scalar(act_norms.u_sq.max)
     if i_max is None:
         i_norm = model.env_properties.physical_normalizations.i_sd
-        i_max = 0.9 * jnp.minimum(
-            jnp.abs(jnp.asarray(i_norm.min)), jnp.abs(jnp.asarray(i_norm.max))
-        )
+        lo, hi = _maybe_scalar(i_norm.min), _maybe_scalar(i_norm.max)
+        if isinstance(lo, float) and isinstance(hi, float):
+            i_max = 0.9 * min(abs(lo), abs(hi))
+        else:
+            i_max = 0.9 * jnp.minimum(jnp.abs(jnp.asarray(lo)), jnp.abs(jnp.asarray(hi)))
     else:
-        i_max = jnp.asarray(i_max)
+        i_max = _maybe_scalar(i_max)
     B = model.batch_size
     carry0 = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)), jnp.ones((B,), bool))
 
     # stationary components of |u_dq| <= u_lim stay inside the band
-    u_lim = jnp.minimum(u_max_d, u_max_q)
+    if isinstance(u_max_d, float) and isinstance(u_max_q, float):
+        u_lim = min(u_max_d, u_max_q)
+    else:
+        u_lim = jnp.minimum(u_max_d, u_max_q)
 
     # effective flux setpoint: constant below base speed, 1/omega feedforward
     # field weakening above it (omega is a frozen static param, so this is a
@@ -182,12 +199,18 @@ def make_sensorless_foc(
     if field_weakening:
         omega = model.env_properties.static_params.omega
         k_r0 = params.l_m / params.l_r
-        psi_star = jnp.minimum(
-            psi_ref, u_margin * u_lim / (jnp.maximum(jnp.abs(omega), 1e-6) * k_r0)
-        )
+        if np.ndim(omega) == 0 and isinstance(u_lim, float):
+            # scalar path stays a Python float (kernel-tile closure safe)
+            psi_star = min(
+                psi_ref,
+                u_margin * u_lim / (max(abs(float(omega)), 1e-6) * float(k_r0)),
+            )
+        else:
+            psi_star = jnp.minimum(
+                psi_ref, u_margin * u_lim / (jnp.maximum(jnp.abs(omega), 1e-6) * k_r0)
+            )
 
-    def controller(belief, carry, k):
-        phys = belief.physical_state
+    def law(i_sd_v, i_sq_v, psi_rd_v, psi_rq_v, carry, k):
         k_r = params.l_m / params.l_r
         # 1. orientation from the ESTIMATED flux (never the plant's).
         # Below the flux floor there is nothing to orient on — fall back to
@@ -197,20 +220,23 @@ def make_sensorless_foc(
         # |psi| = L_m i / sqrt(1 + (omega tau_r)^2) ~ 0.03 Vs here — below
         # the floor, so the drive could never magnetize (flux pickup on a
         # rotating machine must synchronize the current vector first).
-        psi_mag = jnp.sqrt(phys.psi_rd**2 + phys.psi_rq**2)
+        psi_mag = jnp.sqrt(psi_rd_v**2 + psi_rq_v**2)
         denom = jnp.maximum(psi_mag, psi_floor)
         theta_f = params.omega * tau * k
         use_est = psi_mag > psi_floor
-        cos_rho = jnp.where(use_est, phys.psi_rd / denom, jnp.cos(theta_f))
-        sin_rho = jnp.where(use_est, phys.psi_rq / denom, jnp.sin(theta_f))
+        cos_rho = jnp.where(use_est, psi_rd_v / denom, jnp.cos(theta_f))
+        sin_rho = jnp.where(use_est, psi_rq_v / denom, jnp.sin(theta_f))
         # 2. estimated currents into the flux frame
-        i_d = cos_rho * phys.i_sd + sin_rho * phys.i_sq
-        i_q = cos_rho * phys.i_sq - sin_rho * phys.i_sd
+        i_d = cos_rho * i_sd_v + sin_rho * i_sq_v
+        i_q = cos_rho * i_sq_v - sin_rho * i_sd_v
         # 3. current references: outer flux PI (feedforward + correction of
         # the discretization/parameter gain error) and the torque relation,
         # limited to the command circle (flux priority — standard FOC
         # current limiting)
-        int_d, int_q, int_psi, free = carry
+        int_d, int_q, int_psi, free_c = carry
+        # the anti-windup flag rides as bool in the belief-space carry and
+        # as a 1.0/0.0 float plane in the kernel tile carry — normalize
+        free = free_c > 0
         e_psi = psi_star - psi_mag
         i_d_raw = psi_star / params.l_m + kp_psi * e_psi + int_psi
         i_d_ref = jnp.clip(i_d_raw, -i_max, i_max)
@@ -266,7 +292,68 @@ def make_sensorless_foc(
         int_q = int_q + ki * tau * e_q + k_t * (u_q - u_q_unsat)
         u_sd = cos_rho * u_d - sin_rho * u_q
         u_sq = sin_rho * u_d + cos_rho * u_q
-        action = jnp.stack([u_sd / u_max_d, u_sq / u_max_q], axis=-1)
-        return action, (int_d, int_q, int_psi, u_mag <= u_lim)
+        flag = (u_mag <= u_lim).astype(jnp.asarray(free_c).dtype)
+        return (u_sd / u_max_d, u_sq / u_max_q), (int_d, int_q, int_psi, flag)
 
+    def controller(belief, carry, k):
+        phys = belief.physical_state
+        (a_d, a_q), carry = law(phys.i_sd, phys.i_sq, phys.psi_rd, phys.psi_rq, carry, k)
+        return jnp.stack([a_d, a_q], axis=-1), carry
+
+    controller._law = law  # shared body for make_foc_tile
     return controller, carry0
+
+
+def make_foc_tile(model, **law_kwargs):
+    """The same rotor-flux-oriented law as :func:`make_sensorless_foc`, but
+    packaged as a STATEFUL TILE POLICY for the fused closed-loop kernel —
+    full-STATE feedback FOC at kernel speed.
+
+    Where the sensorless composition pays the observer per control step
+    (the EKF dominates its ~1e6 triples/s), a simulation study that may
+    read the true state — controller tuning sweeps, feasibility scans,
+    dataset generation under a realistic drive law — can run the identical
+    law INSIDE the kernel: observations are denormalized to physical
+    values on the tiles, the PI integrators and anti-windup flag ride VMEM
+    carry planes, and the whole loop runs at fused-rollout throughput
+    (`BENCHMARKS.md`).
+
+    Args:
+        model: the :class:`InductionMachine` (scalar normalizations and
+            static params — the kernel folds them into the program).
+        **law_kwargs: forwarded to :func:`make_sensorless_foc`
+            (``psi_ref``/``torque_ref`` required; gains, ``i_max``,
+            ``field_weakening`` optional).
+
+    Returns:
+        ``(policy_tile, carry0)`` for
+        ``env.fused_closed_loop(..., policy_carry=carry0)`` /
+        ``FleetRunner.run_policy(..., policy_carry=carry0)`` /
+        ``RolloutCollector.collect_policy_fused(..., policy_carry=carry0)``
+        — ``policy_tile(obs, t, carry) -> ((a_sd, a_sq), carry)`` with the
+        anti-windup flag as a 1.0/0.0 float plane (kernel carries are
+        float).
+    """
+    controller, carry0 = make_sensorless_foc(model, **law_kwargs)
+    law = controller._law
+    pn = model.env_properties.physical_normalizations
+    try:
+        spans = tuple(
+            (float(getattr(pn, n).min), float(getattr(pn, n).max))
+            for n in ("i_sd", "i_sq", "psi_rd", "psi_rq")
+        )
+    except TypeError as e:
+        raise ValueError(
+            "make_foc_tile needs scalar physical normalizations (the fused "
+            "closed-loop kernel folds them into the program); per-batch "
+            "bands only work through the belief-space controller"
+        ) from e
+
+    def policy_tile(obs, t, carry):
+        i_sd_v, i_sq_v, psi_rd_v, psi_rq_v = (
+            (o + 1) / 2 * (mx - mn) + mn for o, (mn, mx) in zip(obs[:4], spans)
+        )
+        return law(i_sd_v, i_sq_v, psi_rd_v, psi_rq_v, carry, t)
+
+    carry0_tile = carry0[:3] + (jnp.ones((model.batch_size,)),)
+    return policy_tile, carry0_tile

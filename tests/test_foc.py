@@ -173,6 +173,62 @@ def test_foc_field_weakening_high_speed():
     assert not bool(res_n.plan[3].all())  # parked on the limit circle
 
 
+def test_foc_tile_runs_in_kernel():
+    """make_foc_tile packages the SAME law as a stateful tile policy: the
+    fused closed-loop kernel run equals the tile-policy scan at machine
+    precision (states, actions, all four carry planes), and the law on the
+    true state drives flux/torque to their setpoints."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_k = 1024  # kernel tiling requires a multiple of 1024
+    env = excenvs.InductionMachine(batch_size=B_k)
+    policy_tile, carry0 = foc.make_foc_tile(env, psi_ref=PSI_REF, torque_ref=TORQUE_REF)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(9), B_k))
+    with structures.copy_and_mutate(s0, validate=False) as s0:
+        s0.physical_state.i_sd = jnp.zeros(B_k)
+        s0.physical_state.i_sq = jnp.zeros(B_k)
+        s0.physical_state.psi_rd = jnp.zeros(B_k)
+        s0.physical_state.psi_rq = jnp.zeros(B_k)
+
+    T = 16
+    obs_f, acts_f, last_f, fc = env_fused_closed_loop(
+        env, s0, policy_tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+    obs_s, acts_s, _, last_s, fc_s = tile_policy_scan(
+        env, s0, T, policy_tile, None, collect_trajectory=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=1e-10, atol=1e-12)
+    for j in range(4):
+        np.testing.assert_allclose(
+            np.asarray(fc[j]), np.asarray(fc_s[j]), rtol=1e-10, atol=1e-12
+        )
+
+    # control quality on the true state (fast jitted scan, small fleet):
+    # the full-state law reaches the same setpoints the sensorless one does
+    env8 = excenvs.InductionMachine(batch_size=8)
+    tile8, carry8 = foc.make_foc_tile(env8, psi_ref=PSI_REF, torque_ref=TORQUE_REF)
+    _, s8 = env8.vmap_reset(jax.random.split(jax.random.PRNGKey(10), 8))
+    with structures.copy_and_mutate(s8, validate=False) as s8:
+        s8.physical_state.i_sd = jnp.zeros(8)
+        s8.physical_state.i_sq = jnp.zeros(8)
+        s8.physical_state.psi_rd = jnp.zeros(8)
+        s8.physical_state.psi_rq = jnp.zeros(8)
+    _, last8, _ = jax.jit(
+        lambda st: tile_policy_scan(
+            env8, st, N_STEPS, tile8, None, collect_trajectory=False,
+            policy_carry=carry8,
+        )
+    )(s8)
+    phys = last8.physical_state
+    psi = np.asarray(jnp.hypot(phys.psi_rd, phys.psi_rq))
+    np.testing.assert_allclose(psi, PSI_REF, rtol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(env8.torque(last8)), TORQUE_REF, rtol=0.05
+    )
+
+
 def test_foc_rejects_asymmetric_action_band():
     """An asymmetric action band breaks the vector-limit direction guarantee
     (denormalization is no longer linear through zero) — reject loudly

@@ -1189,27 +1189,40 @@ def env_fused_sim_ahead(
 # action traffic at all — the whole control loop is VMEM-resident.
 # Reference semantics bar: the GymWrapper closed loop
 # (reference gym_wrapper.py:88-130), one observation -> action -> step per
-# control period.  Deterministic policies only (tile-level randomness is not
-# plumbed); use RolloutCollector.collect_policy for stochastic policies or
-# when gradients through the policy are needed (this path defines no VJP).
+# control period.  STOCHASTIC ENVS stay in scope: sensor/process draw slabs
+# are precomputed in an XLA pre-pass (CoreEnvironment._noise_slabs) and
+# streamed like the open-loop kernel's — the policy closes the loop over the
+# noisy measurements.  Deterministic POLICIES only (tile-level randomness is
+# not plumbed); use RolloutCollector.collect_policy for stochastic policies.
 # ---------------------------------------------------------------------------
 
 
 def _make_closed_loop_kernel(
     ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
     wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
-    pp_treedef, n_pp, n_carry,
+    pp_treedef, n_pp, n_carry, obs_cols=(), noise_idx=(),
 ):
-    """Kernel body over refs ``([pparams,] *params, *refs, *state_in,
-    *carry_in, *state_out, *carry_out[, *traj_state, *traj_action,
-    *traj_carry])``; grid ``(batch_tiles, time_chunks)`` with the state
-    carried in revisited output blocks (see :func:`_make_kernel`).
+    """Kernel body over refs ``([pparams,] [obs_noise,] [proc_noise,]
+    *params, *refs, *state_in, *carry_in, *state_out, *carry_out[,
+    *traj_state, *traj_action, *traj_carry])``; grid
+    ``(batch_tiles, time_chunks)`` with the state carried in revisited
+    output blocks (see :func:`_make_kernel`).
     ``pparams`` is the flattened policy-parameter vector in SMEM (``n_pp``
     scalars, re-assembled into the user's pytree per ``pp_treedef``); with
     ``n_pp == 0`` the policy is parameter-free.  With ``n_carry > 0`` the
     policy is STATEFUL: its per-instance carry leaves ride VMEM planes
     exactly like the integration state and the call contract becomes
-    ``policy(obs, step, carry[, params]) -> (action, carry)``."""
+    ``policy(obs, step, carry[, params]) -> (action, carry)``.
+
+    Stochastic envs stream pre-scaled draw slabs like the open-loop kernel
+    (:func:`_make_kernel`): with ``obs_cols`` set, a sensor-noise slab row is
+    added to the indexed observation columns BEFORE the policy each step
+    (the caller pre-shifts the slab so row ``i`` carries the draw the scan
+    path's policy would see at step ``i`` — step ``i-1``'s post-step sensor
+    draw, zeros at ``i == 0``); with ``noise_idx`` set, a process-noise slab
+    row is added to the indexed state leaves after the deterministic
+    wrap/clip, followed by a second wrap/clip — the exact operation order of
+    ``CoreEnvironment._apply_process_noise``."""
 
     def kernel(*refs):
         if n_pp:
@@ -1217,6 +1230,12 @@ def _make_closed_loop_kernel(
             refs = refs[1:]
             pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
             pparams = pp_treedef(pp_vec)  # pp_treedef: the cached unravel fn
+        if obs_cols:
+            obs_noise_ref = refs[0]
+            refs = refs[1:]
+        if noise_idx:
+            proc_noise_ref = refs[0]
+            refs = refs[1:]
         param_refs = refs[:n_params]
         refs = refs[n_params:]
         ref_refs = refs[:n_refs]
@@ -1248,6 +1267,11 @@ def _make_closed_loop_kernel(
                 2 * (leaf - mn) / (mx - mn) - 1
                 for leaf, (mn, mx) in zip(y, obs_norms)
             ) + ref_tiles
+            if obs_cols:
+                obs = list(obs)
+                for j, col in enumerate(obs_cols):
+                    obs[col] = obs[col] + obs_noise_ref[i, j]
+                obs = tuple(obs)
             if n_carry:
                 out = policy(obs, step, c, pparams) if n_pp else policy(obs, step, c)
                 a_norm, c1 = out[0], tuple(out[1])
@@ -1268,6 +1292,15 @@ def _make_closed_loop_kernel(
             )
             if clip_fn is not None:
                 y1 = clip_fn(y1)
+            if noise_idx:
+                y1 = list(y1)
+                for j, idx in enumerate(noise_idx):
+                    y1[idx] = y1[idx] + proc_noise_ref[i, j]
+                y1 = tuple(
+                    wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+                )
+                if clip_fn is not None:
+                    y1 = clip_fn(y1)
             if traj_stride is not None:
 
                 @pl.when((i + 1) % traj_stride == 0)
@@ -1294,17 +1327,28 @@ def _cl_launch(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
     y0, param_leaves, ref_leaves, pp_flat, carry0=None,
+    obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
 ):
     """Tile the operands and launch the closed-loop kernel (primal of
     :func:`fused_closed_loop`).  With ``carry0`` (tuple of ``(B,)`` float
     leaves) the policy is stateful; returns gain a ``final_carry`` element
     and, with ``traj_stride``, a carry trajectory: ``(final, final_carry)``
-    or ``(final, final_carry, traj_state, traj_act, traj_carry)``."""
+    or ``(final, final_carry, traj_state, traj_act, traj_carry)``.
+
+    ``obs_noise_tm`` (``(n_steps, B, len(obs_cols))``, pre-scaled and
+    pre-shifted — see :func:`_make_closed_loop_kernel`) and
+    ``proc_noise_tm`` (``(n_steps, B, len(noise_idx))``, pre-scaled
+    Euler–Maruyama increments) stream time-major alongside the loop like
+    the open-loop kernel's noise slab."""
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     if traj_stride is not None and n_steps % traj_stride != 0:
         raise ValueError("n_steps must be divisible by traj_stride")
+    if (obs_noise_tm is not None) != bool(obs_cols):
+        raise ValueError("obs_noise_tm and obs_cols must be set together")
+    if (proc_noise_tm is not None) != bool(noise_idx):
+        raise ValueError("proc_noise_tm and noise_idx must be set together")
     n_state = len(y0)
     n_carry = 0 if carry0 is None else len(carry0)
     n_params = len(param_leaves)
@@ -1317,10 +1361,40 @@ def _cl_launch(
         rows *= 2
     n_batch_tiles = total_rows // rows
 
-    # time chunk: bounds the trajectory block size (~2 MB per output leaf);
-    # no streamed operand exists, so without trajectory output one chunk
-    # spans the whole horizon
-    chunk = _traj_chunk(n_steps, traj_stride, rows, jnp.asarray(y0[0]).dtype.itemsize)
+    itemsize = jnp.asarray(y0[0]).dtype.itemsize
+    streamed_width = len(obs_cols) + len(noise_idx)
+    if streamed_width == 0:
+        # time chunk: bounds the trajectory block size (~2 MB per output
+        # leaf); no streamed operand exists, so without trajectory output
+        # one chunk spans the whole horizon
+        chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
+    else:
+        # streamed noise slabs: the chunk must also keep the double-buffered
+        # streamed blocks <= ~2 MB and the total scoped block set under the
+        # ~16 MB VMEM ceiling with margin (mirrors _launch's budgeting)
+        max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
+        n_traj_leaves = (n_state + n_action + n_carry) if traj_stride is not None else 0
+
+        def _scoped_bytes(c):
+            width = streamed_width * c
+            if traj_stride is not None:
+                width += (c // traj_stride) * n_traj_leaves
+            return 2 * width * rows * LANES * itemsize
+
+        chunk = 0
+        for c in range(1, n_steps + 1):
+            if (
+                n_steps % c == 0
+                and c <= max_chunk
+                and (traj_stride is None or c % traj_stride == 0)
+                and _scoped_bytes(c) <= 12 * 1024 * 1024
+            ):
+                chunk = c
+        if chunk == 0:
+            raise ValueError(
+                "no time chunk fits the streamed noise slabs and trajectory "
+                "blocks under the VMEM budget; use a smaller traj stride"
+            )
     n_time_chunks = n_steps // chunk
 
     y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)
@@ -1332,11 +1406,30 @@ def _cl_launch(
     def state_block():
         return pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
 
+    def _noise_tiled(noise_tm, n_noise):
+        if n_noise == 1:
+            return noise_tm.reshape(n_steps, 1, total_rows, LANES)
+        return jnp.transpose(noise_tm, (0, 2, 1)).reshape(
+            n_steps, n_noise, total_rows, LANES
+        )
+
+    def _noise_spec(n_noise):
+        return pl.BlockSpec(
+            (chunk, n_noise, rows, LANES), lambda b, k: (k, 0, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     in_specs = []
     operands = []
     if n_pp:
         in_specs.append(pl.BlockSpec((1, n_pp), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(pp_flat, dtype)[None, :])
+    if obs_cols:
+        in_specs.append(_noise_spec(len(obs_cols)))
+        operands.append(_noise_tiled(obs_noise_tm, len(obs_cols)))
+    if noise_idx:
+        in_specs.append(_noise_spec(len(noise_idx)))
+        operands.append(_noise_tiled(proc_noise_tm, len(noise_idx)))
     for leaf in param_leaves:
         in_specs.append(state_block())
         operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
@@ -1367,7 +1460,7 @@ def _cl_launch(
     kernel = _make_closed_loop_kernel(
         ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
         wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
-        pp_treedef, n_pp, n_carry,
+        pp_treedef, n_pp, n_carry, obs_cols=obs_cols, noise_idx=noise_idx,
     )
     out = pl.pallas_call(
         kernel,
@@ -1398,18 +1491,26 @@ def _cl_launch(
 
 def _plain_cl_step(
     ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
-    fast_wrap, has_pp, params, has_carry=False,
+    fast_wrap, has_pp, params, has_carry=False, obs_cols=(), noise_idx=(),
 ):
     """The closed-loop kernel's per-step computation in plain
-    (differentiable) JAX over ``(B,)`` leaves: normalize -> policy ->
-    denormalize -> RK step -> wrap/clip.  Returns ``(y1, c1, a_norm)``
-    (``c1 = ()`` for stateless policies)."""
+    (differentiable) JAX over ``(B,)`` leaves: normalize -> [+sensor noise]
+    -> policy -> denormalize -> RK step -> wrap/clip [-> +process noise ->
+    wrap/clip].  Returns ``(y1, c1, a_norm)`` (``c1 = ()`` for stateless
+    policies).  With ``obs_cols``/``noise_idx`` the step takes two extra
+    args — the step's pre-scaled sensor/process noise rows ``(B, n)`` —
+    mirroring the kernel's slab application exactly."""
 
-    def step(y, c, t_step, refs, pparams):
+    def step(y, c, t_step, refs, pparams, eo=None, ep=None):
         obs = tuple(
             2 * (leaf - mn) / (mx - mn) - 1
             for leaf, (mn, mx) in zip(y, obs_norms)
         ) + refs
+        if obs_cols:
+            obs = list(obs)
+            for j, col in enumerate(obs_cols):
+                obs[col] = obs[col] + eo[..., j]
+            obs = tuple(obs)
         if has_carry:
             out = policy(obs, t_step, c, pparams) if has_pp else policy(obs, t_step, c)
             a_norm, c1 = out[0], tuple(out[1])
@@ -1432,6 +1533,15 @@ def _plain_cl_step(
         )
         if clip_fn is not None:
             y1 = clip_fn(y1)
+        if noise_idx:
+            y1 = list(y1)
+            for j, idx in enumerate(noise_idx):
+                y1[idx] = y1[idx] + ep[..., j]
+            y1 = tuple(
+                wrap_op(leaf) if wrap else leaf for leaf, wrap in zip(y1, wrap_flags)
+            )
+            if clip_fn is not None:
+                y1 = clip_fn(y1)
         return y1, c1, a_norm
 
     return step
@@ -1454,26 +1564,30 @@ def _cached_unravel(params):
     return flat, _UNRAVEL_CACHE.setdefault(key, unravel)
 
 
-_N_CL_STATIC = 14
+_N_CL_STATIC = 16
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_CL_STATIC)))
 def _cl_core(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    y0, param_leaves, ref_leaves, pp_flat, carry0,
+    obs_cols, noise_idx,
+    y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm, proc_noise_tm,
 ):
     return _cl_launch(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
         y0, param_leaves, ref_leaves, pp_flat, carry0,
+        obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
+        obs_cols=obs_cols, noise_idx=noise_idx,
     )
 
 
 def _cl_core_fwd(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    y0, param_leaves, ref_leaves, pp_flat, carry0,
+    obs_cols, noise_idx,
+    y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm, proc_noise_tm,
 ):
     ckpt = _ckpt_stride(n_steps, traj_stride)
     has_carry = carry0 is not None
@@ -1481,6 +1595,8 @@ def _cl_core_fwd(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, ckpt, fast_wrap, interpret, pp_treedef,
         y0, param_leaves, ref_leaves, pp_flat, carry0,
+        obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
+        obs_cols=obs_cols, noise_idx=noise_idx,
     )
     if has_carry:
         final, final_c, saves, act_saves, carry_saves = res
@@ -1498,15 +1614,22 @@ def _cl_core_fwd(
             out = (final, final_c, st, at, ct)
         else:
             out = (final, st, at)
-    return out, (y0, param_leaves, ref_leaves, pp_flat, carry0, saves, carry_saves)
+    return out, (
+        y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm,
+        proc_noise_tm, saves, carry_saves,
+    )
 
 
 def _cl_core_bwd(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+    obs_cols, noise_idx,
     res, g,
 ):
-    y0, param_leaves, ref_leaves, pp_flat, carry0, saves, carry_saves = res
+    (
+        y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm,
+        proc_noise_tm, saves, carry_saves,
+    ) = res
     batch = y0[0].shape[0]
     ckpt = _ckpt_stride(n_steps, traj_stride)
     n_seg = n_steps // ckpt
@@ -1564,19 +1687,39 @@ def _cl_core_bwd(
         _inject(g_traj_c, tuple(jnp.asarray(l) for l in carry0)) if has_carry else ()
     )
 
-    def seg_apply(y_start, c_start, t_s, params, refs, pp):
+    # streamed noise slabs reshape into per-segment blocks; the VJP threads
+    # them through the recompute (the reparameterization-trick pathway, like
+    # the open-loop kernel's noise gradient)
+    has_on = obs_noise_tm is not None
+    has_pn = proc_noise_tm is not None
+    on_seg = (
+        obs_noise_tm.reshape(n_seg, ckpt, batch, len(obs_cols))
+        if has_on
+        else jnp.zeros((n_seg, ckpt, batch, 0), dtype=jnp.result_type(y0[0]))
+    )
+    pn_seg = (
+        proc_noise_tm.reshape(n_seg, ckpt, batch, len(noise_idx))
+        if has_pn
+        else jnp.zeros((n_seg, ckpt, batch, 0), dtype=jnp.result_type(y0[0]))
+    )
+
+    def seg_apply(y_start, c_start, t_s, params, refs, pp, on_s, pn_s):
         ppy = pp_treedef(pp) if has_pp else None
         inner = _plain_cl_step(
             ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
             fast_wrap, has_pp, params, has_carry=has_carry,
+            obs_cols=obs_cols, noise_idx=noise_idx,
         )
 
-        def body(yc, t_step):
+        def body(yc, xs):
             y, c = yc
-            y1, c1, a_norm = inner(y, c, t_step, refs, ppy)
+            t_step, eo, ep = xs
+            y1, c1, a_norm = inner(y, c, t_step, refs, ppy, eo, ep)
             return (y1, c1), a_norm
 
-        (y_end, c_end), a_all = jax.lax.scan(body, (y_start, c_start), t_s)
+        (y_end, c_end), a_all = jax.lax.scan(
+            body, (y_start, c_start), (t_s, on_s, pn_s)
+        )
         # only the LAST step's action can be a save (ckpt divides traj_stride)
         a_last = tuple(a[-1] for a in a_all)
         return y_end, c_end, a_last
@@ -1587,31 +1730,33 @@ def _cl_core_bwd(
 
     def bwd_body(carry, xs):
         g_y, g_c, g_params, g_refs, g_pp = carry
-        start_s, c_start_s, t_s, g_save_s, g_act_s, g_carry_s = xs
+        start_s, c_start_s, t_s, g_save_s, g_act_s, g_carry_s, on_s, pn_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         g_c = tuple(gc + gs for gc, gs in zip(g_c, g_carry_s))
         _, vjp_fn = jax.vjp(
-            lambda y, c, p, r, pp: seg_apply(y, c, t_s, p, r, pp),
+            lambda y, c, p, r, pp, on, pn: seg_apply(y, c, t_s, p, r, pp, on, pn),
             start_s, c_start_s, param_leaves, ref_leaves,
-            pp_flat if has_pp else jnp.zeros((0,)),
+            pp_flat if has_pp else jnp.zeros((0,)), on_s, pn_s,
         )
-        gy_in, gc_in, gp, gr, gpp = vjp_fn((g_y, g_c, g_act_s))
+        gy_in, gc_in, gp, gr, gpp, g_on, g_pn = vjp_fn((g_y, g_c, g_act_s))
         g_params = tuple(a + b for a, b in zip(g_params, gp))
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
         if has_pp:
             g_pp = g_pp + gpp
-        return (gy_in, gc_in, g_params, g_refs, g_pp), None
+        return (gy_in, gc_in, g_params, g_refs, g_pp), (g_on, g_pn)
 
-    (g_y0, g_c0, g_params, g_refs, g_pp), _ = jax.lax.scan(
+    (g_y0, g_c0, g_params, g_refs, g_pp), (g_on_all, g_pn_all) = jax.lax.scan(
         bwd_body,
         (g_final, g_final_c, g_params0, g_refs0, g_pp0 if has_pp else jnp.zeros((0,))),
-        (starts, c_starts, ts_seg, g_save_seg, g_act_seg, g_carry_seg),
+        (starts, c_starts, ts_seg, g_save_seg, g_act_seg, g_carry_seg, on_seg, pn_seg),
         reverse=True,
     )
     return (
         g_y0, g_params, g_refs,
         g_pp if has_pp else None,
         g_c0 if has_carry else None,
+        g_on_all.reshape(n_steps, batch, len(obs_cols)) if has_on else None,
+        g_pn_all.reshape(n_steps, batch, len(noise_idx)) if has_pn else None,
     )
 
 
@@ -1623,7 +1768,7 @@ _cl_core.defvjp(_cl_core_fwd, _cl_core_bwd)
     static_argnames=(
         "ode", "solver", "policy", "n_steps", "tau", "wrap_flags", "clip_fn",
         "obs_norms", "act_norms", "n_action", "traj_stride", "fast_wrap",
-        "interpret", "pp_treedef",
+        "interpret", "pp_treedef", "obs_noise_cols", "proc_noise_idx",
     ),
 )
 def fused_closed_loop(
@@ -1645,6 +1790,10 @@ def fused_closed_loop(
     policy_params=None,
     pp_treedef=None,
     policy_carry=None,
+    obs_noise_tm=None,
+    proc_noise_tm=None,
+    obs_noise_cols: tuple = (),
+    proc_noise_idx: tuple = (),
     interpret: bool = False,
 ):
     """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step[,
@@ -1670,6 +1819,14 @@ def fused_closed_loop(
     in-kernel; the VJP extends to the carry (gradients flow into
     ``policy_carry`` and through it into ``policy_params``).
 
+    Stochastic loops stream pre-scaled draw slabs: ``obs_noise_tm``
+    (``(n_steps, B, len(obs_noise_cols))``, added to the indexed observation
+    columns BEFORE the policy — pre-shift so row ``i`` is what the policy
+    sees at step ``i``) and ``proc_noise_tm`` (``(n_steps, B,
+    len(proc_noise_idx))`` Euler–Maruyama increments applied after wrap/clip
+    like the open-loop kernel).  The VJP extends to both slabs
+    (reparameterized noise gradients).
+
     Returns ``final_state_tuple`` — or, with ``traj_stride``,
     ``(final_tuple, traj_state_tuple, traj_action_tuple)`` where trajectory
     leaves have shape ``(B, n_steps // traj_stride)``.  With
@@ -1684,8 +1841,10 @@ def fused_closed_loop(
     return _cl_core(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
+        tuple(obs_noise_cols), tuple(proc_noise_idx),
         y0, tuple(param_leaves), tuple(ref_leaves), policy_params,
         None if policy_carry is None else tuple(policy_carry),
+        obs_noise_tm, proc_noise_tm,
     )
 
 
@@ -1698,9 +1857,11 @@ def supports_fused_closed_loop(env) -> bool:
     )
     return (
         supports_fused_rollout(env)
-        # the closed loop reads observations in-kernel; noise draws would
-        # have to happen there too — stochastic envs ride the scan loop
-        and not getattr(env, "_has_noise", False)
+        # stochastic envs ARE in scope: the pre-pass computes the rollout
+        # draw stream (CoreEnvironment._noise_slabs) and streams the
+        # pre-scaled sensor/process slabs into the kernel — sensor rows are
+        # added to the observation tiles BEFORE the policy, so the control
+        # loop closes over the NOISY measurements exactly like the scan
         and all(np.isscalar(leaf) for leaf in norms)
         # the kernel builds observations from the integrated leaves in their
         # declaration order — it must equal generate_observation's column order
@@ -1739,6 +1900,17 @@ def env_fused_closed_loop(
     low-pass filters, recurrent laws at kernel speed); every return shape
     then gains the final carry tuple as its last element, and the
     checkpointed-recompute VJP extends through the carry.
+
+    Stochastic envs (``process_noise``/``observation_noise``) stay at kernel
+    speed: the XLA pre-pass computes the rollout draw stream
+    (``CoreEnvironment._noise_slabs`` — the scan path's exact ``split(key,
+    3)`` chain, or the time-parallel counter stream for
+    ``noise_mode="fast"``), pre-scales it, and streams it into the kernel —
+    the policy closes the loop over the NOISY observations (output-feedback
+    control under sensor noise), matching the slab-consuming scan fallback
+    (``utils.collect.tile_policy_scan``) draw for draw.  The VJP extends
+    through both slabs (reparameterized gradients), so ``train_policy``
+    tunes noise-robust controllers at kernel speed.
     """
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
@@ -1785,6 +1957,46 @@ def env_fused_closed_loop(
         # and the whole loop is differentiable w.r.t. them
         pp_flat, pp_unravel = _cached_unravel(policy_params)
     has_carry = policy_carry is not None
+
+    # stochastic envs: precompute the rollout draw stream (shared
+    # CoreEnvironment._noise_slabs — identical to the slab-consuming scan
+    # fallback in utils.collect.tile_policy_scan), pre-scale, and stream
+    obs_noise_tm = proc_noise_tm = None
+    obs_noise_cols: tuple = ()
+    proc_noise_idx: tuple = ()
+    eps_obs = final_keys = keys_saves = None
+    if getattr(env, "_has_noise", False):
+        keys0 = env._require_noise_key(init_state)
+        # sensor draws feed the POLICY every step -> slab stride is 1
+        # regardless of the trajectory save stride
+        eps_proc, eps_obs, keys_saves, final_keys = env._noise_slabs(keys0, n_steps, 1)
+        if eps_proc is not None:
+            proc_items = sorted(env._process_noise.items())
+            coef = jnp.asarray(
+                [s for _, s in proc_items], dtype=eps_proc.dtype
+            ) * jnp.sqrt(env.tau)
+            proc_noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))
+            proc_noise_idx = tuple(env._ode_state_fields.index(n) for n, _ in proc_items)
+        if eps_obs is not None:
+            # kernel scope guarantees scalar normalization spans, so the
+            # normalized sigmas are compile-time floats; only the noisy
+            # columns are streamed.  The slab is shifted one step: the obs
+            # the policy sees at step i is step i-1's post-step measurement
+            # (the scan fallback's obs0 is the exact reset observation)
+            layout = env._obs_noise_layout
+            sigmas = env._obs_noise_sigma_norm(env.env_properties)
+            noisy = tuple(
+                (k, col) for k, (col, name) in enumerate(layout)
+                if name in env._observation_noise
+            )
+            obs_noise_cols = tuple(col for _k, col in noisy)
+            scaled = jnp.stack(
+                [float(sigmas[k]) * eps_obs[..., k] for k, _col in noisy], axis=-1
+            )
+            scaled_tm = jnp.transpose(scaled, (1, 0, 2))  # (T, B, n)
+            obs_noise_tm = jnp.concatenate(
+                [jnp.zeros_like(scaled_tm[:1]), scaled_tm[:-1]], axis=0
+            )
     result = fused_closed_loop(
         tile_ode,
         env._solver,
@@ -1804,6 +2016,10 @@ def env_fused_closed_loop(
         policy_params=pp_flat,
         pp_treedef=pp_unravel,
         policy_carry=None if policy_carry is None else tuple(policy_carry),
+        obs_noise_tm=obs_noise_tm,
+        proc_noise_tm=proc_noise_tm,
+        obs_noise_cols=obs_noise_cols,
+        proc_noise_idx=proc_noise_idx,
         interpret=interpret,
     )
     final_carry = None
@@ -1852,6 +2068,7 @@ def env_fused_closed_loop(
         )
         solver_carry = _final_solver_state(env, y_final, a_phys_last)
 
+    key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
@@ -1859,10 +2076,15 @@ def env_fused_closed_loop(
             solver_state=solver_carry,
             active_solver_state=jnp.full(env.batch_size, True),
         ),
+        **key_kwargs,
     )
     obs_final = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
         final_state, env.env_properties
     )
+    if eps_obs is not None:
+        # the returned observation is the final step's post-step measurement
+        # — that step's own sensor draw, exactly like the scan path
+        obs_final = _apply_obs_noise_slab(env, obs_final, eps_obs[:, -1])
     if obs_stride is None:
         if has_carry:
             return obs_final, final_state, final_carry
@@ -1872,11 +2094,18 @@ def env_fused_closed_loop(
     traj_state = structures.replace(
         final_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, traj_state_t))),
+        # stochastic envs: each save carries ITS step's advanced key (scan
+        # parity — resuming from a saved state must not replay consumed
+        # draws); deterministic envs keep the unchanged initial key
         PRNGKey=(
-            lambda key: jnp.broadcast_to(
-                key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
-            )
-        )(jnp.asarray(init_state.PRNGKey)),
+            keys_saves[:, obs_stride - 1 :: obs_stride]
+            if keys_saves is not None
+            else (
+                lambda key: jnp.broadcast_to(
+                    key[:, None, ...], (env.batch_size, n_saves) + key.shape[1:]
+                )
+            )(jnp.asarray(init_state.PRNGKey))
+        ),
         additions=env.Additions(
             solver_state=None,
             active_solver_state=jnp.full((env.batch_size, n_saves), True),
@@ -1890,6 +2119,11 @@ def env_fused_closed_loop(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, env.env_properties)
+    if eps_obs is not None:
+        # each saved observation carries its own step's sensor draw
+        obs_traj = _apply_obs_noise_slab(
+            env, obs_traj, eps_obs[:, obs_stride - 1 :: obs_stride]
+        )
     actions_traj = jnp.stack(traj_act_t, axis=-1)
     if return_traj_states:
         if has_carry:

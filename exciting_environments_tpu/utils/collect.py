@@ -38,15 +38,48 @@ def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
     or with ``collect_trajectory`` the batch-major ``(obs, actions,
     traj_states, final_state)`` — each gaining the final carry as its last
     element when ``policy_carry`` is given.
+
+    Stochastic envs consume the whole-rollout draw stream
+    (``CoreEnvironment._noise_slabs``, the same slabs the fused closed-loop
+    kernel streams, in BOTH noise modes) — the policy closes the loop over
+    the noisy measurements and the fused path stays draw-identical; in
+    ``"exact"`` mode this also equals chaining ``env.step`` by hand.  The
+    first observation is the exact reset observation (no sensor draw has
+    been consumed yet).
     """
+    from exciting_environments_tpu.core import structures
+
     in_ax = env.in_axes_env_properties
     props = env.env_properties
     obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
-    step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
     has_carry = policy_carry is not None
+    has_noise = getattr(env, "_has_noise", False)
 
-    def body(carry, t):
+    if has_noise:
+        keys0 = env._require_noise_key(state)
+        eps_proc, eps_obs, keys_saves, _final_keys = env._noise_slabs(keys0, n_steps, 1)
+        B = env.batch_size
+        ep_tm = (
+            jnp.swapaxes(eps_proc, 0, 1) if eps_proc is not None
+            else jnp.zeros((n_steps, B, 0))
+        )
+        eo_tm = (
+            jnp.swapaxes(eps_obs, 0, 1) if eps_obs is not None
+            else jnp.zeros((n_steps, B, 0))
+        )
+        keys_tm = jnp.moveaxis(keys_saves, 1, 0)
+
+        def step1(s, a, p, ep, eo):
+            s = env._fast_noise_advance_eps(s, a, p, ep)
+            return env._fast_noise_observe_eps(s, p, eo), s
+
+        step_noisy = jax.vmap(step1, in_axes=(0, 0, in_ax, 0, 0))
+    else:
+        step_b = jax.vmap(env.step, in_axes=(0, 0, in_ax))
+
+    def body(carry, xs):
         st, obs, pc = carry
+        t = xs[0] if has_noise else xs
         cols = tuple(obs[:, i] for i in range(obs.shape[1]))
         if has_carry:
             args = (cols, t, pc) + ((policy_params,) if policy_params is not None else ())
@@ -59,12 +92,24 @@ def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
                 else policy_tile(cols, t)
             )
         action = jnp.stack(a, axis=-1)
-        obs, st = step_b(st, action, props)
+        if has_noise:
+            _t, ep_t, eo_t, key_t = xs
+            obs, st = step_noisy(st, action, props, ep_t, eo_t)
+            # each step's state carries ITS advanced key (resume parity with
+            # env.step's chain / the kernel's keys_saves)
+            st = structures.replace(st, PRNGKey=key_t)
+        else:
+            obs, st = step_b(st, action, props)
         return (st, obs, pc), ((obs, action, st) if collect_trajectory else None)
 
     pc0 = tuple(policy_carry) if has_carry else ()
+    xs = (
+        (jnp.arange(n_steps), ep_tm, eo_tm, keys_tm)
+        if has_noise
+        else jnp.arange(n_steps)
+    )
     (final_state, final_obs, final_pc), ys = jax.lax.scan(
-        body, (state, obs0, pc0), jnp.arange(n_steps)
+        body, (state, obs0, pc0), xs
     )
     if not collect_trajectory:
         if has_carry:

@@ -76,6 +76,14 @@ def train_policy(
 ) -> TrainResult:
     """Train ``policy(obs, t, params)`` by backprop through the closed loop.
 
+    Stochastic classic envs train at kernel speed too: the closed-loop
+    kernel streams the env's sensor/process draw slabs, so the descent
+    tunes a NOISE-ROBUST output-feedback law.  Draws derive from
+    ``state.PRNGKey`` and ``state`` is fixed across iterations, so every
+    iteration sees the same disturbance realizations (common random
+    numbers — deliberately low-variance gradients; resample the state's
+    keys between calls to vary the scenario set).
+
     Args:
         env: a :class:`CoreEnvironment` (or PMSM / ``ShardedEnv``) inside
             closed-loop kernel scope.
@@ -147,9 +155,11 @@ def train_policy(
             raise ValueError(
                 "train_policy requires closed-loop kernel scope "
                 "(batch multiple of 1024, scalar normalizations, explicit RK "
-                "solver, deterministic env — the closed-loop kernels do not "
-                "take process/observation noise; train stochastic policies "
-                "through train_ppo/train_sac or plan with run_mppi instead)"
+                "solver; the PMSM drive kernel additionally takes no "
+                "process/observation noise — classic stochastic envs ARE in "
+                "scope via the streamed draw slabs; for out-of-scope "
+                "configurations train through train_ppo/train_sac or plan "
+                "with run_mppi instead)"
             )
 
         def rollout(p):

@@ -192,6 +192,114 @@ def test_fused_stochastic_rollout_is_differentiable(noise_mode):
     assert rel < 1e-9, rel
 
 
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_stochastic_closed_loop_kernel_matches_scan(noise_mode):
+    """Output-feedback control under sensor noise at kernel speed: the
+    closed-loop kernel streams the pre-scaled draw slabs and the POLICY acts
+    on the noisy measurements — draw-identical to the slab-consuming scan
+    fallback (``tile_policy_scan``) in both noise modes, including the final
+    and per-save PRNG keys."""
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        env_fused_closed_loop,
+        supports_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_, T = 1024, 16
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU,
+        process_noise={"omega": 0.4},
+        observation_noise={"theta": 0.05, "omega": 0.02},
+        noise_mode=noise_mode,
+    )
+    assert supports_fused_closed_loop(env)
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+
+    def pol(obs, t):
+        return (-0.8 * obs[0] - 0.3 * obs[1],)
+
+    obs_f, acts_f, traj_f, last_f = env_fused_closed_loop(
+        env, st, pol, T, obs_stride=1, interpret=True, return_traj_states=True
+    )
+    obs_s, acts_s, traj_s, last_s = tile_policy_scan(
+        env, st, T, pol, None, collect_trajectory=True
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.omega),
+        np.asarray(last_s.physical_state.omega), rtol=0, atol=1e-11,
+    )
+    # PRNG keys thread identically: final state and every saved state
+    np.testing.assert_array_equal(np.asarray(last_f.PRNGKey), np.asarray(last_s.PRNGKey))
+    np.testing.assert_array_equal(
+        np.asarray(traj_f.PRNGKey),
+        np.swapaxes(np.asarray(traj_s.PRNGKey), 0, 1)
+        if np.asarray(traj_s.PRNGKey).shape[0] == T
+        else np.asarray(traj_s.PRNGKey),
+    )
+
+    # final-only mode carries the last step's sensor draw too
+    obs_fin, _ = env_fused_closed_loop(env, st, pol, T, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(obs_fin), np.asarray(obs_s[:, -1]), rtol=0, atol=1e-11
+    )
+
+
+@pytest.mark.slow
+def test_stochastic_closed_loop_kernel_gradients_and_stateful():
+    """The checkpointed-recompute VJP extends through the streamed noise
+    slabs: gradients w.r.t. policy parameters match the scan fallback, and a
+    STATEFUL policy's carry threads identically under noise (noise-robust
+    controller tuning at kernel speed)."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_, T = 1024, 16
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU,
+        process_noise={"omega": 0.3}, observation_noise={"theta": 0.04},
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    p0 = {"kp": jnp.asarray(0.7), "kd": jnp.asarray(0.2)}
+
+    def pol(obs, t, p):
+        return (-p["kp"] * obs[0] - p["kd"] * obs[1],)
+
+    def loss_kernel(p):
+        obs, acts, _ = env_fused_closed_loop(
+            env, st, pol, T, obs_stride=1, interpret=True, policy_params=p
+        )
+        return jnp.mean(obs[:, :, 0] ** 2) + 0.01 * jnp.mean(acts**2)
+
+    def loss_scan(p):
+        obs, acts, _, _ = tile_policy_scan(env, st, T, pol, p, collect_trajectory=True)
+        return jnp.mean(obs[:, :, 0] ** 2) + 0.01 * jnp.mean(acts**2)
+
+    lk, gk = jax.value_and_grad(loss_kernel)(p0)
+    ls, gs = jax.value_and_grad(loss_scan)(p0)
+    assert abs(float(lk - ls)) < 1e-12
+    for k in p0:
+        assert abs(float(gk[k] - gs[k])) < 1e-9 * max(1.0, abs(float(gs[k]))), k
+
+    # stateful PI law under noise: carry planes and states thread identically
+    carry0 = (jnp.zeros((B_,)),)
+
+    def pol_pi(obs, t, c):
+        i = c[0] + 0.05 * obs[0]
+        return (-0.8 * obs[0] - 0.1 * i,), (i,)
+
+    obs_f, acts_f, _, last_f, fc_f = env_fused_closed_loop(
+        env, st, pol_pi, T, obs_stride=1, interpret=True,
+        return_traj_states=True, policy_carry=carry0,
+    )
+    obs_s, acts_s, _, last_s, fc_s = tile_policy_scan(
+        env, st, T, pol_pi, None, collect_trajectory=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fc_f[0]), np.asarray(fc_s[0]), rtol=0, atol=1e-11)
+
+
 def test_constructor_validation():
     with pytest.raises(ValueError, match="not one of"):
         excenvs.Pendulum(batch_size=4, process_noise={"bogus": 0.1})

@@ -808,6 +808,46 @@ def test_sharded_fused_stochastic_rollout(mesh):
     np.testing.assert_array_equal(np.asarray(last_f.PRNGKey), np.asarray(last_ref.PRNGKey))
 
 
+@pytest.mark.slow
+def test_sharded_stochastic_closed_loop(mesh):
+    """Output-feedback control under sensor noise per shard: the closed-loop
+    kernel's per-shard noise precompute reads the shard's own key slice, so
+    the mesh-sharded loop matches the single-device scan fallback draw for
+    draw (including a STATEFUL policy's carry)."""
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    batch, T = 8192, 8
+    mk = lambda: excenvs.Pendulum(
+        batch_size=batch, tau=1e-2,
+        process_noise={"omega": 0.3}, observation_noise={"theta": 0.04},
+    )
+    env = mk()
+    keys = jax.random.split(jax.random.PRNGKey(5), batch)
+    _, st = env.vmap_reset(keys)
+
+    carry0 = (jnp.zeros((batch,)),)
+
+    def pol_pi(obs, t, c):
+        i = c[0] + 0.05 * obs[0]
+        return (-0.8 * obs[0] - 0.1 * i,), (i,)
+
+    obs_ref, acts_ref, _, last_ref, fc_ref = tile_policy_scan(
+        env, st, T, pol_pi, None, collect_trajectory=True, policy_carry=carry0
+    )
+
+    senv = ShardedEnv(mk(), mesh)
+    _, st_s = senv.vmap_reset(keys)
+    obs_f, acts_f, last_f, fc_f = senv.fused_closed_loop(
+        senv.shard(st_s), pol_pi, T, obs_stride=1, interpret=True,
+        policy_carry=carry0,
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_ref), rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fc_f[0]), np.asarray(fc_ref[0]), rtol=0, atol=1e-11)
+    np.testing.assert_array_equal(np.asarray(last_f.PRNGKey), np.asarray(last_ref.PRNGKey))
+    assert not last_f.physical_state.omega.sharding.is_fully_replicated
+
+
 def test_per_batch_physical_norms_route_to_scan(mesh):
     """Per-batch physical normalization spans are closure constants to the
     fused shadow env, so such configs must ride the sharded scan path (the

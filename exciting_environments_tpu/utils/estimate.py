@@ -62,7 +62,7 @@ import jax
 import jax.numpy as jnp
 
 
-__all__ = ["FilterResult", "run_ekf", "run_ukf"]
+__all__ = ["FilterResult", "StationaryKalman", "run_ekf", "run_ukf", "stationary_kalman_gain"]
 
 
 class FilterResult(NamedTuple):
@@ -498,3 +498,137 @@ def run_ukf(
     if observations.ndim == 3:
         return jax.vmap(single)(observations, actions)
     return single(observations, actions)
+
+
+# ----------------------------------------------------------------------
+# Stationary Kalman gain (linear envs)
+# ----------------------------------------------------------------------
+
+
+class StationaryKalman(NamedTuple):
+    """Steady-state Kalman observer of a LINEAR environment, in normalized
+    coordinates (see :func:`stationary_kalman_gain`).
+
+    ``A``/``B``/``c``: the env's one-step transition ``x' = A x + B u + c``
+    (``u`` the normalized action; ``c`` the affine offset, zero for the
+    drive models).  ``K``: the converged predicted-form gain — correction
+    ``x(t|t) = x(t|t-1) + K (z - x(t|t-1)[midx])``.  ``midx``: measured
+    fields' indices into the physical state order; ``zidx``: their
+    observation columns; ``names``: the field order; ``P``: the converged
+    pre-measurement covariance (the Riccati fixed point).  All arrays are host
+    NumPy float64 — compile-time constants a Pallas tile policy can close
+    over (the kernels reject captured device arrays).
+    """
+
+    A: object
+    B: object
+    c: object
+    K: object
+    P: object
+    midx: object
+    zidx: object
+    names: tuple
+
+
+def stationary_kalman_gain(
+    env,
+    *,
+    measured_fields=None,
+    process_std=None,
+    measurement_std=None,
+    q_floor: float = 1e-8,
+    max_iters: int = 200_000,
+    tol: float = 1e-13,
+) -> StationaryKalman:
+    """Steady-state Kalman filter of a LINEAR environment.
+
+    For a time-invariant linear plant the EKF's covariance recursion
+    converges to a fixed point, so the per-step Riccati update of
+    :func:`run_ekf` collapses to one constant gain matrix — an observer
+    cheap enough to run INSIDE the fused closed-loop kernel as part of a
+    stateful tile policy (see
+    :func:`~exciting_environments_tpu.utils.foc.make_sensorless_foc_tile`):
+    per step it is one ``K``-correction and one ``A x + B u`` predict,
+    a handful of scalar-weighted FMAs on the tiles.
+
+    The transition is extracted from the env's OWN step (``jax.jacobian``
+    of the :func:`_dynamics_fn` hook chain at the origin — no
+    hand-discretization; any explicit solver of a linear ODE is itself a
+    linear map, so the matrices are exact), and LINEARITY IS VERIFIED: the
+    step is evaluated at a random point and compared against the affine
+    model; a nonlinear env raises.
+
+    Args:
+        env: a linear :class:`CoreEnvironment` (MassSpringDamper,
+            InductionMachine, linear-magnetics drives...) with scalar
+            normalizations; angle-wrapped fields are rejected (wrapping is
+            nonlinear).
+        measured_fields / process_std / measurement_std: as :func:`run_ekf`
+            (defaults: every measurable column / the env's own noise
+            config).
+        q_floor: diagonal process-covariance floor (normalized units^2)
+            keeping the Riccati iteration well-posed when the env carries
+            no process noise; it doubles as the standard fictitious process
+            noise guarding against model mismatch.
+        max_iters / tol: fixed-point iteration budget — the recursion is
+            the EKF's own covariance update, iterated to ``max |dP| < tol``.
+
+    Returns:
+        :class:`StationaryKalman` (host NumPy constants).
+    """
+    import numpy as np
+
+    env_properties = env.env_properties
+    names, n, midx, zidx, Q, R, periods = _resolve_setup(
+        env, env_properties, measured_fields, process_std, measurement_std
+    )
+    if bool(jnp.any(periods > 0)):
+        raise ValueError(
+            "stationary_kalman_gain needs a linear env; angle-wrapped fields "
+            f"{tuple(getattr(env, '_angle_fields', ()))} make the step nonlinear "
+            "— use run_ekf / run_output_feedback_controller instead"
+        )
+    f = _make_dynamics(env, env_properties)
+    x0 = jnp.zeros((n,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    u0 = jnp.zeros((env.action_dim,), x0.dtype)
+    A = np.asarray(jax.jacobian(f, argnums=0)(x0, u0), dtype=np.float64)
+    B = np.asarray(jax.jacobian(f, argnums=1)(x0, u0), dtype=np.float64)
+    c = np.asarray(f(x0, u0), dtype=np.float64)
+    # verify linearity at a generic probe point (a nonlinear env would make
+    # the constant-gain observer silently wrong)
+    xp = jnp.asarray(np.linspace(0.13, 0.29, n), x0.dtype)
+    up = jnp.asarray(np.linspace(-0.41, 0.37, env.action_dim), x0.dtype)
+    probe = np.asarray(f(xp, up), dtype=np.float64)
+    xp64 = np.asarray(xp, np.float64)
+    affine = A @ xp64 + B @ np.asarray(up, np.float64) + c
+    err = float(np.abs(probe - affine).max())
+    # the observer predicts one step at a time, so the deviation that
+    # matters is relative to the per-step INCREMENT, not the state scale
+    scale = float(np.abs(affine - xp64).max()) + 1e-12
+    if err > 1e-3 * scale:
+        raise ValueError(
+            f"stationary_kalman_gain needs a linear env: the step deviates "
+            f"from its linearization by {err:.3e} ({err / scale:.1%} of the "
+            "step increment) at a probe point — use run_ekf (per-step "
+            "relinearization) instead"
+        )
+
+    midx_np = np.asarray(midx)
+    Qn = np.asarray(Q, dtype=np.float64) + q_floor * np.eye(n)
+    Rn = np.asarray(R, dtype=np.float64)
+    # predicted-form Riccati fixed point: P is the PRE-measurement covariance
+    P = Qn.copy()
+    for _ in range(max_iters):
+        S = P[np.ix_(midx_np, midx_np)] + Rn
+        K = np.linalg.solve(S.T, P[:, midx_np].T).T
+        P_upd = P - K @ P[midx_np, :]
+        P_next = A @ P_upd @ A.T + Qn
+        if float(np.abs(P_next - P).max()) < tol:
+            P = P_next
+            break
+        P = P_next
+    S = P[np.ix_(midx_np, midx_np)] + Rn
+    K = np.linalg.solve(S.T, P[:, midx_np].T).T
+    return StationaryKalman(
+        A=A, B=B, c=c, K=K, P=P, midx=midx_np, zidx=np.asarray(zidx), names=names
+    )

@@ -24,7 +24,13 @@ be read (tuning sweeps, feasibility scans, dataset generation),
 :func:`make_foc_tile` runs the identical law INSIDE the fused closed-loop
 kernel as a stateful tile policy — 1.53e10 law+plant pairs/s with the
 controller state on VMEM carry planes
-(`benchmarks/r03/foc_in_kernel_device.py`).
+(`benchmarks/r03/foc_in_kernel_device.py`).  And because the SCIM at frozen
+rotor speed is LTI, the EKF itself collapses to a CONSTANT gain
+(:func:`~exciting_environments_tpu.utils.estimate.stationary_kalman_gain`):
+:func:`make_sensorless_foc_tile` runs the full sensorless loop — noisy
+current measurement, Kalman assimilation, flux orientation, cascaded PI,
+vector limit — in-kernel at 9.6e8 steps/s, ~800x this module's host-EKF
+composition (`benchmarks/r03/sensorless_foc_in_kernel_device.py`).
 
 The law (amplitude-invariant stationary-frame model, see the env docstring):
 
@@ -80,7 +86,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_sensorless_foc", "make_foc_tile"]
+__all__ = ["make_sensorless_foc", "make_foc_tile", "make_sensorless_foc_tile"]
 
 
 def make_sensorless_foc(
@@ -336,18 +342,7 @@ def make_foc_tile(model, **law_kwargs):
     """
     controller, carry0 = make_sensorless_foc(model, **law_kwargs)
     law = controller._law
-    pn = model.env_properties.physical_normalizations
-    try:
-        spans = tuple(
-            (float(getattr(pn, n).min), float(getattr(pn, n).max))
-            for n in ("i_sd", "i_sq", "psi_rd", "psi_rq")
-        )
-    except TypeError as e:
-        raise ValueError(
-            "make_foc_tile needs scalar physical normalizations (the fused "
-            "closed-loop kernel folds them into the program); per-batch "
-            "bands only work through the belief-space controller"
-        ) from e
+    spans = _scalar_spans(model, "make_foc_tile")
 
     def policy_tile(obs, t, carry):
         i_sd_v, i_sq_v, psi_rd_v, psi_rq_v = (
@@ -356,4 +351,131 @@ def make_foc_tile(model, **law_kwargs):
         return law(i_sd_v, i_sq_v, psi_rd_v, psi_rq_v, carry, t)
 
     carry0_tile = carry0[:3] + (jnp.ones((model.batch_size,)),)
+    return policy_tile, carry0_tile
+
+
+def _scalar_spans(model, what):
+    pn = model.env_properties.physical_normalizations
+    try:
+        return tuple(
+            (float(getattr(pn, n).min), float(getattr(pn, n).max))
+            for n in ("i_sd", "i_sq", "psi_rd", "psi_rq")
+        )
+    except TypeError as e:
+        raise ValueError(
+            f"{what} needs scalar physical normalizations (the fused "
+            "closed-loop kernel folds them into the program); per-batch "
+            "bands only work through the belief-space controller"
+        ) from e
+
+
+def make_sensorless_foc_tile(
+    model,
+    *,
+    measured_fields=("i_sd", "i_sq"),
+    process_std=None,
+    measurement_std=None,
+    q_floor: float = 1e-8,
+    **law_kwargs,
+):
+    """TRUE sensorless FOC fully inside the fused closed-loop kernel:
+    stationary-Kalman flux observer + rotor-flux-oriented law, one stateful
+    tile policy.
+
+    Where :func:`make_foc_tile` reads the plant's full state (flux included
+    — a simulation-study shortcut), this tile reads ONLY the measured
+    stator-current observation columns — on a stochastic plant
+    (``observation_noise`` on ``i_sd``/``i_sq``) those are the NOISY sensor
+    values the closed-loop kernel streams — and reconstructs the rotor flux
+    with the steady-state Kalman observer of
+    :func:`~exciting_environments_tpu.utils.estimate.stationary_kalman_gain`
+    (the SCIM at frozen rotor speed is LTI, so the EKF's Riccati recursion
+    converges to ONE constant gain; the transition matrices come from
+    ``jax.jacobian`` of the env's own step, the gain from the env's own
+    noise configuration).  Per step the observer is a ``K``-correction on
+    the innovation plus an ``A x + B u`` predict — scalar-weighted FMAs on
+    VMEM carry planes — so the full sensorless loop
+    (measure → assimilate → orient → cascade PI → limit) runs at fused
+    closed-loop throughput, four orders of magnitude above the per-step
+    host EKF composition of
+    :func:`~exciting_environments_tpu.utils.ofc.run_output_feedback_controller`
+    (`BENCHMARKS.md`).
+
+    Args:
+        model: the :class:`InductionMachine` the loop will run on.  Its
+            ``process_noise``/``observation_noise`` configuration doubles as
+            the observer's Q/R (a filter matched to the simulated
+            disturbances); scalar normalizations and static params required.
+        measured_fields: observation columns the law may read (default: the
+            stator currents — the flux columns are never touched, which is
+            what "sensorless" means).
+        process_std / measurement_std / q_floor: observer-tuning overrides,
+            see :func:`stationary_kalman_gain`.
+        **law_kwargs: forwarded to :func:`make_sensorless_foc`
+            (``psi_ref``/``torque_ref`` required; gains optional).
+
+    Returns:
+        ``(policy_tile, carry0)`` for
+        ``env.fused_closed_loop(..., policy_carry=carry0)`` — the carry is
+        the 4 normalized observer planes followed by the 4 FOC controller
+        planes.  The same tuple drives ``FleetRunner.run_policy`` and
+        ``RolloutCollector.collect_policy_fused``; on the CPU backend the
+        identical tile rides ``tile_policy_scan`` draw for draw.
+    """
+    from exciting_environments_tpu.utils.estimate import stationary_kalman_gain
+
+    controller, carry0 = make_sensorless_foc(model, **law_kwargs)
+    law = controller._law
+    spans = _scalar_spans(model, "make_sensorless_foc_tile")
+
+    sk = stationary_kalman_gain(
+        model,
+        measured_fields=tuple(measured_fields),
+        process_std=process_std,
+        measurement_std=measurement_std,
+        q_floor=q_floor,
+    )
+    n = len(sk.names)
+    if n != 4 or sk.names != ("i_sd", "i_sq", "psi_rd", "psi_rq"):
+        raise ValueError(
+            "make_sensorless_foc_tile expects the InductionMachine state "
+            f"order ('i_sd', 'i_sq', 'psi_rd', 'psi_rq'); got {sk.names}"
+        )
+    # compile-time Python floats: the kernel closes over them (Pallas
+    # rejects captured device constants); drop exact zeros to skip dead FMAs
+    A = [[float(v) for v in row] for row in sk.A]
+    Bm = [[float(v) for v in row] for row in sk.B]
+    cv = [float(v) for v in sk.c]
+    K = [[float(v) for v in row] for row in sk.K]
+    midx = [int(v) for v in sk.midx]
+    zcols = [int(v) for v in sk.zidx]
+    n_meas = len(midx)
+
+    def policy_tile(obs, t, carry):
+        xh = carry[:n]  # predicted normalized belief x(t | t-1)
+        innov = tuple(obs[zcols[k]] - xh[midx[k]] for k in range(n_meas))
+        xc = tuple(
+            xh[i]
+            + sum((K[i][k] * innov[k] for k in range(n_meas) if K[i][k] != 0.0), 0.0)
+            for i in range(n)
+        )
+        phys = tuple(
+            (x + 1.0) / 2.0 * (mx - mn) + mn for x, (mn, mx) in zip(xc, spans)
+        )
+        (a_d, a_q), foc_c = law(phys[0], phys[1], phys[2], phys[3], tuple(carry[n:]), t)
+        # predict with the action the kernel is about to apply (normalized,
+        # exactly what the observer's B was linearized against)
+        acts = (a_d, a_q)
+        xn = tuple(
+            cv[i]
+            + sum((A[i][j] * xc[j] for j in range(n) if A[i][j] != 0.0), 0.0)
+            + sum((Bm[i][k] * acts[k] for k in range(len(acts)) if Bm[i][k] != 0.0), 0.0)
+            for i in range(n)
+        )
+        return acts, xn + tuple(foc_c)
+
+    B_ = model.batch_size
+    carry0_tile = tuple(jnp.zeros((B_,)) for _ in range(n)) + carry0[:3] + (
+        jnp.ones((B_,)),
+    )
     return policy_tile, carry0_tile

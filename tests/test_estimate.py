@@ -264,3 +264,98 @@ def test_validation_errors():
         estimate.run_ekf(env, obs, act, x0=np.zeros(5))
     with pytest.raises(ValueError, match="at least one"):
         estimate.run_ekf(env, obs, act, measured_fields=())
+
+
+def test_stationary_kalman_gain_linear_exactness_and_fixed_point():
+    """The transition matrices are exact for a linear env (the env's own
+    step IS the affine map), and the returned (K, P) sit on the Riccati
+    fixed point."""
+    env = excenvs.InductionMachine(
+        batch_size=4,
+        process_noise={"i_sd": 0.1, "i_sq": 0.1},
+        observation_noise={"i_sd": 0.3, "i_sq": 0.3},
+    )
+    sk = estimate.stationary_kalman_gain(env, measured_fields=("i_sd", "i_sq"))
+    assert sk.names == ("i_sd", "i_sq", "psi_rd", "psi_rq")
+
+    # exactness: the env's own step at a random point equals A x + B u + c
+    f = estimate._make_dynamics(env, env.env_properties)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.5, 0.5, 4)
+    u = rng.uniform(-0.8, 0.8, 2)
+    np.testing.assert_allclose(
+        np.asarray(f(jnp.asarray(x), jnp.asarray(u))),
+        sk.A @ x + sk.B @ u + sk.c,
+        rtol=0, atol=1e-12,
+    )
+
+    # fixed point: one more predicted-form Riccati iteration leaves P as is
+    names, n, midx, zidx, Q, R, periods = estimate._resolve_setup(
+        env, env.env_properties, ("i_sd", "i_sq"), None, None
+    )
+    Qn = np.asarray(Q) + 1e-8 * np.eye(n)
+    m = np.asarray(midx)
+    P = sk.P
+    S = P[np.ix_(m, m)] + np.asarray(R)
+    K = np.linalg.solve(S.T, P[:, m].T).T
+    P_next = sk.A @ (P - K @ P[m, :]) @ sk.A.T + Qn
+    np.testing.assert_allclose(P_next, P, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(K, sk.K, rtol=0, atol=1e-11)
+
+    # the gain couples measured currents into the unmeasured flux rows
+    assert np.abs(sk.K[2:, :]).max() > 0
+
+
+def test_stationary_kalman_gain_stationary_observer_tracks_flux():
+    """A constant-gain observer fed only noisy currents reconstructs the
+    rotor flux of a driven machine."""
+    B_, T = 64, 3000
+    plant = excenvs.InductionMachine(
+        batch_size=B_, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
+    )
+    sk = estimate.stationary_kalman_gain(plant, measured_fields=("i_sd", "i_sq"))
+    _, st = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    # persistent excitation: rotating voltage near the slip frequency band
+    t = jnp.arange(T) * plant.tau
+    w = 2 * np.pi * 48.0
+    acts = 0.55 * jnp.stack([jnp.cos(w * t), jnp.sin(w * t)], axis=-1)
+    acts = jnp.broadcast_to(acts[None], (B_, T, 2))
+    obs, _ = plant.vmap_rollout(st, acts)
+
+    A, Bm, K, m = jnp.asarray(sk.A), jnp.asarray(sk.B), jnp.asarray(sk.K), sk.midx
+
+    def observe(obs_t, act_t):
+        def step(xh, zu):
+            z, u = zu
+            xc = xh + K @ (z - xh[jnp.asarray(m)])
+            return A @ xc + Bm @ u, xc
+        _, xcs = jax.lax.scan(step, jnp.zeros((4,)), (obs_t[:, :2], act_t))
+        return xcs
+
+    xcs = jax.vmap(observe)(obs, acts)  # normalized corrected beliefs
+    # flux spans are [-1.5, 1.5]: denormalize columns 2,3
+    psi_hat_d = xcs[:, -1, 2] * 1.5
+    psi_hat_q = xcs[:, -1, 3] * 1.5
+    # truth from a noise-free twin (same keys/actions; obs noise leaves the
+    # state exact, so the final state matches the plant's)
+    err_d = np.asarray(psi_hat_d) - np.asarray(_final_flux(plant, st, acts, "psi_rd"))
+    err_q = np.asarray(psi_hat_q) - np.asarray(_final_flux(plant, st, acts, "psi_rq"))
+    scale = max(1e-9, float(np.abs(np.asarray(_final_flux(plant, st, acts, "psi_rd"))).max()))
+    assert np.abs(err_d).max() < 0.05 * scale + 0.01
+    assert np.abs(err_q).max() < 0.05 * scale + 0.01
+
+
+def _final_flux(plant, st, acts, name):
+    _, fin = plant.vmap_rollout(st, acts)
+    return getattr(fin.physical_state, name)
+
+
+def test_stationary_kalman_gain_rejects_nonlinear_envs():
+    # angle-wrapped fields are rejected up front
+    with pytest.raises(ValueError, match="linear"):
+        estimate.stationary_kalman_gain(
+            excenvs.Pendulum(batch_size=4, observation_noise={"theta": 0.05})
+        )
+    # a smooth nonlinearity is caught by the linearization probe
+    with pytest.raises(ValueError, match="linear"):
+        estimate.stationary_kalman_gain(excenvs.VanDerPol(batch_size=4))

@@ -229,6 +229,86 @@ def test_foc_tile_runs_in_kernel():
     )
 
 
+@pytest.mark.slow
+def test_sensorless_foc_tile_in_kernel():
+    """TRUE sensorless FOC fully inside the closed-loop kernel: the
+    stationary-Kalman observer tile reconstructs the rotor flux from the
+    NOISY current observation columns the stochastic kernel streams, and
+    the flux-oriented law drives the fleet onto its setpoints — the policy
+    never touches the flux columns."""
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_k = 1024
+    plant = excenvs.InductionMachine(
+        batch_size=B_k, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
+    )
+    tile, carry0 = foc.make_sensorless_foc_tile(
+        plant, psi_ref=PSI_REF, torque_ref=TORQUE_REF
+    )
+
+    # structural sensorlessness: NaN in the flux observation columns never
+    # reaches the action (the tile indexes only the measured current cols)
+    cols = tuple(
+        jnp.full((B_k,), jnp.nan) if i in (2, 3) else jnp.zeros((B_k,))
+        for i in range(4)
+    )
+    acts, _ = tile(cols, 0, carry0)
+    assert all(bool(jnp.isfinite(a).all()) for a in acts)
+
+    _, s0 = plant.vmap_reset(jax.random.split(jax.random.PRNGKey(3), B_k))
+    with structures.copy_and_mutate(s0, validate=False) as s0:
+        s0.physical_state.i_sd = jnp.zeros(B_k)
+        s0.physical_state.i_sq = jnp.zeros(B_k)
+        s0.physical_state.psi_rd = jnp.zeros(B_k)
+        s0.physical_state.psi_rq = jnp.zeros(B_k)
+
+    # kernel == scan on the stochastic plant (draw-identical slabs)
+    T = 16
+    obs_f, acts_f, last_f, fc = env_fused_closed_loop(
+        plant, s0, tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+    obs_s, acts_s, _, last_s, fc_s = tile_policy_scan(
+        plant, s0, T, tile, None, collect_trajectory=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=1e-10, atol=1e-11)
+    for j in range(len(fc)):
+        np.testing.assert_allclose(
+            np.asarray(fc[j]), np.asarray(fc_s[j]), rtol=1e-10, atol=1e-11
+        )
+
+    # long-horizon control quality under sensor noise (fast jitted scan,
+    # small fleet): flux and torque settle on the setpoints the drive never
+    # directly measures
+    B_s = 64
+    plant_s = excenvs.InductionMachine(
+        batch_size=B_s, observation_noise={"i_sd": 0.3, "i_sq": 0.3}
+    )
+    tile_s, carry_s = foc.make_sensorless_foc_tile(
+        plant_s, psi_ref=PSI_REF, torque_ref=TORQUE_REF
+    )
+    _, ss = plant_s.vmap_reset(jax.random.split(jax.random.PRNGKey(4), B_s))
+    with structures.copy_and_mutate(ss, validate=False) as ss:
+        ss.physical_state.i_sd = jnp.zeros(B_s)
+        ss.physical_state.i_sq = jnp.zeros(B_s)
+        ss.physical_state.psi_rd = jnp.zeros(B_s)
+        ss.physical_state.psi_rq = jnp.zeros(B_s)
+    _, last, fcl = jax.jit(
+        lambda st: tile_policy_scan(
+            plant_s, st, 3 * N_STEPS, tile_s, None, collect_trajectory=False,
+            policy_carry=carry_s,
+        )
+    )(ss)
+    phys = last.physical_state
+    psi = np.asarray(jnp.hypot(phys.psi_rd, phys.psi_rq))
+    np.testing.assert_allclose(psi, PSI_REF, rtol=0.03)
+    np.testing.assert_allclose(np.asarray(plant_s.torque(last)), TORQUE_REF, rtol=0.05)
+    # the observer's corrected flux belief matches the true flux closely
+    psi_hat = np.asarray(jnp.hypot(fcl[2] * 1.5, fcl[3] * 1.5))
+    np.testing.assert_allclose(psi_hat, psi, rtol=0.05)
+
+
 def test_foc_rejects_asymmetric_action_band():
     """An asymmetric action band breaks the vector-limit direction guarantee
     (denormalization is no longer linear through zero) — reject loudly

@@ -14,6 +14,7 @@ from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 from exciting_environments_tpu.core.env import CoreEnvironment
 from exciting_environments_tpu.core.registration import EnvironmentRegistry
 from exciting_environments_tpu.models import (
+    EESM,
     PMSM,
     Acrobot,
     CartPole,

@@ -53,7 +53,7 @@ def _builtin(name: str) -> Callable:
     return resolver
 
 
-for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM", "VanDerPol", "InductionMachine"):
+for _name in ("Pendulum", "CartPole", "Acrobot", "MassSpringDamper", "FluidTank", "PMSM", "VanDerPol", "InductionMachine", "EESM"):
     register(f"{_name}-v0", _builtin(_name))
 
 
@@ -68,6 +68,7 @@ class EnvironmentRegistry(Enum):
     ACROBOT = "Acrobot-v0"
     VAN_DER_POL = "VanDerPol-v0"  # beyond-reference stiffness benchmark
     INDUCTION_MACHINE = "InductionMachine-v0"  # beyond-reference drive workhorse
+    EESM = "EESM-v0"  # beyond-reference magnet-free traction drive
 
     def make(self, **env_kwargs):
         """Instantiate the environment class behind this registry id."""

@@ -8,3 +8,4 @@ from exciting_environments_tpu.models.pendulum import Pendulum
 from exciting_environments_tpu.models.pmsm import PMSM, MotorVariant
 from exciting_environments_tpu.models.van_der_pol import VanDerPol
 from exciting_environments_tpu.models.induction_machine import InductionMachine
+from exciting_environments_tpu.models.eesm import EESM

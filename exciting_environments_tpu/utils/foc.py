@@ -479,3 +479,131 @@ def make_sensorless_foc_tile(
         jnp.ones((B_,)),
     )
     return policy_tile, carry0_tile
+
+
+def make_eesm_current_tile(
+    model,
+    *,
+    i_d_ref: float,
+    i_q_ref: float,
+    i_f_ref: float,
+    kp: float = None,
+    ki: float = None,
+    kp_f: float = None,
+    ki_f: float = None,
+):
+    """dq + field PI current controller for the
+    :class:`~exciting_environments_tpu.models.eesm.EESM`, packaged as a
+    STATEFUL TILE POLICY for the fused closed-loop kernel.
+
+    The EESM integrates in the rotor frame, so unlike the induction
+    machine's law there is no orientation step — the dq frame IS the
+    control frame (rotor-position orientation is implicit in the model).
+    What the law must handle instead is the machine's defining control
+    difficulty: the d-axis and the field winding are transformer-coupled
+    through ``l_m``, so the decoupling feedforward carries not just the
+    speed cross-terms (``-omega_el l_q i_q`` / ``+omega_el (l_d i_d +
+    l_m i_f)``) but a field that fights every d-current transient.  Three
+    PI integrators ride VMEM carry planes; the stator pair is limited as a
+    voltage VECTOR (per-axis clipping would distort the command direction)
+    and the field voltage per-axis, both with back-calculation anti-windup
+    tracking the applied voltage.
+
+    Default gains place the current loops at ~2 krad/s (stator) and
+    ~400 rad/s (field) for the machine's own transient inductances
+    (``sigma_l_d = D/l_f``, ``sigma_l_f = D/l_d``): ``kp = 2000 sigma_l_d``
+    etc., integral time 5 ms / 20 ms.
+
+    Args:
+        model: the :class:`EESM` (scalar normalizations and static params —
+            the kernel folds them into the program as compile-time
+            constants; per-batch params need the belief-space path).
+        i_d_ref / i_q_ref / i_f_ref: current setpoints [A] (floats or
+            ``(B,)`` arrays for per-instance setpoints).
+        kp / ki: stator current-loop PI gains [V/A], [V/(A s)].
+        kp_f / ki_f: field current-loop PI gains.
+
+    Returns:
+        ``(policy_tile, carry0)`` for
+        ``env.fused_closed_loop(..., policy_carry=carry0)`` /
+        ``FleetRunner.run_policy`` / ``RolloutCollector.collect_policy_fused``
+        — ``policy_tile(obs, t, carry) -> ((a_d, a_q, a_f), carry)`` with
+        ``carry = (int_d, int_q, int_f)`` integrator planes [V].
+    """
+
+    def _scalar(name):
+        v = np.asarray(getattr(model.env_properties.static_params, name))
+        if v.ndim != 0:
+            raise ValueError(
+                f"make_eesm_current_tile needs scalar static params (the "
+                f"kernel folds them into the program); {name} has shape "
+                f"{v.shape} — run per-batch machines through vmap_step with "
+                f"a host-side law instead"
+            )
+        return float(v)
+
+    r_s, r_f = _scalar("r_s"), _scalar("r_f")
+    l_d, l_q, l_f, l_m = _scalar("l_d"), _scalar("l_q"), _scalar("l_f"), _scalar("l_m")
+    omega_el = _scalar("omega_el")
+    tau = float(model.tau)
+    det = l_d * l_f - l_m * l_m
+    sigma_l_d, sigma_l_f = det / l_f, det / l_d
+    kp = 2000.0 * sigma_l_d if kp is None else kp
+    ki = kp / 5e-3 if ki is None else ki
+    kp_f = 400.0 * sigma_l_f if kp_f is None else kp_f
+    ki_f = kp_f / 20e-3 if ki_f is None else ki_f
+
+    act_norms = model.env_properties.action_normalizations
+    for ax in ("u_d", "u_q", "u_f"):
+        norm = getattr(act_norms, ax)
+        if not np.allclose(np.asarray(norm.min), -np.asarray(norm.max)):
+            raise ValueError(
+                f"make_eesm_current_tile needs a symmetric {ax} action band "
+                f"(min == -max); got min={norm.min}, max={norm.max}"
+            )
+    u_max_d = float(np.asarray(act_norms.u_d.max))
+    u_max_q = float(np.asarray(act_norms.u_q.max))
+    u_max_f = float(np.asarray(act_norms.u_f.max))
+    u_lim = min(u_max_d, u_max_q)
+
+    pn = model.env_properties.physical_normalizations
+    try:
+        spans = tuple(
+            (float(getattr(pn, n).min), float(getattr(pn, n).max))
+            for n in ("i_d", "i_q", "i_f")
+        )
+    except TypeError as e:
+        raise ValueError(
+            "make_eesm_current_tile needs scalar physical normalizations "
+            "(the fused closed-loop kernel folds them into the program)"
+        ) from e
+
+    def policy_tile(obs, t, carry):
+        i_d, i_q, i_f = (
+            (o + 1.0) / 2.0 * (mx - mn) + mn for o, (mn, mx) in zip(obs[:3], spans)
+        )
+        int_d, int_q, int_f = carry
+        e_d = i_d_ref - i_d
+        e_q = i_q_ref - i_q
+        e_f = i_f_ref - i_f
+        # decoupling feedforward: resistive drop at the setpoint, speed
+        # cross-terms on the MEASURED currents (so the PI closes only the
+        # small-signal loop)
+        u_d_unsat = kp * e_d + int_d + r_s * i_d_ref - omega_el * l_q * i_q
+        u_q_unsat = kp * e_q + int_q + r_s * i_q_ref + omega_el * (l_d * i_d + l_m * i_f)
+        u_f_unsat = kp_f * e_f + int_f + r_f * i_f_ref
+        # stator voltage-VECTOR limit, field per-axis clip
+        u_mag = jnp.sqrt(u_d_unsat**2 + u_q_unsat**2)
+        scale = jnp.minimum(1.0, u_lim / jnp.maximum(u_mag, 1e-9))
+        u_d = u_d_unsat * scale
+        u_q = u_q_unsat * scale
+        u_f = jnp.clip(u_f_unsat, -u_max_f, u_max_f)
+        # back-calculation anti-windup (tracking time = the PI's own T_i)
+        int_d = int_d + ki * tau * e_d + (tau * ki / kp) * (u_d - u_d_unsat)
+        int_q = int_q + ki * tau * e_q + (tau * ki / kp) * (u_q - u_q_unsat)
+        int_f = int_f + ki_f * tau * e_f + (tau * ki_f / kp_f) * (u_f - u_f_unsat)
+        return (u_d / u_max_d, u_q / u_max_q, u_f / u_max_f), (int_d, int_q, int_f)
+
+    B = model.batch_size
+    carry0 = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)))
+    return policy_tile, carry0

@@ -206,3 +206,60 @@ def test_per_batch_saliency_sweep():
     acts = jnp.zeros((B, 50, 3))
     obs, _ = env.vmap_rollout(st, acts)
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_eesm_current_tile_kernel_parity():
+    """make_eesm_current_tile runs inside the fused closed-loop kernel: the
+    kernel run equals the tile-policy scan at machine precision (states,
+    actions, all three integrator planes)."""
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import env_fused_closed_loop
+    from exciting_environments_tpu.utils import foc
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B = 1024  # kernel tiling requires a multiple of 1024
+    env = excenvs.EESM(batch_size=B)
+    tile, carry0 = foc.make_eesm_current_tile(
+        env, i_d_ref=2.0, i_q_ref=5.0, i_f_ref=4.0
+    )
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), B))
+    T = 16
+    obs_f, acts_f, last_f, fc = env_fused_closed_loop(
+        env, s0, tile, T, obs_stride=1, interpret=True, policy_carry=carry0
+    )
+    obs_s, acts_s, _, last_s, fc_s = tile_policy_scan(
+        env, s0, T, tile, None, collect_trajectory=True, policy_carry=carry0
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(acts_f), np.asarray(acts_s), rtol=1e-10, atol=1e-12)
+    for j in range(3):
+        np.testing.assert_allclose(
+            np.asarray(fc[j]), np.asarray(fc_s[j]), rtol=1e-10, atol=1e-12
+        )
+
+
+def test_eesm_current_tile_settles_on_setpoints():
+    """The PI law drives all three currents onto their setpoints through
+    the d/field transformer coupling, with every commanded voltage inside
+    the normalized band."""
+    from exciting_environments_tpu.utils import foc
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B = 8
+    refs = dict(i_d_ref=2.0, i_q_ref=5.0, i_f_ref=4.0)
+    env = excenvs.EESM(batch_size=B)
+    tile, carry0 = foc.make_eesm_current_tile(env, **refs)
+    _, s0 = env.vmap_reset(jax.random.split(jax.random.PRNGKey(4), B))
+    obs_t, acts_t, _, last, _ = jax.jit(
+        lambda st: tile_policy_scan(
+            env, st, 6000, tile, None, collect_trajectory=True, policy_carry=carry0
+        )
+    )(s0)
+    phys = last.physical_state
+    np.testing.assert_allclose(np.asarray(phys.i_d), refs["i_d_ref"], rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(phys.i_q), refs["i_q_ref"], rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(phys.i_f), refs["i_f_ref"], rtol=2e-2)
+    acts = np.asarray(acts_t)
+    assert np.isfinite(acts).all() and (np.abs(acts) <= 1.0 + 1e-9).all()
+    # nonzero torque at the setpoint (excitation + reluctance)
+    assert float(env.torque(last).min()) > 1.0

@@ -518,8 +518,10 @@ def make_eesm_current_tile(
         model: the :class:`EESM` (scalar normalizations and static params —
             the kernel folds them into the program as compile-time
             constants; per-batch params need the belief-space path).
-        i_d_ref / i_q_ref / i_f_ref: current setpoints [A] (floats or
-            ``(B,)`` arrays for per-instance setpoints).
+        i_d_ref / i_q_ref / i_f_ref: current setpoints [A] — Python
+            scalars (the kernel closes over them as compile-time
+            constants; per-instance setpoints go through the scan path
+            with a hand-written law).
         kp / ki: stator current-loop PI gains [V/A], [V/(A s)].
         kp_f / ki_f: field current-loop PI gains.
 
@@ -541,6 +543,14 @@ def make_eesm_current_tile(
                 f"a host-side law instead"
             )
         return float(v)
+
+    for _name, _v in (("i_d_ref", i_d_ref), ("i_q_ref", i_q_ref), ("i_f_ref", i_f_ref)):
+        if np.ndim(_v) != 0:
+            raise ValueError(
+                f"make_eesm_current_tile needs scalar setpoints (the kernel "
+                f"closes over them); {_name} has shape {np.shape(_v)}"
+            )
+    i_d_ref, i_q_ref, i_f_ref = float(i_d_ref), float(i_q_ref), float(i_f_ref)
 
     r_s, r_f = _scalar("r_s"), _scalar("r_f")
     l_d, l_q, l_f, l_m = _scalar("l_d"), _scalar("l_q"), _scalar("l_f"), _scalar("l_m")

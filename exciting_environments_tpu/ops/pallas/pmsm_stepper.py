@@ -1186,7 +1186,10 @@ def pmsm_fused_sim_ahead(
     strict: bool = False,
 ):
     """Fused trajectory solve matching :meth:`PMSM.vmap_sim_ahead` for
-    ``obs_stepsize == action_stepsize`` (one Euler step per action interval).
+    ``obs_stepsize == action_stepsize`` (one solver step per action interval
+    — any explicit RK method: multistage/FSAL solvers evaluate their
+    ``c == 1.0`` stages under the next applied voltage via the shifted
+    stream, exercised in ``tests/test_pallas_pmsm.py``).
 
     Reproduces the reference's overridden ``sim_ahead`` semantics
     (``pmsm_env.py:746-801``): the hexagon constraint runs at angles

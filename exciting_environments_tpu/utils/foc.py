@@ -1,4 +1,7 @@
-"""Sensorless rotor-flux-oriented control (FOC) for the induction machine.
+"""Sensorless rotor-flux-oriented control (FOC) for the induction machine —
+plus the EESM's dq+field current tile (:func:`make_eesm_current_tile`), which
+lives here because it shares the module's cascaded-PI / anti-windup / vector-
+limit toolkit even though its rotor-frame model needs no orientation step.
 
 The canonical industrial drive-control workflow, composed from this
 framework's own pieces: the EKF of
@@ -86,7 +89,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_sensorless_foc", "make_foc_tile", "make_sensorless_foc_tile"]
+__all__ = [
+    "make_sensorless_foc",
+    "make_foc_tile",
+    "make_sensorless_foc_tile",
+    "make_eesm_current_tile",
+]
 
 
 def make_sensorless_foc(
@@ -501,9 +509,11 @@ def make_eesm_current_tile(
     control frame (rotor-position orientation is implicit in the model).
     What the law must handle instead is the machine's defining control
     difficulty: the d-axis and the field winding are transformer-coupled
-    through ``l_m``, so the decoupling feedforward carries not just the
-    speed cross-terms (``-omega_el l_q i_q`` / ``+omega_el (l_d i_d +
-    l_m i_f)``) but a field that fights every d-current transient.  Three
+    through ``l_m``, so the q-axis back-EMF feedforward carries the field
+    contribution ``omega_el l_m i_f`` on top of the speed cross-terms
+    (``-omega_el l_q i_q`` / ``+omega_el l_d i_d``); the d/field
+    transformer transient itself (``l_m di_f/dt``) is left for the PI
+    loops to close.  Three
     PI integrators ride VMEM carry planes; the stator pair is limited as a
     voltage VECTOR (per-axis clipping would distort the command direction)
     and the field voltage per-axis, both with back-calculation anti-windup

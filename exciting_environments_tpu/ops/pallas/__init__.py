@@ -34,7 +34,13 @@ def rollout_path(env, obs_stepsize: float = None, action_stepsize: float = None)
 
     if isinstance(env, PMSM):
         if supports_pmsm_fused(env) and (
-            not sim_ahead or obs_stepsize == action_stepsize
+            not sim_ahead
+            or (
+                obs_stepsize == action_stepsize
+                # the trajectory solve is deterministic-only (vmap_sim_ahead
+                # raises on stochastic envs; step-mode noise IS in scope)
+                and not getattr(env, "_has_noise", False)
+            )
         ):
             return "pmsm_fused"
         return "scan"

@@ -237,6 +237,21 @@ def pmsm_fast_fused_rollout(
     params = props.static_params
     if not supports_pmsm_fused(env):
         raise ValueError("pmsm_fast_fused_rollout requires a fused-kernel-scope PMSM")
+    if not all(
+        np.isscalar(leaf)
+        for leaf in jax.tree_util.tree_leaves(params)
+        + jax.tree_util.tree_leaves(props.action_normalizations)
+    ):
+        raise ValueError(
+            "pmsm_fast_fused_rollout folds all parameters into the program — "
+            "per-batch heterogeneous fleets go through the exact fused kernel "
+            "(pmsm_fused_rollout streams them as tile operands)"
+        )
+    if getattr(env, "_has_noise", False):
+        raise ValueError(
+            "pmsm_fast_fused_rollout integrates deterministically — stochastic "
+            "drives go through the exact fused kernel or the scan"
+        )
     if type(env._solver) is not Euler:
         raise ValueError("pmsm_fast_fused_rollout requires the Euler solver")
     saturated = bool(props.saturated)

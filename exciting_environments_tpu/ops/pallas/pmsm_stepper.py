@@ -285,28 +285,42 @@ def _blend_channels(corners, wx, wy):
     return out
 
 
-def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride, gather, has_next):
-    """Kernel over refs ``(u_app[, u_next], omega, i_d0, i_q0[, V], i_d, i_q,
-    torque[, traj_i_d, traj_i_q, traj_torque])``; grid ``(batch_tiles,
-    time_chunks)`` with time innermost, state carried in the revisited output
-    blocks.  ``solver`` is any explicit RK method: each stage re-evaluates the
-    electrical vector field (incl. its LUT gathers) via the shared
-    :func:`stepper._rk_step`, whose coefficient handling keeps the one-stage
-    Euler path exactly ``y + tau * f``.  With ``has_next`` (sim-ahead mode,
-    update-relevant stage at ``c == 1.0``) the stage reads the next applied
-    voltage from the one-slot-shifted ``u_next`` stream."""
+#: per-batch-capable kernel parameters, in streaming order: the stator
+#: resistance, the torque prefactor ``1.5 p``, and (linear magnetics only)
+#: the inductances / PM flux / their difference.  ``deadtime`` stays a
+#: static scalar — it selects the program structure, not an operand.
+_PB_FIELDS = ("r_s", "p15", "l_d", "l_q", "psi_p", "dl")
+
+
+def _make_kernel(
+    chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
+    gather, has_next, pb_names=(), noise_idx=(),
+):
+    """Kernel over refs ``(u_app[, u_next][, noise], omega, i_d0, i_q0,
+    *pb_planes, [V | lin_smem], i_d, i_q, torque[, traj_i_d, traj_i_q,
+    traj_torque])``; grid ``(batch_tiles, time_chunks)`` with time innermost,
+    state carried in the revisited output blocks.  ``solver`` is any explicit
+    RK method: each stage re-evaluates the electrical vector field (incl. its
+    LUT gathers) via the shared :func:`stepper._rk_step`, whose coefficient
+    handling keeps the one-stage Euler path exactly ``y + tau * f``.  With
+    ``has_next`` (sim-ahead mode, update-relevant stage at ``c == 1.0``) the
+    stage reads the next applied voltage from the one-slot-shifted ``u_next``
+    stream.
+
+    ``pb_names`` (subset of :data:`_PB_FIELDS`, in that order) marks
+    per-batch heterogeneous parameters streamed as ``(rows, 128)`` tile
+    operands — the same expressions run on tiles instead of baked scalars,
+    so a domain-randomized drive fleet stays in kernel scope.  With
+    ``noise_idx`` set (stochastic step mode), a pre-scaled Euler–Maruyama
+    current-increment slab streams alongside the voltages and is added to
+    the indexed state leaves after each deterministic step — the exact
+    operation point of ``PMSM.step``'s ``_apply_process_noise_eps`` (which
+    recomputes torque from the perturbed currents, as the save/final torque
+    evaluations here do from the carried post-noise state)."""
 
     def lut_channels(V, i_d, i_q):
         corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
         return _blend_channels(corners, wx, wy)
-
-    def torque_of(V, i_d, i_q):
-        if saturated:
-            vals = lut_channels(V, i_d, i_q)
-            psi_d, psi_q = vals[4], vals[5]
-            return p15 * (psi_d * i_q - psi_q * i_d)
-        l_d, l_q, psi_p, dl = lin
-        return p15 * (psi_p + dl * i_d) * i_q
 
     def kernel(u_ref, *refs):
         if has_next:
@@ -314,8 +328,15 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
             refs = refs[1:]
         else:
             u_next_ref = None
+        if noise_idx:
+            noise_ref = refs[0]
+            refs = refs[1:]
         omega_ref, id_in, iq_in = refs[:3]
         refs = refs[3:]
+        pb = {}
+        for name in pb_names:
+            pb[name] = refs[0][:]
+            refs = refs[1:]
         if saturated:
             V = refs[0][:]
             refs = refs[1:]
@@ -324,11 +345,16 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
             # l_d / l_q enter as runtime SMEM scalars: baked-in constants let
             # Mosaic strength-reduce the division into a multiply-by-
             # reciprocal (observed ~1e-7-relative drift on TPU), while the
-            # XLA scan path performs a true division
+            # XLA scan path performs a true division.  Per-batch inductances
+            # override them with the streamed tile planes.
             V = None
-            l_d = refs[0][0, 0]
-            l_q = refs[0][0, 1]
+            l_d = pb.get("l_d", refs[0][0, 0])
+            l_q = pb.get("l_q", refs[0][0, 1])
             refs = refs[1:]
+        r_s_v = pb.get("r_s", r_s)
+        p15_v = pb.get("p15", p15)
+        psi_p_v = pb.get("psi_p", lin[2])
+        dl_v = pb.get("dl", lin[3])
         id_out, iq_out, tq_out = refs[:3]
         traj_refs = refs[3:]
         k = pl.program_id(1)
@@ -340,6 +366,13 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
 
         omega = omega_ref[:]
 
+        def torque_of(V, i_d, i_q):
+            if saturated:
+                vals = lut_channels(V, i_d, i_q)
+                psi_d, psi_q = vals[4], vals[5]
+                return p15_v * (psi_d * i_q - psi_q * i_d)
+            return p15_v * (psi_p_v + dl_v * i_d) * i_q
+
         def saturated_diff(vals, i_d, i_q, u_d, u_q):
             # the exact expressions of PMSM.nonlinear_ode (closed-form 2x2
             # inverse, pmsm_env.py:244-267 in this repo)
@@ -347,8 +380,8 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
             det = l_dd * l_qq - l_dq * l_qd
             inv_dd, inv_dq = l_qq / det, -l_dq / det
             inv_qd, inv_qq = -l_qd / det, l_dd / det
-            rhs_d = u_d - r_s * i_d + omega * psi_q
-            rhs_q = u_q - r_s * i_q - omega * psi_d
+            rhs_d = u_d - r_s_v * i_d + omega * psi_q
+            rhs_q = u_q - r_s_v * i_q - omega * psi_d
             return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
 
         def ode(t, y, action):
@@ -358,10 +391,17 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
             u_d, u_q = action[0], action[1]
             if saturated:
                 return saturated_diff(lut_channels(V, i_d, i_q), i_d, i_q, u_d, u_q)
-            psi_p = lin[2]
-            i_d_diff = (u_d + omega * l_q * i_q - r_s * i_d) / l_d
-            i_q_diff = (u_q - omega * (l_d * i_d + psi_p) - r_s * i_q) / l_q
+            i_d_diff = (u_d + omega * l_q * i_q - r_s_v * i_d) / l_d
+            i_q_diff = (u_q - omega * (l_d * i_d + psi_p_v) - r_s_v * i_q) / l_q
             return (i_d_diff, i_q_diff)
+
+        def add_noise(i, y1):
+            if not noise_idx:
+                return y1
+            y1 = list(y1)
+            for j, idx in enumerate(noise_idx):
+                y1[idx] = y1[idx] + noise_ref[i, j]
+            return tuple(y1)
 
         # gather reuse (trajectory modes, one-stage solvers, LUT magnetics):
         # the save written after step i-1 holds the post-step state — exactly
@@ -370,6 +410,8 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
         # per-step gather count (the dominant kernel cost); the chunk's final
         # save and the carried torque output share one post-loop gather.
         # Same inputs into the same expressions — bit-exactness unaffected.
+        # (With noise, the carried state is post-noise — the state whose
+        # torque the scan's save observes, so the scheme still matches.)
         reuse = (
             saturated
             and traj_stride is not None
@@ -388,12 +430,12 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
                     slot = i // traj_stride - 1
                     traj_refs[0][slot] = i_d
                     traj_refs[1][slot] = i_q
-                    traj_refs[2][slot] = p15 * (vals[4] * i_q - vals[5] * i_d)
+                    traj_refs[2][slot] = p15_v * (vals[4] * i_q - vals[5] * i_d)
 
                 u = u_ref[i]
                 i_d_diff, i_q_diff = saturated_diff(vals, i_d, i_q, u[0], u[1])
                 # exact Euler increment — the b == (1.0,) path of _rk_step
-                return (i_d + tau * i_d_diff, i_q + tau * i_q_diff)
+                return add_noise(i, (i_d + tau * i_d_diff, i_q + tau * i_q_diff))
 
         else:
 
@@ -404,8 +446,9 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
                 if has_next:
                     un = u_next_ref[i]
                     action_next = (un[0], un[1])
-                i_d, i_q = _rk_step(
-                    ode, solver, y, action, tau, 0.0, action_next=action_next
+                i_d, i_q = add_noise(
+                    i,
+                    _rk_step(ode, solver, y, action, tau, 0.0, action_next=action_next),
                 )
                 if traj_stride is not None:
 
@@ -426,7 +469,7 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
         if reuse:
             # one shared gather: the chunk's last save and the carried torque
             vals = lut_channels(V, i_d, i_q)
-            torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+            torque = p15_v * (vals[4] * i_q - vals[5] * i_d)
             traj_refs[0][chunk // traj_stride - 1] = i_d
             traj_refs[1][chunk // traj_stride - 1] = i_q
             traj_refs[2][chunk // traj_stride - 1] = torque
@@ -441,7 +484,7 @@ def _make_kernel(chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_
     jax.jit,
     static_argnames=(
         "n_steps", "tau", "saturated", "solver", "r_s", "lin", "p15", "geom",
-        "traj_stride", "gather", "sim_ahead", "interpret",
+        "traj_stride", "gather", "sim_ahead", "interpret", "pb_names", "noise_idx",
     ),
 )
 def _pmsm_fused_core(
@@ -462,6 +505,10 @@ def _pmsm_fused_core(
     gather: str = "dot",
     sim_ahead: bool = False,
     interpret: bool = False,
+    pb: tuple = (),  # per-batch (B,) parameter planes, order = pb_names
+    pb_names: tuple = (),  # subset of _PB_FIELDS (static)
+    noise_tm=None,  # (T, B, n_noise) pre-scaled process increments
+    noise_idx: tuple = (),  # static indices into (i_d, i_q)
 ):
     batch = i_d0.shape[0]
     total_rows = batch // LANES
@@ -469,16 +516,17 @@ def _pmsm_fused_core(
     n_batch_tiles = total_rows // rows
 
     has_next = sim_ahead and _needs_next_action(solver)
+    n_noise = len(noise_idx)
 
     # largest time chunk keeping the double-buffered voltage block <= ~2 MB
-    # AND the total double-buffered block set (both voltage streams + the
+    # AND the total double-buffered block set (the voltage/noise streams + the
     # three per-leaf trajectory save blocks) under the ~16 MB scoped-VMEM
     # ceiling with margin (same guard as the generic launcher — without it
     # a trajectory-dense config passes the stream budget yet OOMs Mosaic's
     # kernel stack at compile time)
     itemsize = jnp.dtype(i_d0.dtype).itemsize
-    max_chunk = max(1, (2 * 1024 * 1024) // (2 * rows * LANES * itemsize))
-    stream_blocks = 2 * (2 if has_next else 1)  # (u_d, u_q) per stream
+    max_chunk = max(1, (2 * 1024 * 1024) // ((2 + n_noise) * rows * LANES * itemsize))
+    stream_blocks = 2 * (2 if has_next else 1) + n_noise  # (u_d, u_q) per stream
 
     def _scoped_block_bytes(c):
         width = stream_blocks * c
@@ -514,6 +562,17 @@ def _pmsm_fused_core(
         # clamps at the trajectory end the same way)
         in_specs.append(u_block())
         operands.append(jnp.concatenate([u_tiled[1:], u_tiled[-1:]], axis=0))
+    if noise_idx:
+        noise_tiled = jnp.transpose(noise_tm, (0, 2, 1)).reshape(
+            n_steps, n_noise, total_rows, LANES
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (chunk, n_noise, rows, LANES), lambda b, k: (k, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(noise_tiled)
     in_specs += [
         state_block(),  # omega
         state_block(),  # i_d0
@@ -524,6 +583,9 @@ def _pmsm_fused_core(
         i_d0.reshape(total_rows, LANES),
         i_q0.reshape(total_rows, LANES),
     ]
+    for leaf in pb:
+        in_specs.append(state_block())
+        operands.append(jnp.asarray(leaf).reshape(total_rows, LANES))
     if saturated:
         zeros = (0,) * vflat.ndim
         in_specs.append(
@@ -546,7 +608,8 @@ def _pmsm_fused_core(
         out_shape += [jax.ShapeDtypeStruct((n_saves, total_rows, LANES), dtype) for _ in range(3)]
 
     kernel = _make_kernel(
-        chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride, gather, has_next
+        chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
+        gather, has_next, pb_names=pb_names, noise_idx=noise_idx,
     )
     out = pl.pallas_call(
         kernel,
@@ -578,9 +641,27 @@ def _pmsm_fused_core(
 # ---------------------------------------------------------------------------
 
 
+def _eff_params(r_s, lin, p15, pb_names, pb):
+    """Resolve the effective kernel parameters: per-batch ``(B,)`` planes
+    from ``pb`` (order = ``pb_names``) override the static scalars."""
+    d = dict(zip(pb_names, pb))
+    return (
+        d.get("r_s", r_s),
+        (
+            d.get("l_d", lin[0]),
+            d.get("l_q", lin[1]),
+            d.get("psi_p", lin[2]),
+            d.get("dl", lin[3]),
+        ),
+        d.get("p15", p15),
+    )
+
+
 def _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals):
     """The kernel's electrical vector field and torque map in plain
-    (differentiable) JAX over ``(B,)`` current arrays."""
+    (differentiable) JAX over ``(B,)`` current arrays.  ``r_s`` / ``lin`` /
+    ``p15`` entries may be ``(B,)`` arrays (per-batch heterogeneous
+    parameters) — every expression is elementwise, so they broadcast."""
 
     def lut_at(i_d, i_q):
         x0, dx, y0g, dy, nx, ny, _, _ = geom
@@ -616,13 +697,14 @@ def _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals):
     return ode, torque
 
 
-_N_PMSM_STATIC = 12
+_N_PMSM_STATIC = 14
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_STATIC)))
 def _pmsm_core_diff(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
-    sim_ahead, interpret, u_app_tm, i_d0, i_q0, omega, vflat, lut_vals,
+    sim_ahead, interpret, pb_names, noise_idx,
+    u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, pb, noise_tm,
 ):
     return _pmsm_fused_core(
         u_app_tm, i_d0, i_q0, omega, vflat,
@@ -630,12 +712,14 @@ def _pmsm_core_diff(
         r_s=r_s, lin=lin, p15=p15, geom=geom,
         traj_stride=traj_stride, gather=gather, sim_ahead=sim_ahead,
         interpret=interpret,
+        pb=pb, pb_names=pb_names, noise_tm=noise_tm, noise_idx=noise_idx,
     )
 
 
 def _pmsm_core_diff_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
-    sim_ahead, interpret, u_app_tm, i_d0, i_q0, omega, vflat, lut_vals,
+    sim_ahead, interpret, pb_names, noise_idx,
+    u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, pb, noise_tm,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
@@ -645,34 +729,46 @@ def _pmsm_core_diff_fwd(
         n_steps=n_steps, tau=tau, saturated=saturated, solver=solver,
         r_s=r_s, lin=lin, p15=p15, geom=geom,
         traj_stride=ckpt, gather=gather, sim_ahead=sim_ahead, interpret=interpret,
+        pb=pb, pb_names=pb_names, noise_tm=noise_tm, noise_idx=noise_idx,
     )
     if traj_stride is None:
         out = (final, None)
     else:
         skip = traj_stride // ckpt
         out = (final, tuple(s[:, skip - 1 :: skip] for s in saves))
-    return out, (u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, saves[0], saves[1])
+    return out, (
+        u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, pb, noise_tm,
+        saves[0], saves[1],
+    )
 
 
 def _pmsm_core_diff_bwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
-    sim_ahead, interpret, res, g,
+    sim_ahead, interpret, pb_names, noise_idx, res, g,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
-    u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, save_id, save_iq = res
+    u_app_tm, i_d0, i_q0, omega, vflat, lut_vals, pb, noise_tm, save_id, save_iq = res
     g_final, g_traj = g
     g_id_f, g_iq_f, g_tq_f = g_final
     batch = i_d0.shape[0]
     ckpt = _ckpt_stride(n_steps, traj_stride)
     n_seg = n_steps // ckpt
     has_next = sim_ahead and _needs_next_action(solver)
-    ode, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
+    has_noise = bool(noise_idx)
 
-    # final-state cotangent incl. the final torque output's pull-back
+    def fns(pb_t):
+        r_s_e, lin_e, p15_e = _eff_params(r_s, lin, p15, pb_names, pb_t)
+        return _plain_electrical(saturated, r_s_e, lin_e, p15_e, geom, lut_vals)
+
+    def torque_at(y, pb_t):
+        return fns(pb_t)[1](y)
+
+    # final-state cotangent incl. the final torque output's pull-back (which
+    # also reaches the per-batch torque parameters)
     y_final = (save_id[:, -1], save_iq[:, -1])
-    _, tq_vjp = jax.vjp(torque_fn, y_final)
-    (g_from_tq,) = tq_vjp(g_tq_f)
+    _, tq_vjp = jax.vjp(torque_at, y_final, pb)
+    g_from_tq, g_pb_tq = tq_vjp(g_tq_f)
     g_y = (g_id_f + g_from_tq[0], g_iq_f + g_from_tq[1])
 
     starts = tuple(
@@ -685,10 +781,13 @@ def _pmsm_core_diff_bwd(
         # the shifted slab (a full second copy) is built and scanned only then
         u_next_tm = jnp.concatenate([u_app_tm[1:], u_app_tm[-1:]], axis=0)
         u_next_seg = u_next_tm.reshape(n_seg, ckpt, batch, 2)
+    if has_noise:
+        noise_seg = noise_tm.reshape(n_seg, ckpt, batch, len(noise_idx))
 
     # per-save cotangents scattered onto their segments: the save state IS the
     # checkpoint at the segment end, so its currents cotangent adds to the
     # carry and its torque cotangent pulls back through the pointwise map
+    g_pb_saves = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pb)
     if g_traj is not None:
         g_id_t, g_iq_t, g_tq_t = g_traj
         skip = traj_stride // ckpt
@@ -697,10 +796,13 @@ def _pmsm_core_diff_bwd(
         )
 
         def tq_pull(y, gt):
-            _, vf = jax.vjp(torque_fn, y)
-            return vf(gt)[0]
+            _, vf = jax.vjp(torque_at, y, pb)
+            return vf(gt)
 
-        g_tq_pull = jax.vmap(tq_pull)(save_states, jnp.moveaxis(g_tq_t, 1, 0))
+        g_tq_pull, g_pb_per_save = jax.vmap(tq_pull)(
+            save_states, jnp.moveaxis(g_tq_t, 1, 0)
+        )
+        g_pb_saves = tuple(jnp.sum(gp, axis=0) for gp in g_pb_per_save)
         g_save_seg = tuple(
             jnp.zeros((n_seg, batch), dtype=i_d0.dtype)
             .at[skip - 1 :: skip]
@@ -710,83 +812,113 @@ def _pmsm_core_diff_bwd(
     else:
         g_save_seg = tuple(jnp.zeros((n_seg, batch), dtype=i_d0.dtype) for _ in range(2))
 
-    def seg_apply(y_start, u_s, un_s, om):
+    def seg_apply(y_start, u_s, un_s, dn_s, om, pb_t):
+        ode = fns(pb_t)[0]
+
         def body(y, xs):
-            u, un = xs
+            u, un, dn = xs
             action = (u[:, 0], u[:, 1])
             action_next = (un[:, 0], un[:, 1]) if has_next else None
             y1 = _rk_step(
                 lambda tt, yy, act: ode(tt, yy, act, om),
                 solver, y, action, tau, 0.0, action_next=action_next,
             )
+            if has_noise:
+                y1 = list(y1)
+                for j, idx in enumerate(noise_idx):
+                    y1[idx] = y1[idx] + dn[:, j]
+                y1 = tuple(y1)
             return y1, None
 
-        y_end, _ = jax.lax.scan(body, y_start, (u_s, un_s))
+        y_end, _ = jax.lax.scan(body, y_start, (u_s, un_s, dn_s))
         return y_end
 
     g_omega0 = jnp.zeros_like(omega)
+    g_pb0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pb)
 
     def bwd_body(carry, xs):
-        g_carry, g_om = carry
-        if has_next:
-            start_s, u_s, un_s, g_save_s = xs
-        else:
-            start_s, u_s, g_save_s = xs
-            un_s = u_s  # ignored by seg_apply when has_next is False
+        g_carry, g_om, g_pb_acc = carry
+        start_s, u_s = xs["start"], xs["u"]
+        un_s = xs["un"] if has_next else u_s  # ignored when has_next is False
+        dn_s = xs["dn"] if has_noise else u_s  # ignored when has_noise is False
+        g_save_s = xs["gs"]
         g_carry = tuple(gc + gs for gc, gs in zip(g_carry, g_save_s))
-        _, vjp_fn = jax.vjp(seg_apply, start_s, u_s, un_s, omega)
-        gy_in, gu, gun, gom = vjp_fn(g_carry)
-        return (gy_in, g_om + gom), ((gu, gun) if has_next else gu)
+        _, vjp_fn = jax.vjp(seg_apply, start_s, u_s, un_s, dn_s, omega, pb)
+        gy_in, gu, gun, gdn, gom, gpb = vjp_fn(g_carry)
+        g_pb_acc = tuple(a + b for a, b in zip(g_pb_acc, gpb))
+        outs = {"gu": gu}
+        if has_next:
+            outs["gun"] = gun
+        if has_noise:
+            outs["gdn"] = gdn
+        return (gy_in, g_om + gom, g_pb_acc), outs
 
-    xs = (
-        (starts, u_seg, u_next_seg, g_save_seg)
-        if has_next
-        else (starts, u_seg, g_save_seg)
+    xs = {"start": starts, "u": u_seg, "gs": g_save_seg}
+    if has_next:
+        xs["un"] = u_next_seg
+    if has_noise:
+        xs["dn"] = noise_seg
+    ((g_id0, g_iq0), g_omega, g_pb), g_out = jax.lax.scan(
+        bwd_body, (g_y, g_omega0, g_pb0), xs, reverse=True
     )
-    ((g_id0, g_iq0), g_omega), gu_out = jax.lax.scan(
-        bwd_body, (g_y, g_omega0), xs, reverse=True
-    )
+    g_pb = tuple(a + b + c for a, b, c in zip(g_pb, g_pb_tq, g_pb_saves))
 
     if has_next:
-        gu_seg, gun_seg = gu_out
-        gu_tm = gu_seg.reshape(n_steps, batch, 2)
-        gun_tm = gun_seg.reshape(n_steps, batch, 2)
+        gu_tm = g_out["gu"].reshape(n_steps, batch, 2)
+        gun_tm = g_out["gun"].reshape(n_steps, batch, 2)
         # un-shift the next-voltage stream's cotangent: next[k] reads u[k+1]
         # for k < T-1 and u[T-1] at the clamped end
         g_u = gu_tm.at[1:].add(gun_tm[:-1]).at[-1].add(gun_tm[-1])
     else:
-        g_u = gu_out.reshape(n_steps, batch, 2)
+        g_u = g_out["gu"].reshape(n_steps, batch, 2)
+    g_noise = (
+        g_out["gdn"].reshape(n_steps, batch, len(noise_idx)) if has_noise else None
+    )
     g_vflat = None if vflat is None else jnp.zeros_like(vflat)
-    return (g_u, g_id0, g_iq0, g_omega, g_vflat, jnp.zeros_like(lut_vals))
+    return (
+        g_u, g_id0, g_iq0, g_omega, g_vflat, jnp.zeros_like(lut_vals), g_pb, g_noise
+    )
 
 
 _pmsm_core_diff.defvjp(_pmsm_core_diff_fwd, _pmsm_core_diff_bwd)
 
 
 def supports_pmsm_fused(env) -> bool:
-    """Whether ``env`` is inside the fused PMSM kernel's scope."""
+    """Whether ``env`` is inside the fused PMSM kernel's scope.
+
+    Scalar static params / action normalizations are folded into the program;
+    ``(batch,)``-shaped heterogeneous leaves (domain-randomized drive fleets,
+    ``utils/randomize.py``) stream as per-tile operands — except ``deadtime``,
+    which selects the kernel's program structure and must stay scalar.
+    Stochastic drives (process noise on the currents, sensor noise on the
+    measured columns) ARE in step-mode scope: the launcher precomputes the
+    scan path's exact draw slabs (``CoreEnvironment._noise_slabs``) in an XLA
+    pre-pass and streams the pre-scaled increments alongside the voltages.
+    """
     props = env.env_properties
     params = props.static_params
+    batch = env.batch_size
     leaves = jax.tree_util.tree_leaves(params) + jax.tree_util.tree_leaves(
         props.action_normalizations
     )
-    if not all(np.isscalar(leaf) for leaf in leaves):
+    if not all(
+        np.isscalar(leaf) or np.shape(leaf) == (batch,) for leaf in leaves
+    ):
+        return False
+    if not np.isscalar(params.deadtime):
         return False
     saturated = bool(props.saturated)
     if saturated and env._lut is None:
         return False
     if not saturated and not all(
-        np.isfinite(np.float64(v)) for v in (params.l_d, params.l_q, params.psi_p)
+        bool(np.all(np.isfinite(np.asarray(v, np.float64))))
+        for v in (params.l_d, params.l_q, params.psi_p)
     ):
         return False
     return (
-        env.batch_size % TILE == 0
+        batch % TILE == 0
         and isinstance(env._solver, ExplicitRungeKutta)
         and int(params.deadtime) in (0, 1)
-        # stochastic drives ride the scan (the kernel integrates
-        # deterministically; the generic noise-slab streaming is a
-        # stepper.py facility the drive kernel does not implement)
-        and not getattr(env, "_has_noise", False)
     )
 
 
@@ -916,7 +1048,7 @@ def _constrained_voltages(env, state, acts_tm, props):
     return u_con, eps_final, omega
 
 
-def _pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_last, omega):
+def _pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_last, omega, props=None):
     """Reconstruct the scan path's final solver carry.
 
     FSAL methods store ``f(t1, y1)`` under the final *applied* voltage
@@ -925,12 +1057,18 @@ def _pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_last, omega)
     carry against the next action (``active_solver_state=True``)."""
     if not env._solver.fsal:
         return None
+    params = (props or env.env_properties).static_params
+    in_ax_p = jax.tree_util.tree_map(
+        lambda leaf: None if np.isscalar(leaf) else 0, params
+    )
 
-    def k_end(i_d_s, i_q_s, eps_s, u, om):
+    def k_end(i_d_s, i_q_s, eps_s, u, om, p):
         f = env._pmsm_vector_field(saturated, lambda t: u)
-        return f(env.tau, (i_d_s, i_q_s, eps_s), (env.env_properties.static_params, om))
+        return f(env.tau, (i_d_s, i_q_s, eps_s), (p, om))
 
-    return jax.vmap(k_end)(i_d, i_q, eps_final, u_last, omega)
+    return jax.vmap(k_end, in_axes=(0, 0, 0, 0, 0, in_ax_p))(
+        i_d, i_q, eps_final, u_last, omega, params
+    )
 
 
 def pmsm_fused_rollout(
@@ -943,6 +1081,7 @@ def pmsm_fused_rollout(
     interpret: bool = False,
     strict: bool = False,
     return_traj_states: bool = False,
+    env_properties=None,
 ):
     """Fused Pallas rollout of a PMSM drive — ``(obs, final_state)`` out,
     bit-exact vs :meth:`PMSM.vmap_rollout` on TPU hardware (the whole chain —
@@ -963,16 +1102,23 @@ def pmsm_fused_rollout(
             bit-exact on TPU hardware) or "take" (direct indexing, exact on
             every backend, interpreter mode only).
         interpret: Pallas interpreter mode (CPU testing).
+        env_properties: optional property-tree override (same structure as
+            ``env.env_properties``) — the mesh layer passes per-shard
+            property slices through here so per-batch heterogeneous drive
+            fleets stay in kernel scope under ``shard_map``.
     """
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
-    if not supports_pmsm_fused(env):
+    # an explicit env_properties override is the mesh layer's per-shard hook:
+    # scope was checked against the full-batch env, and the override's traced
+    # leaves cannot be shape-inspected here
+    if env_properties is None and not supports_pmsm_fused(env):
         if strict or return_traj_states:
             raise ValueError(
-                "pmsm_fused_rollout out of kernel scope (per-batch params, LUT "
-                "availability, solver family, deadtime, or batch tiling); "
-                "strict=True forbids the scan fallback"
+                "pmsm_fused_rollout out of kernel scope (property leaf shapes, "
+                "per-batch deadtime, LUT availability, solver family, or batch "
+                "tiling); strict=True forbids the scan fallback"
             )
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
@@ -986,13 +1132,17 @@ def pmsm_fused_rollout(
         impl = jax.jit(
             functools.partial(_fused_impl, env),
             static_argnames=(
-                "obs_stride", "time_major", "gather", "interpret", "return_traj_states",
+                "batched_pos", "obs_stride", "time_major", "gather", "interpret",
+                "return_traj_states",
             ),
         )
         env.__dict__["_pmsm_fused_impl"] = impl
+    prop_batched, batched_pos = _split_prop_override(env_properties)
     return impl(
         init_state,
         actions_norm,
+        prop_batched,
+        batched_pos=batched_pos,
         obs_stride=obs_stride,
         time_major=time_major,
         gather=gather,
@@ -1001,30 +1151,55 @@ def pmsm_fused_rollout(
     )
 
 
-def _fused_impl(
-    env, init_state, actions_norm, obs_stride, time_major, gather, interpret,
-    return_traj_states=False,
-):
-    from exciting_environments_tpu.core import structures
+def _split_prop_override(env_properties):
+    """Split a property-tree override into its batched array leaves (traced
+    jit operands) and their static flat positions.  Scalar leaves are NOT
+    routed through jit — they must stay Python scalars (the impl folds them
+    into the program and branches on them at trace time), and they are
+    identical to the wrapped env's own, so the impl re-merges the arrays
+    into ``env.env_properties``'s flattened structure."""
+    if env_properties is None:
+        return None, None
+    leaves = jax.tree_util.tree_leaves(env_properties)
+    batched_pos = tuple(
+        i for i, l in enumerate(leaves) if getattr(l, "ndim", 0) >= 1
+    )
+    return tuple(leaves[i] for i in batched_pos), batched_pos
 
-    props = env.env_properties
-    params = props.static_params
-    deadtime = int(params.deadtime)
-    saturated = bool(props.saturated)
-    phys = init_state.physical_state
-    dtype = jnp.asarray(phys.i_d).dtype
-    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
-    # validate here, not only in the launch: the VJP forward launches with
-    # the checkpoint stride instead of obs_stride, so an invalid stride must
-    # fail identically with and without a surrounding grad transform
-    if obs_stride is not None and n_steps % obs_stride != 0:
-        raise ValueError("n_steps must be divisible by obs_stride")
 
-    # scalar constants folded in the state dtype (matches the runtime
-    # scalar arithmetic of the scan path bit-for-bit)
+def _merge_prop_override(env, prop_batched, batched_pos):
+    """Rebuild the effective property tree inside the jitted impl: the env's
+    own (static-scalar-bearing) tree with the override's batched leaves in
+    place."""
+    if prop_batched is None:
+        return env.env_properties
+    leaves, treedef = jax.tree_util.tree_flatten(env.env_properties)
+    for i, arr in zip(batched_pos, prop_batched):
+        leaves[i] = arr
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _pmsm_scalar_config(env, params, saturated, dtype, gather):
+    """Fold the kernel's scalar configuration in the state dtype (matching
+    the runtime scalar arithmetic of the scan path bit-for-bit) and collect
+    the per-batch heterogeneous parameter planes (``pb_names`` in
+    :data:`_PB_FIELDS` order; baked statics take inert placeholders there).
+
+    Returns ``(r_s, p15, lin, vflat, geom, pb_names, pb)``.
+    """
     f = lambda v: float(np.asarray(v, dtype=dtype))
-    r_s = f(params.r_s)
-    p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
+    is_pb = lambda v: not np.isscalar(v)
+    pb_entries = []
+    if is_pb(params.r_s):
+        r_s = 0.0
+        pb_entries.append(("r_s", jnp.asarray(params.r_s, dtype)))
+    else:
+        r_s = f(params.r_s)
+    if is_pb(params.p):
+        p15 = 0.0
+        pb_entries.append(("p15", jnp.asarray(1.5, dtype) * jnp.asarray(params.p, dtype)))
+    else:
+        p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
     if saturated:
         lin = (1.0, 1.0, 0.0, 0.0)  # inert placeholders (branch not traced)
         lut = env._lut
@@ -1040,15 +1215,89 @@ def _fused_impl(
             _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
         )
     else:
-        l_d, l_q, psi_p = f(params.l_d), f(params.l_q), f(params.psi_p)
-        dl = float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype))
-        lin = (l_d, l_q, psi_p, dl)
+        pb_ld, pb_lq = is_pb(params.l_d), is_pb(params.l_q)
+        if pb_ld:
+            pb_entries.append(("l_d", jnp.asarray(params.l_d, dtype)))
+        if pb_lq:
+            pb_entries.append(("l_q", jnp.asarray(params.l_q, dtype)))
+        if is_pb(params.psi_p):
+            pb_entries.append(("psi_p", jnp.asarray(params.psi_p, dtype)))
+        if pb_ld or pb_lq:
+            # the torque map's (l_d - l_q), in the state dtype like the
+            # scan's runtime subtraction of the same f32 values
+            pb_entries.append(
+                ("dl", jnp.asarray(params.l_d, dtype) - jnp.asarray(params.l_q, dtype))
+            )
+        lin = (
+            1.0 if pb_ld else f(params.l_d),  # placeholders keep divisions inert
+            1.0 if pb_lq else f(params.l_q),
+            0.0 if is_pb(params.psi_p) else f(params.psi_p),
+            0.0
+            if (pb_ld or pb_lq)
+            else float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype)),
+        )
         vflat = None
         geom = None
+    order = {name: i for i, name in enumerate(_PB_FIELDS)}
+    pb_entries.sort(key=lambda e: order[e[0]])
+    pb_names = tuple(name for name, _ in pb_entries)
+    pb = tuple(leaf for _, leaf in pb_entries)
+    return r_s, p15, lin, vflat, geom, pb_names, pb
+
+
+def _pmsm_noise_streams(env, init_state, n_steps, stride):
+    """Precompute the scan path's exact draw slabs for a stochastic drive
+    (the :meth:`CoreEnvironment._noise_slabs` stream — per-step ``split(key,
+    3)`` chain or fast-mode counter draws) and pre-scale the process
+    increments for in-kernel addition.  Returns ``(noise_tm, noise_idx,
+    eps_obs, keys_saves, final_keys)`` — all ``None``/empty for a
+    deterministic drive."""
+    if not getattr(env, "_has_noise", False):
+        return None, (), None, None, None
+    keys0 = env._require_noise_key(init_state)
+    eps_proc, eps_obs, keys_saves, final_keys = env._noise_slabs(keys0, n_steps, stride)
+    noise_tm, noise_idx = None, ()
+    if eps_proc is not None:
+        proc_items = sorted(env._process_noise.items())
+        coef = jnp.asarray([s for _, s in proc_items], dtype=eps_proc.dtype) * jnp.sqrt(
+            env.tau
+        )
+        noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))  # (T, B, n_noise)
+        noise_idx = tuple(("i_d", "i_q").index(n) for n, _ in proc_items)
+    return noise_tm, noise_idx, eps_obs, keys_saves, final_keys
+
+
+def _fused_impl(
+    env, init_state, actions_norm, prop_batched=None, *, batched_pos=None,
+    obs_stride, time_major, gather, interpret, return_traj_states=False,
+):
+    from exciting_environments_tpu.core import structures
+    from exciting_environments_tpu.ops.pallas.stepper import _apply_obs_noise_slab
+
+    props = _merge_prop_override(env, prop_batched, batched_pos)
+    params = props.static_params
+    deadtime = int(params.deadtime)
+    saturated = bool(props.saturated)
+    phys = init_state.physical_state
+    dtype = jnp.asarray(phys.i_d).dtype
+    n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
+    # validate here, not only in the launch: the VJP forward launches with
+    # the checkpoint stride instead of obs_stride, so an invalid stride must
+    # fail identically with and without a surrounding grad transform
+    if obs_stride is not None and n_steps % obs_stride != 0:
+        raise ValueError("n_steps must be divisible by obs_stride")
+
+    r_s, p15, lin, vflat, geom, pb_names, pb = _pmsm_scalar_config(
+        env, params, saturated, dtype, gather
+    )
 
     acts_tm = jnp.asarray(actions_norm)
     if not time_major:
         acts_tm = jnp.moveaxis(acts_tm, 0, 1)  # (T, B, 2)
+
+    noise_tm, noise_idx, eps_obs, keys_saves, final_keys = _pmsm_noise_streams(
+        env, init_state, n_steps, obs_stride or n_steps
+    )
 
     u_con, eps_final, omega = _constrained_voltages(env, init_state, acts_tm, props)
 
@@ -1080,10 +1329,11 @@ def _fused_impl(
     )
     (i_d, i_q, torque), traj = _pmsm_core_diff(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
-        obs_stride, gather, False, interpret,
-        u_app, i_d0, i_q0, omega, vflat, lut_vals,
+        obs_stride, gather, False, interpret, pb_names, noise_idx,
+        u_app, i_d0, i_q0, omega, vflat, lut_vals, pb, noise_tm,
     )
 
+    key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(
@@ -1096,26 +1346,41 @@ def _fused_impl(
             omega_el=omega,
         ),
         additions=env.Additions(
-            solver_state=_pmsm_final_solver_state(env, saturated, i_d, i_q, eps_final, u_app[-1], omega),
+            solver_state=_pmsm_final_solver_state(
+                env, saturated, i_d, i_q, eps_final, u_app[-1], omega, props=props
+            ),
             active_solver_state=jnp.full(env.batch_size, True),
         ),
+        **key_kwargs,
     )
     obs_final = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
         final_state, props
     )
     if obs_stride is None:
+        if eps_obs is not None:
+            obs_final = _apply_obs_noise_slab(env, obs_final, eps_obs[:, -1], props=props)
         return obs_final, final_state
     obs_traj, traj_state = _trajectory_observations(
-        env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime
+        env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime,
+        keys_saves=keys_saves,
     )
+    if eps_obs is not None:
+        # the saved steps' own sensor draws (post-step save at step t uses
+        # that step's k_obs), exactly like the scan path's per-step obs
+        obs_traj = _apply_obs_noise_slab(env, obs_traj, eps_obs, props=props)
     if return_traj_states:
         return obs_traj, traj_state, final_state
     return obs_traj, final_state
 
 
-def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime):
+def _trajectory_observations(
+    env, init_state, props, u_con, traj, obs_stride, n_steps, omega, deadtime,
+    keys_saves=None,
+):
     """Reconstruct every ``obs_stride``-th observation from the kernel's saved
-    currents/torque plus the (state-independent) angle and buffer sequences."""
+    currents/torque plus the (state-independent) angle and buffer sequences.
+    ``keys_saves`` (stochastic drives) carries each save's advanced PRNG key
+    — resuming from a saved state must not replay consumed draws."""
     from exciting_environments_tpu.core import structures
 
     batch = env.batch_size
@@ -1156,8 +1421,14 @@ def _trajectory_observations(env, init_state, props, u_con, traj, obs_stride, n_
             omega_el=jnp.broadcast_to(omega[:, None], (batch, n_saves)),
         ),
         PRNGKey=(
-            lambda key: jnp.broadcast_to(key[:, None, ...], (batch, n_saves) + key.shape[1:])
-        )(jnp.asarray(init_state.PRNGKey)),
+            keys_saves
+            if keys_saves is not None
+            else (
+                lambda key: jnp.broadcast_to(
+                    key[:, None, ...], (batch, n_saves) + key.shape[1:]
+                )
+            )(jnp.asarray(init_state.PRNGKey))
+        ),
         additions=env.Additions(
             solver_state=None,
             active_solver_state=jnp.full((batch, n_saves), True),
@@ -1184,6 +1455,7 @@ def pmsm_fused_sim_ahead(
     gather: str = "int8",
     interpret: bool = False,
     strict: bool = False,
+    env_properties=None,
 ):
     """Fused trajectory solve matching :meth:`PMSM.vmap_sim_ahead` for
     ``obs_stepsize == action_stepsize`` (one solver step per action interval
@@ -1206,7 +1478,16 @@ def pmsm_fused_sim_ahead(
     from exciting_environments_tpu.core import structures
 
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
-    if obs_stepsize != action_stepsize or not supports_pmsm_fused(env):
+    if getattr(env, "_has_noise", False):
+        # the trajectory solve is deterministic-only; surface the env's own
+        # documented raise rather than silently integrating without noise
+        if time_major:
+            actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
+        obs, _, last = env.vmap_sim_ahead(init_state, actions_norm, obs_stepsize, action_stepsize)
+        return obs, last
+    if obs_stepsize != action_stepsize or (
+        env_properties is None and not supports_pmsm_fused(env)
+    ):
         if strict:
             raise ValueError(
                 "pmsm_fused_sim_ahead out of kernel scope (kernel support, or "
@@ -1223,12 +1504,17 @@ def pmsm_fused_sim_ahead(
     if impl is None:
         impl = jax.jit(
             functools.partial(_fused_sim_ahead_impl, env),
-            static_argnames=("obs_stepsize", "time_major", "gather", "interpret"),
+            static_argnames=(
+                "batched_pos", "obs_stepsize", "time_major", "gather", "interpret",
+            ),
         )
         env.__dict__["_pmsm_fused_sim_ahead_impl"] = impl
+    prop_batched, batched_pos = _split_prop_override(env_properties)
     return impl(
         init_state,
         actions_norm,
+        prop_batched,
+        batched_pos=batched_pos,
         obs_stepsize=float(obs_stepsize),
         time_major=time_major,
         gather=gather,
@@ -1236,10 +1522,13 @@ def pmsm_fused_sim_ahead(
     )
 
 
-def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_major, gather, interpret):
+def _fused_sim_ahead_impl(
+    env, init_state, actions_norm, prop_batched=None, *, batched_pos=None,
+    obs_stepsize, time_major, gather, interpret,
+):
     from exciting_environments_tpu.core import structures
 
-    props = env.env_properties
+    props = _merge_prop_override(env, prop_batched, batched_pos)
     params = props.static_params
     deadtime = int(params.deadtime)
     saturated = bool(props.saturated)
@@ -1249,29 +1538,9 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     dt = obs_stepsize
 
-    f = lambda v: float(np.asarray(v, dtype=dtype))
-    r_s = f(params.r_s)
-    p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
-    if saturated:
-        lin = (1.0, 1.0, 0.0, 0.0)
-        lut = env._lut
-        if gather == "int8" and dtype == jnp.float32:
-            vflat = jnp.asarray(_split_int8x4(_lut_operand(lut, np.float32)))
-        elif gather == "dot" and dtype == jnp.float32:
-            vflat = jnp.asarray(_split_bf16x3(_lut_operand(lut, np.float32)))
-        else:
-            vflat = jnp.asarray(_lut_operand(lut, dtype))
-        geom = (
-            f(lut.x0), f(lut.dx), f(lut.y0), f(lut.dy),
-            int(lut.nx), int(lut.ny),
-            _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
-        )
-    else:
-        l_d, l_q, psi_p = f(params.l_d), f(params.l_q), f(params.psi_p)
-        dl = float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype))
-        lin = (l_d, l_q, psi_p, dl)
-        vflat = None
-        geom = None
+    r_s, p15, lin, vflat, geom, pb_names, pb = _pmsm_scalar_config(
+        env, params, saturated, dtype, gather
+    )
 
     acts_tm = jnp.asarray(actions_norm)
     if not time_major:
@@ -1305,8 +1574,8 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
     )
     (i_d_f, i_q_f, torque_f), traj = _pmsm_core_diff(
         n_steps, float(dt), saturated, env._solver, r_s, lin, p15, geom,
-        1, gather, True, interpret,
-        u_app, i_d0, i_q0, omega, vflat, lut_vals,
+        1, gather, True, interpret, pb_names, (),
+        u_app, i_d0, i_q0, omega, vflat, lut_vals, pb, None,
     )
     i_d_t = jnp.concatenate([i_d0[:, None], traj[0]], axis=1)  # (B, T+1)
     i_q_t = jnp.concatenate([i_q0[:, None], traj[1]], axis=1)
@@ -1387,7 +1656,8 @@ def _fused_sim_ahead_impl(env, init_state, actions_norm, obs_stepsize, time_majo
             # the scan path's sim_ahead stores solver.init at (t1, y_last)
             # under the end-clamped ZOH voltage (_ode_solver_simulate_ahead)
             solver_state=_pmsm_final_solver_state(
-                env, saturated, i_d_t[:, -1], i_q_t[:, -1], eps_t[:, -1], u_app[-1], omega
+                env, saturated, i_d_t[:, -1], i_q_t[:, -1], eps_t[:, -1],
+                u_app[-1], omega, props=props,
             ),
             active_solver_state=jnp.full(batch, True),
         ),
@@ -2015,12 +2285,24 @@ _pmsm_cl_core.defvjp(_pmsm_cl_core_fwd, _pmsm_cl_core_bwd)
 
 def supports_pmsm_fused_closed_loop(env) -> bool:
     """Scope of the closed-loop PMSM kernel: :func:`supports_pmsm_fused`
-    plus scalar physical normalizations (they fold into the in-kernel
-    observation arithmetic as compile-time constants)."""
+    plus scalar properties throughout — static params, action AND physical
+    normalizations all fold into the in-kernel constraint/observation
+    arithmetic as compile-time constants (the open-loop kernel's per-batch
+    tile streaming has not been ported to the closed-loop kernel)."""
     if not supports_pmsm_fused(env):
         return False
-    norms = jax.tree_util.tree_leaves(env.env_properties.physical_normalizations)
-    return all(np.isscalar(leaf) for leaf in norms)
+    props = env.env_properties
+    leaves = (
+        jax.tree_util.tree_leaves(props.physical_normalizations)
+        + jax.tree_util.tree_leaves(props.action_normalizations)
+        + jax.tree_util.tree_leaves(props.static_params)
+    )
+    if not all(np.isscalar(leaf) for leaf in leaves):
+        return False
+    # stochastic drives ride the scan closed loop for now (the generic
+    # closed-loop kernel's noise-slab streaming is ported in this round's
+    # later phase)
+    return not getattr(env, "_has_noise", False)
 
 
 def pmsm_fused_closed_loop(

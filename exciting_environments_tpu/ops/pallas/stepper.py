@@ -832,15 +832,17 @@ def _denormalize_action_slab(env, actions_norm, time_major):
     return denorm_bt(actions_norm, env.env_properties)
 
 
-def _apply_obs_noise_slab(env, obs, eps):
+def _apply_obs_noise_slab(env, obs, eps, props=None):
     """Batched mirror of ``CoreEnvironment._apply_observation_noise_eps``:
     scale the precomputed standard-normal draws ``eps`` (``(B[, S],
     len(layout))``) by the per-entry normalized sigma (the same
     ``CoreEnvironment._obs_noise_sigma_norm`` arithmetic, per-batch spans
-    included) and add onto the ``_obs_noise_layout`` columns of ``obs``."""
+    included) and add onto the ``_obs_noise_layout`` columns of ``obs``.
+    ``props`` overrides ``env.env_properties`` (the mesh layer's per-shard
+    property slices)."""
     sigmas = [
         jnp.broadcast_to(jnp.asarray(v), (env.batch_size,))
-        for v in env._obs_noise_sigma_norm(env.env_properties)
+        for v in env._obs_noise_sigma_norm(props or env.env_properties)
     ]
     for k, (col, _name) in enumerate(env._obs_noise_layout):
         s = sigmas[k] if eps.ndim == 2 else sigmas[k][:, None]

@@ -178,6 +178,11 @@ def pmsm_fast_rollout(env, init_state, actions_norm, time_major: bool = False):
         raise ValueError("pmsm_fast_rollout requires scalar static params")
     if int(params.deadtime) not in (0, 1):
         raise ValueError("deadtime must be 0 or 1")
+    if getattr(env, "_has_noise", False):
+        raise ValueError(
+            "pmsm_fast_rollout integrates deterministically — stochastic "
+            "drives go through vmap_rollout or the exact fused kernel"
+        )
     from exciting_environments_tpu.ops.solvers import Euler
 
     if type(env._solver) is not Euler:

@@ -136,22 +136,25 @@ class ShardedEnv:
             self._fused_shadow = shadow
         return shadow
 
-    def _run_sharded(self, local_fn, init_state, actions_norm, time_major):
-        """Run ``local_fn(state, actions) -> outputs`` per shard under the mesh.
+    def _run_sharded(self, local_fn, init_state, actions_norm, time_major, extra=()):
+        """Run ``local_fn(state, actions[, *extra]) -> outputs`` per shard
+        under the mesh.
 
         ``shard_map`` gives each chip its local batch slice; stepping is
         embarrassingly parallel, so no collectives are inserted.  With
         ``time_major`` the action slab is ``(n_steps, B, A)`` — batch axis
-        second — and is placed accordingly.  ``check_vma=False``:
-        ``pallas_call`` outputs carry no varying-mesh-axis metadata; the
-        kernels are purely local per shard, so the check is vacuous here.
+        second — and is placed accordingly.  ``extra`` operands (per-batch
+        property-leaf tuples) are batch-leading and shard like the state.
+        ``check_vma=False``: ``pallas_call`` outputs carry no varying-mesh-
+        axis metadata; the kernels are purely local per shard, so the check
+        is vacuous here.
         """
         spec = P(self.axis_name)
         a_spec = P(None, self.axis_name) if time_major else spec
         sharded = jax.shard_map(
             local_fn,
             mesh=self.mesh,
-            in_specs=(spec, a_spec),
+            in_specs=(spec, a_spec) + tuple(spec for _ in extra),
             out_specs=spec,  # prefix: every output leaf batch-sharded
             check_vma=False,
         )
@@ -159,7 +162,29 @@ class ShardedEnv:
             actions_sharded = jax.device_put(actions_norm, NamedSharding(self.mesh, a_spec))
         else:
             actions_sharded = self.shard(actions_norm)
-        return sharded(self.shard(init_state), actions_sharded)
+        return sharded(self.shard(init_state), actions_sharded, *extra)
+
+    def _batched_prop_operands(self):
+        """Split the property tree for ``shard_map``: array leaves with a
+        leading batch dim become sharded operands, everything else (scalar
+        arrays and the static Python scalars jit specializes on) stays in
+        the closure.  Returns ``(batched_leaves, merge)`` where
+        ``merge(local_leaves)`` rebuilds the property pytree with a shard's
+        local slices in place — the per-shard ``env_properties`` override
+        the PMSM kernel launchers accept."""
+        leaves, treedef = jax.tree_util.tree_flatten(self.env.env_properties)
+        is_batched = [
+            isinstance(l, jax.Array) and l.ndim >= 1 and l.shape[0] == self.env.batch_size
+            for l in leaves
+        ]
+        batched = tuple(l for l, b in zip(leaves, is_batched) if b)
+
+        def merge(local_leaves):
+            it = iter(local_leaves)
+            merged = [next(it) if b else l for l, b in zip(leaves, is_batched)]
+            return jax.tree_util.tree_unflatten(treedef, merged)
+
+        return batched, merge
 
     # -- forwarded batched API --------------------------------------------
 
@@ -203,8 +228,12 @@ class ShardedEnv:
             return False
         if isinstance(env, PMSM):
             # the PMSM kernel requires equal stepsizes (the reference PMSM
-            # sim_ahead crashes on finer observation grids — preserved quirk)
-            if obs_stepsize is not None and obs_stepsize != action_stepsize:
+            # sim_ahead crashes on finer observation grids — preserved quirk);
+            # the trajectory solve is deterministic-only
+            if obs_stepsize is not None and (
+                obs_stepsize != action_stepsize
+                or getattr(env, "_has_noise", False)
+            ):
                 return False
             return supports_pmsm_fused(env)
         if obs_stepsize is not None and (
@@ -280,21 +309,30 @@ class ShardedEnv:
             # the PMSM has its own fused kernel (constraint pre-pass +
             # VMEM-resident current integration); the "take" gather only
             # lowers in interpreter mode (CPU testing); compiled runs use
-            # the exact one-hot MXU gather
-            def local(state, actions):
+            # the exact one-hot MXU gather.  Per-batch heterogeneous
+            # property leaves ride the mesh as sharded operands and each
+            # shard launches with its local property slices.
+            batched_props, merge_props = self._batched_prop_operands()
+
+            def local(state, actions, prop_leaves):
                 return pmsm_fused_rollout(
                     shadow, state, actions,
                     obs_stride=obs_stride, time_major=time_major,
                     gather="take" if interpret else "int8", interpret=interpret,
                     return_traj_states=return_traj_states,
+                    env_properties=merge_props(prop_leaves) if batched_props else None,
                 )
-        else:
-            def local(state, actions):
-                return env_fused_rollout(
-                    shadow, state, actions, obs_stride=obs_stride,
-                    time_major=time_major, interpret=interpret,
-                    return_traj_states=return_traj_states,
-                )
+
+            return self._run_sharded(
+                local, init_state, actions_norm, time_major, extra=(batched_props,)
+            )
+
+        def local(state, actions):
+            return env_fused_rollout(
+                shadow, state, actions, obs_stride=obs_stride,
+                time_major=time_major, interpret=interpret,
+                return_traj_states=return_traj_states,
+            )
 
         return self._run_sharded(local, init_state, actions_norm, time_major)
 
@@ -335,19 +373,26 @@ class ShardedEnv:
 
         shadow = self._local_shadow()
         if isinstance(env, PMSM):
-            def local(state, actions):
+            batched_props, merge_props = self._batched_prop_operands()
+
+            def local(state, actions, prop_leaves):
                 obs, last = pmsm_fused_sim_ahead(
                     shadow, state, actions, obs_stepsize, action_stepsize,
                     time_major=time_major,
                     gather="take" if interpret else "int8", interpret=interpret,
+                    env_properties=merge_props(prop_leaves) if batched_props else None,
                 )
                 return obs[:, ::obs_stride], last
-        else:
-            def local(state, actions):
-                return env_fused_sim_ahead(
-                    shadow, state, actions, obs_stepsize, action_stepsize,
-                    obs_stride=obs_stride, time_major=time_major, interpret=interpret,
-                )
+
+            return self._run_sharded(
+                local, init_state, actions_norm, time_major, extra=(batched_props,)
+            )
+
+        def local(state, actions):
+            return env_fused_sim_ahead(
+                shadow, state, actions, obs_stepsize, action_stepsize,
+                obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+            )
 
         return self._run_sharded(local, init_state, actions_norm, time_major)
 

@@ -27,6 +27,7 @@ import exciting_environments_tpu as excenvs
 from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
     TILE,
     pmsm_fused_rollout,
+    pmsm_fused_sim_ahead,
     supports_pmsm_fused,
 )
 
@@ -126,17 +127,130 @@ def test_fused_pmsm_time_major():
 
 @pytest.mark.slow
 def test_fused_pmsm_fallback_out_of_scope():
-    """Per-batch heterogeneous r_s falls back to the scan path."""
+    """A property leaf that is neither scalar nor ``(batch,)`` (here a
+    mis-shaped half-batch r_s sweep) falls back to the scan path."""
     params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
-    params["r_s"] = jnp.full(BATCH, params["r_s"])
+    params["r_s"] = jnp.full(BATCH // 2, params["r_s"])
     env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, static_params=params)
     assert not supports_pmsm_fused(env)
-    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
-    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 2), minval=-0.5, maxval=0.5)
-    obs_ref, last_ref = env.vmap_rollout(state, actions, T)
-    obs_f, last_f = pmsm_fused_rollout(env, state, actions)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [(False, excenvs.MotorVariant.DEFAULT), (True, excenvs.MotorVariant.BRUSA)],
+)
+def test_fused_pmsm_per_batch_params(saturated, variant):
+    """Per-batch heterogeneous static params (a domain-randomized drive
+    fleet) stay IN kernel scope — the planes stream as tile operands and the
+    fused rollout matches the scan path; gradients reach the parameter
+    planes (round-4: the randomized-fleet 27x scan cliff removed)."""
+    key = jax.random.PRNGKey(7)
+    overrides = {
+        "r_s": jnp.asarray(variant.get_params().static_params.r_s)
+        * (1 + 0.3 * jax.random.uniform(key, (BATCH,)))
+    }
+    if not saturated:
+        base = variant.get_params().static_params
+        overrides["l_d"] = jnp.asarray(base.l_d) * (
+            1 + 0.2 * jax.random.uniform(jax.random.PRNGKey(8), (BATCH,))
+        )
+        overrides["psi_p"] = jnp.asarray(base.psi_p) * (
+            1 + 0.2 * jax.random.uniform(jax.random.PRNGKey(9), (BATCH,))
+        )
+    env, state, actions = _make(saturated, variant, **overrides)
+    assert supports_pmsm_fused(env)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, 4)
+    obs_f, last_f = pmsm_fused_rollout(
+        env, state, actions, obs_stride=4, gather="take", interpret=True
+    )
     _assert_state_close(last_ref, last_f)
-    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref[:, -1]), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+
+    # sim-ahead rides the same planes
+    obs_sa, last_sa = pmsm_fused_sim_ahead(
+        env, state, actions, env.tau, env.tau, gather="take", interpret=True
+    )
+    obs_sr, _, last_sr = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
+    np.testing.assert_allclose(np.asarray(obs_sa), np.asarray(obs_sr), rtol=1e-10, atol=1e-10)
+    _assert_state_close(last_sr, last_sa)
+
+    # gradients flow to the per-batch parameter planes (kernel VJP) and
+    # match the differentiable scan path
+    r_s_arr = overrides["r_s"]
+
+    def loss_fused(r):
+        params = dict(variant.get_params().static_params.__dict__)
+        if saturated:
+            params.update({"l_d": jnp.nan, "l_q": jnp.nan, "psi_p": jnp.nan})
+        params.update(overrides)
+        params["r_s"] = r
+        e = excenvs.PMSM(
+            batch_size=BATCH, saturated=saturated, motor_variant=variant,
+            static_params=params,
+        )
+        obs, _ = pmsm_fused_rollout(e, state, actions, gather="take", interpret=True)
+        return jnp.sum(obs[:, :2] ** 2)
+
+    def loss_scan(r):
+        params = dict(variant.get_params().static_params.__dict__)
+        if saturated:
+            params.update({"l_d": jnp.nan, "l_q": jnp.nan, "psi_p": jnp.nan})
+        params.update(overrides)
+        params["r_s"] = r
+        e = excenvs.PMSM(
+            batch_size=BATCH, saturated=saturated, motor_variant=variant,
+            static_params=params,
+        )
+        obs, _ = e.vmap_rollout(state, actions, T)
+        return jnp.sum(obs[:, -1, :2] ** 2)
+
+    g_f = jax.grad(loss_fused)(r_s_arr)
+    g_s = jax.grad(loss_scan)(r_s_arr)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-7, atol=1e-12)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [(False, excenvs.MotorVariant.DEFAULT), (True, excenvs.MotorVariant.BRUSA)],
+)
+def test_fused_pmsm_stochastic_draw_parity(saturated, variant, noise_mode):
+    """Stochastic drives stay in kernel scope (round-4): the launcher streams
+    the scan path's exact pre-scaled draw slabs, so the fused rollout is
+    draw-identical to ``vmap_rollout`` in both noise modes, with the final
+    and per-save PRNG keys threaded."""
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=saturated, motor_variant=variant,
+        process_noise={"i_d": 0.5, "i_q": 0.3},
+        observation_noise={"i_d": 0.02, "torque": 0.05},
+        noise_mode=noise_mode,
+    )
+    assert supports_pmsm_fused(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+    actions = jax.random.uniform(jax.random.PRNGKey(4), (BATCH, T, 2), minval=-0.5, maxval=0.5)
+    obs_ref, last_ref = env.vmap_rollout(state, actions, 4)
+    obs_f, last_f = pmsm_fused_rollout(
+        env, state, actions, obs_stride=4, gather="take", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_ref), rtol=1e-10, atol=1e-10)
+    _assert_state_close(last_ref, last_f)
+    assert jnp.array_equal(jnp.asarray(last_f.PRNGKey), jnp.asarray(last_ref.PRNGKey))
+
+    # reparameterized gradients stay finite through the noise streams
+    def loss(acts):
+        obs, _ = pmsm_fused_rollout(env, state, acts, gather="take", interpret=True)
+        return jnp.sum(obs**2)
+
+    assert bool(jnp.all(jnp.isfinite(jax.grad(loss)(actions))))
+
+    # the trajectory solve stays deterministic-only: the fused sim-ahead
+    # surfaces the env's documented raise
+    with pytest.raises(ValueError, match="deterministic"):
+        pmsm_fused_sim_ahead(
+            env, state, actions, env.tau, env.tau, gather="take", interpret=True
+        )
 
 
 def test_fused_pmsm_scope_any_explicit_rk():
@@ -222,20 +336,15 @@ def test_fused_sim_ahead_matches_scan(saturated, deadtime):
 
 @pytest.mark.slow
 def test_fused_sim_ahead_fallback_out_of_scope():
-    """Out-of-kernel-scope configurations (per-batch params) fall back to the
-    scan path.  (Unequal obs/action stepsizes are untestable here: the
-    reference's own PMSM sim_ahead breaks for them — the documented
-    buffer-length quirk this port preserves.)"""
+    """Out-of-kernel-scope configurations (a mis-shaped property leaf) fall
+    back to the scan path.  (Unequal obs/action stepsizes are untestable
+    here: the reference's own PMSM sim_ahead breaks for them — the
+    documented buffer-length quirk this port preserves; per-batch ``(B,)``
+    leaves are IN scope since round 4.)"""
     params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
-    params["r_s"] = jnp.full(BATCH, params["r_s"])
+    params["r_s"] = jnp.full(BATCH // 2, params["r_s"])
     env = excenvs.PMSM(batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT, static_params=params)
     assert not supports_pmsm_fused(env)
-    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), BATCH))
-    actions = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 2), minval=-0.5, maxval=0.5)
-    obs_r, _, last_r = env.vmap_sim_ahead(state, actions, env.tau, env.tau)
-    obs_f, last_f = env.fused_sim_ahead(state, actions, env.tau, env.tau)
-    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_r))
-    _assert_state_close(last_r, last_f, rtol=0, atol=0)
 
 @pytest.mark.slow
 @pytest.mark.parametrize("solver", ["rk4", "tsit5"])

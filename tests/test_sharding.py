@@ -331,6 +331,62 @@ def test_sharded_fused_pmsm_rollout(mesh):
 
 
 @pytest.mark.slow
+def test_sharded_fused_pmsm_rollout_per_batch_params(mesh):
+    """Round-4: a domain-randomized drive fleet (per-batch r_s) stays in the
+    fused PMSM kernel's scope UNDER THE MESH — the heterogeneous property
+    leaves ride shard_map as sharded operands and each shard launches with
+    its local parameter slices."""
+    batch, T = 8192, 8
+    params = dict(excenvs.MotorVariant.BRUSA.get_params().static_params.__dict__)
+    params["r_s"] = jnp.asarray(params["r_s"]) * (
+        1 + 0.3 * jax.random.uniform(jax.random.PRNGKey(5), (batch,))
+    )
+    env = excenvs.PMSM(
+        batch_size=batch, saturated=True,
+        motor_variant=excenvs.MotorVariant.BRUSA, static_params=params,
+    )
+    senv = ShardedEnv(env, mesh)
+    assert senv._fused_in_scope()
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 2), minval=-0.4, maxval=0.4)
+
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True, strict=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.i_q),
+        np.asarray(last_s.physical_state.i_q), rtol=1e-9, atol=1e-11,
+    )
+    assert not last_f.physical_state.i_d.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_sharded_fused_pmsm_stochastic_rollout(mesh):
+    """Round-4: a stochastic drive (current process noise + current sensor
+    noise) rides the fused PMSM kernel per shard, draw-identical to the
+    single-device scan (the draw streams are per-instance, so the mesh
+    partition cannot change them)."""
+    batch, T = 8192, 8
+    env = excenvs.PMSM(
+        batch_size=batch, saturated=True,
+        motor_variant=excenvs.MotorVariant.BRUSA,
+        process_noise={"i_d": 0.5, "i_q": 0.3},
+        observation_noise={"i_d": 0.02},
+    )
+    senv = ShardedEnv(env, mesh)
+    assert senv._fused_in_scope()
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 2), minval=-0.4, maxval=0.4)
+
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True, strict=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-9)
+    assert jnp.array_equal(jnp.asarray(last_f.PRNGKey), jnp.asarray(last_s.PRNGKey))
+
+
+@pytest.mark.slow
 def test_sharded_fused_sim_ahead(mesh):
     """Tsit5 trajectory solves run per shard in the fused kernel and match
     the single-device scan path."""

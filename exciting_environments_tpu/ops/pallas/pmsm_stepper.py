@@ -1755,13 +1755,24 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
 def _make_cl_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
     gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
-    u_dc, emit_u_last, n_carry=0,
+    u_dc, emit_u_last, n_carry=0, obs_cols=(), noise_idx=(),
 ):
-    """Closed-loop kernel over refs ``([pparams,] omega, i_d0, i_q0, eps0,
-    bd0, bq0, [V | lin], *refs, *carry_in, i_d, i_q, eps, bd, bq, torque[,
-    u_last_d, u_last_q], *carry_out[, traj x7, *traj_carry])``; grid
-    ``(batch_tiles, time_chunks)``, the five state planes (plus any policy
-    carry planes) carried in revisited output blocks.
+    """Closed-loop kernel over refs ``([pparams,] [obs_noise,] [proc_noise,]
+    omega, i_d0, i_q0, eps0, bd0, bq0, [V | lin], *refs, *carry_in, i_d,
+    i_q, eps, bd, bq, torque[, u_last_d, u_last_q], *carry_out[, traj x7,
+    *traj_carry])``; grid ``(batch_tiles, time_chunks)``, the five state
+    planes (plus any policy carry planes) carried in revisited output
+    blocks.
+
+    Stochastic drives stream pre-scaled draw slabs like the generic
+    closed-loop kernel: with ``obs_cols`` set, a sensor-noise row is added
+    to the indexed observation columns BEFORE the policy each step (the
+    caller pre-shifts the slab — row ``i`` carries step ``i-1``'s post-step
+    sensor draw, zeros at ``i == 0``); with ``noise_idx`` set, a
+    process-noise row is added to the indexed current planes after the
+    deterministic step — the exact operation point of ``PMSM.step``'s
+    ``_apply_process_noise_eps`` (torque evaluations read the carried
+    post-noise currents, like the scan's recompute).
 
     ``obs_norms`` is the six scalar ``(min, max)`` pairs for (i_d, i_q,
     omega_el, torque, u_d_buffer, u_q_buffer).  Trajectory outputs per save:
@@ -1788,6 +1799,12 @@ def _make_cl_kernel(
             refs = refs[1:]
             pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
             pparams = pp_treedef(pp_vec)
+        if obs_cols:
+            obs_noise_ref = refs[0]
+            refs = refs[1:]
+        if noise_idx:
+            proc_noise_ref = refs[0]
+            refs = refs[1:]
         omega_ref, id_in, iq_in, eps_in, bd_in, bq_in = refs[:6]
         refs = refs[6:]
         if saturated:
@@ -1857,6 +1874,11 @@ def _make_cl_kernel(
                 norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
                 jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
             ) + ref_tiles
+            if obs_cols:
+                obs = list(obs)
+                for j, col in enumerate(obs_cols):
+                    obs[col] = obs[col] + obs_noise_ref[i, j]
+                obs = tuple(obs)
             if n_carry:
                 out = policy(obs, step, c, pparams) if n_pp else policy(obs, step, c)
                 a, c1 = out[0], tuple(out[1])
@@ -1887,6 +1909,11 @@ def _make_cl_kernel(
                 return (i_d_diff, i_q_diff)
 
             i_d1, i_q1 = _rk_step(ode, solver, y_entry, u_app, tau, 0.0)
+            if noise_idx:
+                y1 = [i_d1, i_q1]
+                for j, idx in enumerate(noise_idx):
+                    y1[idx] = y1[idx] + proc_noise_ref[i, j]
+                i_d1, i_q1 = y1
             eps1 = eps + tau * rate
             eps1 = ((eps1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
 
@@ -1944,15 +1971,23 @@ def _pmsm_cl_launch(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
     y0, omega, ref_leaves, pp_flat, vflat, carry0=None,
+    obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
 ):
     """Tile the operands and launch the closed-loop PMSM kernel (primal).
     Returns ``(final, traj, u_last, final_carry, traj_carry)`` — the last
-    two ``None`` for stateless policies (``carry0 is None``)."""
+    two ``None`` for stateless policies (``carry0 is None``).
+    ``obs_noise_tm`` / ``proc_noise_tm`` (``(n_steps, B, n)``, pre-scaled;
+    the sensor slab pre-shifted) stream time-major like the generic
+    closed-loop launch."""
     batch = y0[0].shape[0]
     if batch % TILE != 0:
         raise ValueError(f"batch {batch} must be a multiple of {TILE}")
     if traj_stride is not None and n_steps % traj_stride != 0:
         raise ValueError("n_steps must be divisible by obs_stride")
+    if (obs_noise_tm is not None) != bool(obs_cols):
+        raise ValueError("obs_noise_tm and obs_cols must be set together")
+    if (proc_noise_tm is not None) != bool(noise_idx):
+        raise ValueError("proc_noise_tm and noise_idx must be set together")
     total_rows = batch // LANES
     rows = SUBLANES
     n_batch_tiles = total_rows // rows
@@ -1962,21 +1997,70 @@ def _pmsm_cl_launch(
     emit_u_last = solver.fsal
 
     dtype = y0[0].dtype
-    # per-leaf trajectory blocks (7 + n_carry leaves) bounded to ~2 MB each,
-    # same budgeting as the generic closed-loop launch
+    itemsize = jnp.dtype(dtype).itemsize
     from exciting_environments_tpu.ops.pallas.stepper import _traj_chunk
 
-    chunk = _traj_chunk(n_steps, traj_stride, rows, jnp.dtype(dtype).itemsize)
+    streamed_width = len(obs_cols) + len(noise_idx)
+    if streamed_width == 0:
+        # per-leaf trajectory blocks (7 + n_carry leaves) bounded to ~2 MB
+        # each, same budgeting as the generic closed-loop launch
+        chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
+    else:
+        # streamed noise slabs: the chunk must also keep the double-buffered
+        # streamed blocks <= ~2 MB and the total scoped block set under the
+        # ~16 MB VMEM ceiling with margin (mirrors stepper._cl_launch)
+        max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
+        n_traj_leaves = (7 + n_carry) if traj_stride is not None else 0
+
+        def _scoped_bytes(c):
+            width = streamed_width * c
+            if traj_stride is not None:
+                width += (c // traj_stride) * n_traj_leaves
+            return 2 * width * rows * LANES * itemsize
+
+        chunk = 0
+        for c in range(1, n_steps + 1):
+            if (
+                n_steps % c == 0
+                and c <= max_chunk
+                and (traj_stride is None or c % traj_stride == 0)
+                and _scoped_bytes(c) <= 12 * 1024 * 1024
+            ):
+                chunk = c
+        if chunk == 0:
+            raise ValueError(
+                "no time chunk fits the streamed noise slabs and trajectory "
+                "blocks under the VMEM budget; use a smaller obs stride"
+            )
     n_time_chunks = n_steps // chunk
 
     state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
     tile = lambda leaf: jnp.asarray(leaf).reshape(total_rows, LANES)
+
+    def _noise_tiled(noise_tm, n_noise):
+        if n_noise == 1:
+            return noise_tm.reshape(n_steps, 1, total_rows, LANES)
+        return jnp.transpose(noise_tm, (0, 2, 1)).reshape(
+            n_steps, n_noise, total_rows, LANES
+        )
+
+    def _noise_spec(n_noise):
+        return pl.BlockSpec(
+            (chunk, n_noise, rows, LANES), lambda b, k: (k, 0, b, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     in_specs = []
     operands = []
     if n_pp:
         in_specs.append(pl.BlockSpec((1, n_pp), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(pp_flat, dtype)[None, :])
+    if obs_cols:
+        in_specs.append(_noise_spec(len(obs_cols)))
+        operands.append(_noise_tiled(obs_noise_tm, len(obs_cols)))
+    if noise_idx:
+        in_specs.append(_noise_spec(len(noise_idx)))
+        operands.append(_noise_tiled(proc_noise_tm, len(noise_idx)))
     in_specs += [state_block() for _ in range(6)]
     operands += [tile(omega)] + [tile(leaf) for leaf in y0]
     if saturated:
@@ -2012,6 +2096,7 @@ def _pmsm_cl_launch(
         chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
         gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
         act_norms, u_dc, emit_u_last, n_carry,
+        obs_cols=obs_cols, noise_idx=noise_idx,
     )
     out = pl.pallas_call(
         kernel,
@@ -2041,24 +2126,33 @@ def _pmsm_cl_launch(
 
 def _plain_pmsm_cl_step(
     saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
-    deadtime, obs_norms, act_norms, u_dc, has_carry=False,
+    deadtime, obs_norms, act_norms, u_dc, has_carry=False, obs_cols=(),
+    noise_idx=(),
 ):
     """The closed-loop kernel's per-step computation in plain (differentiable)
     JAX over ``(B,)`` leaves; returns ``(carry1, pc1, (a_d, a_q, u_con_d,
-    u_con_q))`` with ``pc1 = ()`` for stateless policies."""
+    u_con_q))`` with ``pc1 = ()`` for stateless policies.  With
+    ``obs_cols``/``noise_idx`` the step takes two extra args — the step's
+    pre-scaled sensor/process noise rows ``(B, n)`` — mirroring the
+    kernel's slab application exactly."""
     ode, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
 
     def norm(leaf, idx):
         mn, mx = obs_norms[idx]
         return 2 * (leaf - mn) / (mx - mn) - 1
 
-    def step(carry, pc, t_step, refs, pparams, omega):
+    def step(carry, pc, t_step, refs, pparams, omega, eo=None, ep=None):
         i_d, i_q, eps, bd, bq = carry
         torque = torque_fn((i_d, i_q))
         obs = (
             norm(i_d, 0), norm(i_q, 1), norm(omega, 2), norm(torque, 3),
             jnp.cos(eps), jnp.sin(eps), norm(bd, 4), norm(bq, 5),
         ) + refs
+        if obs_cols:
+            obs = list(obs)
+            for j, col in enumerate(obs_cols):
+                obs[col] = obs[col] + eo[..., j]
+            obs = tuple(obs)
         if has_carry:
             out = policy(obs, t_step, pc, pparams) if has_pp else policy(obs, t_step, pc)
             a, pc1 = out[0], tuple(out[1])
@@ -2079,6 +2173,11 @@ def _plain_pmsm_cl_step(
             lambda tt, yy, act: ode(tt, yy, act, omega),
             solver, (i_d, i_q), u_app, tau, 0.0,
         )
+        if noise_idx:
+            y1 = [i_d1, i_q1]
+            for j, idx in enumerate(noise_idx):
+                y1[idx] = y1[idx] + ep[..., j]
+            i_d1, i_q1 = y1
         rate = _eps_rate(solver, omega)
         eps1 = eps + tau * rate
         eps1 = ((eps1 + jnp.pi) % (2 * jnp.pi)) - jnp.pi
@@ -2087,27 +2186,32 @@ def _plain_pmsm_cl_step(
     return step
 
 
-_N_PMSM_CL_STATIC = 17
+_N_PMSM_CL_STATIC = 19
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_CL_STATIC)))
 def _pmsm_cl_core(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    obs_cols, noise_idx,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
+    obs_noise_tm, proc_noise_tm,
 ):
     """Differentiable closed-loop core: one kernel launch forward; backward
     by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
     scheme as :func:`_pmsm_core_diff` / ``stepper._cl_core``).  Cotangents
     flow to the initial state planes, omega, the normalized references, the
-    policy-parameter vector and (for stateful policies) the initial policy
-    carry; the FSAL ``u_last`` outputs are informational (zero pull-back,
-    like the scan's re-initialized carry).  Returns ``(final, traj,
-    u_last)`` — plus ``final_carry`` when ``carry0`` is given."""
+    policy-parameter vector, (for stateful policies) the initial policy
+    carry, and the streamed noise slabs (reparameterized gradients); the
+    FSAL ``u_last`` outputs are informational (zero pull-back, like the
+    scan's re-initialized carry).  Returns ``(final, traj, u_last)`` —
+    plus ``final_carry`` when ``carry0`` is given."""
     final, traj, u_last, final_carry, _tc = _pmsm_cl_launch(
         n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride,
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
+        obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
+        obs_cols=obs_cols, noise_idx=noise_idx,
     )
     if carry0 is None:
         return final, traj, u_last
@@ -2117,7 +2221,9 @@ def _pmsm_cl_core(
 def _pmsm_cl_core_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    obs_cols, noise_idx,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
+    obs_noise_tm, proc_noise_tm,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
@@ -2126,6 +2232,8 @@ def _pmsm_cl_core_fwd(
         n_steps, tau, saturated, solver, r_s, lin, p15, geom, ckpt,
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
+        obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
+        obs_cols=obs_cols, noise_idx=noise_idx,
     )
     if traj_stride is None:
         traj_out = None
@@ -2137,17 +2245,24 @@ def _pmsm_cl_core_fwd(
         if carry0 is None
         else (final, traj_out, u_last, final_carry)
     )
-    return out, (y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves)
+    return out, (
+        y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
+        obs_noise_tm, proc_noise_tm,
+    )
 
 
 def _pmsm_cl_core_bwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
+    obs_cols, noise_idx,
     res, g,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
-    y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves = res
+    (
+        y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
+        obs_noise_tm, proc_noise_tm,
+    ) = res
     has_carry = carry0 is not None
     if has_carry:
         g_final, g_traj, _g_u_last, g_final_pc = g
@@ -2165,6 +2280,19 @@ def _pmsm_cl_core_bwd(
     inner = _plain_pmsm_cl_step(
         saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
         deadtime, obs_norms, act_norms, u_dc, has_carry=has_carry,
+        obs_cols=obs_cols, noise_idx=noise_idx,
+    )
+    has_on = obs_noise_tm is not None
+    has_pn = proc_noise_tm is not None
+    on_seg = (
+        obs_noise_tm.reshape(n_seg, ckpt, batch, len(obs_cols))
+        if has_on
+        else jnp.zeros((n_seg, ckpt, batch, 0), dtype=dtype)
+    )
+    pn_seg = (
+        proc_noise_tm.reshape(n_seg, ckpt, batch, len(noise_idx))
+        if has_pn
+        else jnp.zeros((n_seg, ckpt, batch, 0), dtype=dtype)
     )
 
     # pre-step electrical angles (state-independent replay, as everywhere)
@@ -2233,15 +2361,18 @@ def _pmsm_cl_core_bwd(
         g_save_seg = tuple(zeros_seg() for _ in range(5))
         g_aux_seg = tuple(zeros_seg() for _ in range(4))
 
-    def seg_apply(y_start, pc_start, t_s, refs, pp, om):
+    def seg_apply(y_start, pc_start, t_s, refs, pp, om, on_s, pn_s):
         ppy = pp_treedef(pp) if has_pp else None
 
-        def body(carry, t_step):
+        def body(carry, xs):
             y, pc = carry
-            y1, pc1, aux = inner(y, pc, t_step, refs, ppy, om)
+            t_step, eo, ep = xs
+            y1, pc1, aux = inner(y, pc, t_step, refs, ppy, om, eo, ep)
             return (y1, pc1), aux
 
-        (y_end, pc_end), aux_all = jax.lax.scan(body, (y_start, pc_start), t_s)
+        (y_end, pc_end), aux_all = jax.lax.scan(
+            body, (y_start, pc_start), (t_s, on_s, pn_s)
+        )
         # only the segment's last step can be a save (ckpt divides traj_stride)
         a_d, a_q, ucd, ucq = (leaf[-1] for leaf in aux_all)
         return y_end, pc_end, (a_d, a_q, ucd, ucq)
@@ -2252,21 +2383,21 @@ def _pmsm_cl_core_bwd(
 
     def bwd_body(carry, xs):
         g_y, g_pc, g_refs, g_pp, g_om = carry
-        start_s, pc_start_s, t_s, g_save_s, g_aux_s = xs
+        start_s, pc_start_s, t_s, g_save_s, g_aux_s, on_s, pn_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
-            lambda y, pc, r, pp, om: seg_apply(y, pc, t_s, r, pp, om),
+            lambda y, pc, r, pp, om, on, pn: seg_apply(y, pc, t_s, r, pp, om, on, pn),
             start_s, pc_start_s, ref_leaves,
-            pp_flat if has_pp else jnp.zeros((0,), dtype), omega,
+            pp_flat if has_pp else jnp.zeros((0,), dtype), omega, on_s, pn_s,
         )
-        gy_in, gpc_in, gr, gpp, gom = vjp_fn((g_y, g_pc, g_aux_s))
+        gy_in, gpc_in, gr, gpp, gom, g_on, g_pn = vjp_fn((g_y, g_pc, g_aux_s))
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
-        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom), None
+        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom), (g_on, g_pn)
 
-    (g_y0, g_pc0, g_refs, g_pp, g_omega), _ = jax.lax.scan(
+    (g_y0, g_pc0, g_refs, g_pp, g_omega), (g_on_all, g_pn_all) = jax.lax.scan(
         bwd_body,
         (g_y, g_final_pc, g_refs0, g_pp0, g_om0),
-        (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg),
+        (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg, on_seg, pn_seg),
         reverse=True,
     )
     return (
@@ -2277,6 +2408,8 @@ def _pmsm_cl_core_bwd(
         None,
         jnp.zeros_like(lut_vals),
         g_pc0 if has_carry else None,
+        g_on_all.reshape(n_steps, batch, len(obs_cols)) if has_on else None,
+        g_pn_all.reshape(n_steps, batch, len(noise_idx)) if has_pn else None,
     )
 
 
@@ -2297,12 +2430,11 @@ def supports_pmsm_fused_closed_loop(env) -> bool:
         + jax.tree_util.tree_leaves(props.action_normalizations)
         + jax.tree_util.tree_leaves(props.static_params)
     )
-    if not all(np.isscalar(leaf) for leaf in leaves):
-        return False
-    # stochastic drives ride the scan closed loop for now (the generic
-    # closed-loop kernel's noise-slab streaming is ported in this round's
-    # later phase)
-    return not getattr(env, "_has_noise", False)
+    # stochastic drives ARE in scope: the launcher streams the pre-scaled
+    # sensor/process draw slabs into the kernel — the policy closes the
+    # loop over the NOISY current/torque measurements (sensorless-style
+    # output feedback under sensor noise at kernel speed)
+    return all(np.isscalar(leaf) for leaf in leaves)
 
 
 def pmsm_fused_closed_loop(
@@ -2456,11 +2588,53 @@ def _pmsm_cl_impl(
     carry0 = (
         tuple(bcast(leaf) for leaf in policy_carry) if has_carry else None
     )
+
+    # stochastic drives: precompute the rollout draw stream (shared
+    # CoreEnvironment._noise_slabs — the scan path's exact per-step chain),
+    # pre-scale, and stream it into the kernel.  Sensor draws feed the
+    # POLICY every step -> slab stride is 1 regardless of the save stride;
+    # the slab is shifted one step (the policy's obs at step i is step
+    # i-1's post-step measurement; obs0 is the exact reset observation).
+    obs_noise_tm = proc_noise_tm = None
+    obs_noise_cols: tuple = ()
+    proc_noise_idx: tuple = ()
+    eps_obs = final_keys = keys_saves = None
+    if getattr(env, "_has_noise", False):
+        keys0 = env._require_noise_key(init_state)
+        eps_proc, eps_obs, keys_saves, final_keys = env._noise_slabs(keys0, n_steps, 1)
+        if eps_proc is not None:
+            proc_items = sorted(env._process_noise.items())
+            coef = jnp.asarray(
+                [s for _, s in proc_items], dtype=eps_proc.dtype
+            ) * jnp.sqrt(env.tau)
+            proc_noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))
+            proc_noise_idx = tuple(("i_d", "i_q").index(n) for n, _ in proc_items)
+        if eps_obs is not None:
+            # closed-loop scope guarantees scalar normalization spans, so
+            # the normalized sigmas are compile-time floats; only the noisy
+            # columns stream (PMSM layout: obs cols 0-3 = i_d, i_q,
+            # omega_el, torque)
+            layout = env._obs_noise_layout
+            sigmas = env._obs_noise_sigma_norm(props)
+            noisy = tuple(
+                (k, col) for k, (col, name) in enumerate(layout)
+                if name in env._observation_noise
+            )
+            obs_noise_cols = tuple(col for _k, col in noisy)
+            scaled = jnp.stack(
+                [float(sigmas[k]) * eps_obs[..., k] for k, _col in noisy], axis=-1
+            )
+            scaled_tm = jnp.transpose(scaled, (1, 0, 2))  # (T, B, n)
+            obs_noise_tm = jnp.concatenate(
+                [jnp.zeros_like(scaled_tm[:1]), scaled_tm[:-1]], axis=0
+            )
+
     core_out = _pmsm_cl_core(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
         obs_stride, gather, interpret, policy, pp_unravel, deadtime,
-        obs_norms, act_norms, u_dc,
+        obs_norms, act_norms, u_dc, obs_noise_cols, proc_noise_idx,
         y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
+        obs_noise_tm, proc_noise_tm,
     )
     if has_carry:
         final, traj, u_last, final_carry = core_out
@@ -2479,6 +2653,7 @@ def _pmsm_cl_impl(
             jax.lax.stop_gradient(i_d), jax.lax.stop_gradient(i_q),
             jax.lax.stop_gradient(eps_final), u_app_last, omega,
         )
+    key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}
     final_state = structures.replace(
         init_state,
         physical_state=env.PhysicalState(
@@ -2494,10 +2669,17 @@ def _pmsm_cl_impl(
             solver_state=solver_state,
             active_solver_state=jnp.full(batch, True),
         ),
+        **key_kwargs,
     )
     obs_final = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
         final_state, props
     )
+    if eps_obs is not None:
+        # the returned observation is the final step's post-step measurement
+        # — that step's own sensor draw, exactly like the scan path
+        from exciting_environments_tpu.ops.pallas.stepper import _apply_obs_noise_slab
+
+        obs_final = _apply_obs_noise_slab(env, obs_final, eps_obs[:, -1], props=props)
     if obs_stride is None:
         if has_carry:
             return obs_final, final_state, final_carry
@@ -2533,8 +2715,14 @@ def _pmsm_cl_impl(
             omega_el=jnp.broadcast_to(omega[:, None], (batch, n_saves)),
         ),
         PRNGKey=(
-            lambda key: jnp.broadcast_to(key[:, None, ...], (batch, n_saves) + key.shape[1:])
-        )(jnp.asarray(init_state.PRNGKey)),
+            keys_saves[:, obs_stride - 1 :: obs_stride]
+            if keys_saves is not None
+            else (
+                lambda key: jnp.broadcast_to(
+                    key[:, None, ...], (batch, n_saves) + key.shape[1:]
+                )
+            )(jnp.asarray(init_state.PRNGKey))
+        ),
         additions=env.Additions(
             solver_state=None,
             active_solver_state=jnp.full((batch, n_saves), True),
@@ -2548,6 +2736,13 @@ def _pmsm_cl_impl(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(traj_state, props)
+    if eps_obs is not None:
+        # each saved observation carries its own step's sensor draw
+        from exciting_environments_tpu.ops.pallas.stepper import _apply_obs_noise_slab
+
+        obs_traj = _apply_obs_noise_slab(
+            env, obs_traj, eps_obs[:, obs_stride - 1 :: obs_stride], props=props
+        )
     actions_traj = jnp.stack([a_d_t, a_q_t], axis=-1)
     if return_traj_states:
         if has_carry:

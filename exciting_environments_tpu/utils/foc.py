@@ -94,6 +94,7 @@ __all__ = [
     "make_foc_tile",
     "make_sensorless_foc_tile",
     "make_eesm_current_tile",
+    "make_pmsm_sensorless_current_tile",
 ]
 
 
@@ -626,4 +627,298 @@ def make_eesm_current_tile(
 
     B = model.batch_size
     carry0 = (jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)))
+    return policy_tile, carry0
+
+
+def make_pmsm_sensorless_current_tile(
+    model,
+    *,
+    i_d_ref: float,
+    i_q_ref: float,
+    omega_el: float = None,
+    kp_d: float = None,
+    kp_q: float = None,
+    ki_d: float = None,
+    ki_q: float = None,
+    process_std: dict = None,
+    measurement_std: dict = None,
+    q_floor: float = 1e-8,
+):
+    """Sensorless current control of the LINEAR-magnetics PMSM drive fully
+    inside the fused closed-loop kernel: stationary-Kalman current observer
+    + decoupled PI current law, one stateful tile policy.
+
+    The drive's only measurements are the NOISY normalized current columns
+    the stochastic closed-loop kernel streams (``observation_noise`` on
+    ``i_d``/``i_q``); the tile assimilates them with a CONSTANT Kalman gain
+    and closes the current loop on the filtered belief — the same
+    measure → assimilate → control composition
+    :func:`make_sensorless_foc_tile` runs for the induction machine, here
+    for the machine the framework is named after.  Validity rests on three
+    structural facts, each enforced at construction:
+
+    * at frozen electrical speed the linear-magnetics dq current subsystem
+      is LTI (``PMSM.linear_ode``), so the EKF's Riccati recursion
+      collapses to one constant gain.  The discrete transition is the
+      affine map of the env's OWN solver step over ``tau`` (extracted with
+      ``jax.jacobian`` — exact for any explicit RK method on a linear
+      ODE), folded into normalized observation coordinates;
+    * the PI commands are vector-limited to the hexagon's INSCRIBED circle
+      (``|u_dq| <= u_dc / sqrt(3)``), where the inverter constraint is
+      provably inactive — the voltage the kernel applies IS the command
+      the observer predicted with (the rotate-clip-rotate composition is
+      the identity there), so the observer model stays consistent;
+    * ``deadtime`` in {0, 1}: under deadtime the voltage applied at step
+      ``t`` is the command from ``t - 1``, carried as two extra belief
+      planes so the predict uses the physically applied voltage.
+
+    SATURATED-DRIVE REFUSAL (measured, not aspirational): with LUT
+    magnetics the differential-inductance matrix varies along the
+    trajectory, so no constant gain is simultaneously correct at the
+    origin and at the MTPA operating point — on the BRUSA map the d-axis
+    differential inductance falls by >3x from zero current to rated
+    current, i.e. a stationary gain tuned at either point mis-weights
+    innovations by that factor at the other.  A gain-scheduled observer
+    (LUT-indexed K) is the principled extension; until it exists the
+    saturated drive raises here and runs output feedback through the
+    host-side EKF (:func:`~exciting_environments_tpu.utils.ofc.
+    run_output_feedback_controller`), whose per-step relinearization IS
+    the gain schedule.
+
+    Args:
+        model: a linear-magnetics :class:`PMSM` with scalar properties and
+            ``deadtime`` in {0, 1}.  Its ``process_noise`` /
+            ``observation_noise`` configuration doubles as the observer's
+            Q/R (a filter matched to the simulated disturbances).
+        i_d_ref / i_q_ref: current setpoints [A], Python scalars.
+        omega_el: the frozen electrical speed [rad/s] the fleet runs at
+            (default: the mid-band speed ``init_state`` resets to).  The
+            transition matrices are built at this speed.
+        kp_d / kp_q / ki_d / ki_q: PI gains (defaults place both loops at
+            ~2 krad/s for the machine's own inductances, integral time
+            5 ms).
+        process_std / measurement_std: per-field overrides of the env's
+            noise config for the observer's Q/R [physical units].
+        q_floor: diagonal process-covariance floor (normalized units^2) —
+            keeps the Riccati iteration well-posed for a noise-free plant
+            and guards against model mismatch.
+
+    Returns:
+        ``(policy_tile, carry0)`` for ``env.fused_closed_loop(...,
+        policy_carry=carry0)`` / ``FleetRunner.run_policy`` /
+        ``RolloutCollector.collect_policy_fused`` — the carry is the 2
+        normalized belief planes, the 2 PI integrators [V], and (deadtime
+        only) the 2 previous normalized commands.  The identical tile
+        rides ``tile_policy_scan`` draw for draw on the CPU backend.
+    """
+    import jax
+    import numpy as np
+
+    from exciting_environments_tpu.ops.pallas.stepper import _rk_step
+
+    props = model.env_properties
+    if bool(props.saturated):
+        raise ValueError(
+            "make_pmsm_sensorless_current_tile covers the LINEAR-magnetics "
+            "drive only: with LUT saturation the differential inductance "
+            "varies >3x over the operating range (BRUSA map), so no "
+            "stationary gain is uniformly correct — use the host-side EKF "
+            "loop (utils.ofc.run_output_feedback_controller), whose per-step "
+            "relinearization is the required gain schedule"
+        )
+
+    def _scalar(name):
+        v = np.asarray(getattr(props.static_params, name))
+        if v.ndim != 0:
+            raise ValueError(
+                f"make_pmsm_sensorless_current_tile needs scalar static "
+                f"params; {name} has shape {v.shape}"
+            )
+        return float(v)
+
+    r_s, l_d, l_q, psi_p = (_scalar(n) for n in ("r_s", "l_d", "l_q", "psi_p"))
+    u_dc = _scalar("u_dc")
+    deadtime = int(_scalar("deadtime"))
+    if deadtime not in (0, 1):
+        raise ValueError("deadtime must be 0 or 1")
+    tau = float(model.tau)
+
+    pn = props.physical_normalizations
+    try:
+        spans = {
+            n: (float(getattr(pn, n).min), float(getattr(pn, n).max))
+            for n in ("i_d", "i_q", "omega_el")
+        }
+        an = props.action_normalizations
+        aspans = {
+            n: (float(getattr(an, n).min), float(getattr(an, n).max))
+            for n in ("u_d", "u_q")
+        }
+    except TypeError as e:
+        raise ValueError(
+            "make_pmsm_sensorless_current_tile needs scalar normalizations "
+            "(the fused closed-loop kernel folds them into the program)"
+        ) from e
+
+    if omega_el is None:
+        omega_el = 0.5 * (spans["omega_el"][0] + spans["omega_el"][1])
+    omega_el = float(omega_el)
+
+    # ---- discrete affine transition in NORMALIZED coordinates -----------
+    # one env solver step of the LTI current subsystem at frozen speed,
+    # commanded voltages inside the hexagon's inscribed circle (constraint
+    # provably inactive there) — exact for any explicit RK on a linear ODE
+    solver = model._solver
+
+    def _phys_step(y, u):
+        def ode(t, yy, act):
+            i_d, i_q = yy
+            return (
+                (act[0] + omega_el * l_q * i_q - r_s * i_d) / l_d,
+                (act[1] - omega_el * (l_d * i_d + psi_p) - r_s * i_q) / l_q,
+            )
+
+        return _rk_step(ode, solver, y, u, tau, 0.0)
+
+    def _norm_map(v):
+        xn, a = v[:2], v[2:]
+        x = tuple(
+            (xi + 1.0) / 2.0 * (mx - mn) + mn
+            for xi, (mn, mx) in zip(xn, (spans["i_d"], spans["i_q"]))
+        )
+        u = tuple(
+            (ai + 1.0) / 2.0 * (mx - mn) + mn
+            for ai, (mn, mx) in zip(a, (aspans["u_d"], aspans["u_q"]))
+        )
+        x1 = _phys_step(x, u)
+        return jnp.stack(
+            [
+                2.0 * (xi - mn) / (mx - mn) - 1.0
+                for xi, (mn, mx) in zip(x1, (spans["i_d"], spans["i_q"]))
+            ]
+        )
+
+    v0 = jnp.zeros((4,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    J = np.asarray(jax.jacobian(_norm_map)(v0), np.float64)
+    c_n = np.asarray(_norm_map(v0), np.float64)
+    A_n, B_n = J[:, :2], J[:, 2:]
+    # linearity check at a random probe (a nonlinear config must not slip
+    # through silently); tolerance scales with the trace dtype — without
+    # x64 the jacobian itself carries f32 rounding, and the failure mode
+    # this guards against (LUT magnetics slipping through) is O(1)
+    probe = jnp.asarray(np.array([0.31, -0.22, 0.17, -0.4]), v0.dtype)
+    exact = np.asarray(_norm_map(probe), np.float64)
+    affine = c_n + J @ np.asarray(probe, np.float64)
+    tol = 1e4 * float(np.finfo(np.asarray(v0).dtype).eps)
+    if not np.allclose(exact, affine, rtol=tol, atol=tol):
+        raise ValueError("PMSM current subsystem is not affine at this config")
+
+    # ---- stationary Kalman gain (2x2, C = I on the noisy current cols) --
+    pnoise = dict(model._process_noise or {})
+    if process_std:
+        pnoise.update(process_std)
+    mnoise = dict(model._observation_noise or {})
+    if measurement_std:
+        mnoise.update(measurement_std)
+    if not ("i_d" in mnoise and "i_q" in mnoise):
+        raise ValueError(
+            "the observer needs current-sensor noise levels: configure "
+            "observation_noise={'i_d': ..., 'i_q': ...} on the model or "
+            "pass measurement_std"
+        )
+    s_d = 2.0 / (spans["i_d"][1] - spans["i_d"][0])
+    s_q = 2.0 / (spans["i_q"][1] - spans["i_q"][0])
+    Q = np.diag(
+        [
+            (s_d * pnoise.get("i_d", 0.0) * np.sqrt(tau)) ** 2 + q_floor,
+            (s_q * pnoise.get("i_q", 0.0) * np.sqrt(tau)) ** 2 + q_floor,
+        ]
+    )
+    R = np.diag([(s_d * mnoise["i_d"]) ** 2, (s_q * mnoise["i_q"]) ** 2])
+    P = Q.copy()
+    for _ in range(200_000):
+        S = P + R
+        Kp = P @ np.linalg.inv(S)
+        P_next = A_n @ (P - Kp @ P) @ A_n.T + Q
+        if np.max(np.abs(P_next - P)) < 1e-14:
+            P = P_next
+            break
+        P = P_next
+    K = P @ np.linalg.inv(P + R)
+    K = [[float(v) for v in row] for row in K]
+    A_l = [[float(v) for v in row] for row in A_n]
+    B_l = [[float(v) for v in row] for row in B_n]
+    c_l = [float(v) for v in c_n]
+
+    # ---- PI current law on the belief -----------------------------------
+    kp_d = 2000.0 * l_d if kp_d is None else kp_d
+    kp_q = 2000.0 * l_q if kp_q is None else kp_q
+    ki_d = kp_d / 5e-3 if ki_d is None else ki_d
+    ki_q = kp_q / 5e-3 if ki_q is None else ki_q
+    u_max_d = min(abs(aspans["u_d"][0]), abs(aspans["u_d"][1]))
+    u_max_q = min(abs(aspans["u_q"][0]), abs(aspans["u_q"][1]))
+    # hexagon inscribed circle: |u_dq| <= u_dc / sqrt(3) keeps the inverter
+    # constraint inactive (command == applied voltage)
+    u_lim = min(u_max_d, u_max_q, float(u_dc) / float(np.sqrt(3.0)))
+    i_d_ref, i_q_ref = float(i_d_ref), float(i_q_ref)
+    (mn_d, mx_d), (mn_q, mx_q) = spans["i_d"], spans["i_q"]
+    (amn_d, amx_d), (amn_q, amx_q) = aspans["u_d"], aspans["u_q"]
+
+    def policy_tile(obs, t, carry):
+        xh_d, xh_q, int_d, int_q = carry[:4]
+        # assimilate the noisy normalized current measurements
+        in_d = obs[0] - xh_d
+        in_q = obs[1] - xh_q
+        xc_d = xh_d + K[0][0] * in_d + K[0][1] * in_q
+        xc_q = xh_q + K[1][0] * in_d + K[1][1] * in_q
+        i_d = (xc_d + 1.0) / 2.0 * (mx_d - mn_d) + mn_d
+        i_q = (xc_q + 1.0) / 2.0 * (mx_q - mn_q) + mn_q
+        # decoupled PI on the BELIEF: resistive drop at the setpoint, speed
+        # cross-terms on the estimated currents
+        e_d = i_d_ref - i_d
+        e_q = i_q_ref - i_q
+        u_d_unsat = kp_d * e_d + int_d + r_s * i_d_ref - omega_el * l_q * i_q
+        u_q_unsat = kp_q * e_q + int_q + r_s * i_q_ref + omega_el * (l_d * i_d + psi_p)
+        u_mag = jnp.sqrt(u_d_unsat**2 + u_q_unsat**2)
+        scale = jnp.minimum(1.0, u_lim / jnp.maximum(u_mag, 1e-9))
+        u_d = u_d_unsat * scale
+        u_q = u_q_unsat * scale
+        int_d1 = int_d + ki_d * tau * e_d + (tau * ki_d / kp_d) * (u_d - u_d_unsat)
+        int_q1 = int_q + ki_q * tau * e_q + (tau * ki_q / kp_q) * (u_q - u_q_unsat)
+        a_d = 2.0 * (u_d - amn_d) / (amx_d - amn_d) - 1.0
+        a_q = 2.0 * (u_q - amn_q) / (amx_q - amn_q) - 1.0
+        if deadtime:
+            # the voltage applied THIS step is the previous command; the
+            # fresh command enters the carried delay slot
+            ap_d, ap_q = carry[4], carry[5]
+        else:
+            ap_d, ap_q = a_d, a_q
+        xn_d = (
+            c_l[0]
+            + A_l[0][0] * xc_d + A_l[0][1] * xc_q
+            + B_l[0][0] * ap_d + B_l[0][1] * ap_q
+        )
+        xn_q = (
+            c_l[1]
+            + A_l[1][0] * xc_d + A_l[1][1] * xc_q
+            + B_l[1][0] * ap_d + B_l[1][1] * ap_q
+        )
+        new_carry = (xn_d, xn_q, int_d1, int_q1)
+        if deadtime:
+            new_carry = new_carry + (a_d, a_q)
+        return (a_d, a_q), new_carry
+
+    B = model.batch_size
+    # initial belief: the normalized reset currents (mid-band); initial
+    # delayed command: the reset buffer's 0 V, normalized
+    x0_d = float(2.0 * (0.0 - mn_d) / (mx_d - mn_d) - 1.0)
+    x0_q = float(2.0 * (0.0 - mn_q) / (mx_q - mn_q) - 1.0)
+    carry0 = (
+        jnp.full((B,), x0_d), jnp.full((B,), x0_q),
+        jnp.zeros((B,)), jnp.zeros((B,)),
+    )
+    if deadtime:
+        a0_d = float(2.0 * (0.0 - amn_d) / (amx_d - amn_d) - 1.0)
+        a0_q = float(2.0 * (0.0 - amn_q) / (amx_q - amn_q) - 1.0)
+        carry0 = carry0 + (jnp.full((B,), a0_d), jnp.full((B,), a0_q))
     return policy_tile, carry0

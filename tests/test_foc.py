@@ -470,3 +470,65 @@ def test_controller_runner_validates_like_mppi():
         ofc.run_output_feedback_controller(
             plant, model, state, 4, controller, controller_carry=carry0
         )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("deadtime", [0, 1])
+def test_pmsm_sensorless_current_tile_in_kernel(deadtime):
+    """Round-4 capstone: sensorless current control of the linear PMSM fully
+    inside the fused closed-loop kernel — stationary-Kalman current observer
+    assimilating the NOISY streamed measurements + decoupled PI on the
+    belief.  The fleet settles on setpoints it never directly measures, the
+    belief beats the raw sensor, and the kernel is draw-identical to the
+    slab-consuming scan fallback in both deadtime modes."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    BATCH, T, OMEGA = 1024, 400, 1200.0
+    params = dict(excenvs.MotorVariant.DEFAULT.get_params().static_params.__dict__)
+    params["deadtime"] = deadtime
+    env = excenvs.PMSM(
+        batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT,
+        static_params=params,
+        process_noise={"i_d": 2.0, "i_q": 2.0},
+        observation_noise={"i_d": 5.0, "i_q": 5.0},
+    )
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+    with structures.copy_and_mutate(state, validate=True) as state:
+        # the observer/law run at ONE frozen electrical speed (the LTI
+        # premise); pin the fleet there
+        state.physical_state.omega_el = jnp.full(BATCH, OMEGA)
+    tile, carry0 = foc.make_pmsm_sensorless_current_tile(
+        env, i_d_ref=-30.0, i_q_ref=60.0, omega_el=OMEGA
+    )
+    _obs, last, fc = pmsm_fused_closed_loop(
+        env, state, tile, T, policy_carry=carry0, gather="take", interpret=True
+    )
+    i_d = np.asarray(last.physical_state.i_d)
+    i_q = np.asarray(last.physical_state.i_q)
+    assert abs(i_d.mean() + 30.0) < 2.0 and abs(i_q.mean() - 60.0) < 2.0
+
+    # the belief filters below the raw sensor noise floor
+    pn = env.env_properties.physical_normalizations
+    mx, mn = float(pn.i_d.max), float(pn.i_d.min)
+    belief_d = (np.asarray(fc[0]) + 1) / 2 * (mx - mn) + mn
+    assert np.sqrt(np.mean((belief_d - i_d) ** 2)) < 5.0
+
+    # kernel == slab-consuming scan, draw for draw
+    out_s = tile_policy_scan(env, state, T, tile, None, False, policy_carry=carry0)
+    np.testing.assert_allclose(
+        i_d, np.asarray(out_s[1].physical_state.i_d), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_pmsm_sensorless_tile_saturated_refusal():
+    """The saturated drive raises with the documented gain-schedule
+    rationale (stationary gain invalid under >3x inductance variation)."""
+    env = excenvs.PMSM(
+        batch_size=8, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        observation_noise={"i_d": 1.0, "i_q": 1.0},
+    )
+    with pytest.raises(ValueError, match="LINEAR-magnetics"):
+        foc.make_pmsm_sensorless_current_tile(env, i_d_ref=0.0, i_q_ref=10.0)

@@ -617,3 +617,82 @@ def test_pmsm_fused_closed_loop_out_of_scope_raises():
 
     with pytest.raises(ValueError, match="scope"):
         small.fused_closed_loop(ss, policy_tile, 4, interpret=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [(False, excenvs.MotorVariant.DEFAULT), (True, excenvs.MotorVariant.BRUSA)],
+)
+def test_pmsm_closed_loop_stochastic_draw_parity(saturated, variant, noise_mode):
+    """Round-4: stochastic drives stay in CLOSED-LOOP kernel scope — the
+    sensor slab feeds the in-kernel policy (output feedback over noisy
+    measurements) and the process slab perturbs the carried currents,
+    draw-identical to the slab-consuming scan fallback in both noise modes,
+    with keys threaded and reparameterized gradients finite."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+        supports_pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=saturated, motor_variant=variant,
+        process_noise={"i_d": 0.5, "i_q": 0.3},
+        observation_noise={"i_d": 0.02, "torque": 0.05},
+        noise_mode=noise_mode,
+    )
+    assert supports_pmsm_fused_closed_loop(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+
+    def policy_tile(obs, t):
+        return (-0.4 * obs[0], -0.4 * obs[1] + 0.2)
+
+    obs_f, last_f = pmsm_fused_closed_loop(
+        env, state, policy_tile, T, gather="take", interpret=True
+    )
+    obs_s, last_s = tile_policy_scan(env, state, T, policy_tile, None, False)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
+    _assert_state_close(last_s, last_f)
+    assert jnp.array_equal(jnp.asarray(last_f.PRNGKey), jnp.asarray(last_s.PRNGKey))
+
+    # differentiable through the streamed slabs (policy-parameter gradient)
+    def loss(pp):
+        def pol(obs, t, params):
+            return (params * obs[0], params * obs[1])
+
+        o, _ = pmsm_fused_closed_loop(
+            env, state, pol, T, policy_params=pp, gather="take", interpret=True
+        )
+        return jnp.sum(o**2)
+
+    assert bool(jnp.isfinite(jax.grad(loss)(jnp.asarray(-0.3))))
+
+
+@pytest.mark.slow
+def test_pmsm_closed_loop_stochastic_trajectory_keys():
+    """Trajectory mode under noise: per-save PRNG keys advance (resuming
+    from a saved state must not replay consumed draws) and each saved
+    observation carries its own step's sensor draw."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_closed_loop
+
+    env = excenvs.PMSM(
+        batch_size=BATCH, motor_variant=excenvs.MotorVariant.DEFAULT,
+        observation_noise={"i_d": 0.05},
+    )
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+
+    def policy_tile(obs, t):
+        return (-0.3 * obs[0], -0.3 * obs[1])
+
+    obs_t, act_t, traj_state, last, = pmsm_fused_closed_loop(
+        env, state, policy_tile, T, obs_stride=4, gather="take",
+        interpret=True, return_traj_states=True,
+    )
+    keys = np.asarray(jax.random.key_data(traj_state.PRNGKey)) if hasattr(
+        jax.random, "key_data"
+    ) and traj_state.PRNGKey.dtype != jnp.uint32 else np.asarray(traj_state.PRNGKey)
+    # consecutive saves hold different (advanced) keys
+    assert not np.array_equal(keys[:, 0], keys[:, 1])
+    assert np.isfinite(np.asarray(obs_t)).all()

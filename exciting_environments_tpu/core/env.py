@@ -712,13 +712,33 @@ class CoreEnvironment:
             ``core_env.py:435-439``) — equality holds for Euler.
 
         Returns ``(observations, states, last_state)``.
+
+        Stochastic envs (``process_noise``/``observation_noise``) integrate
+        as an SDE for ONE-STAGE solvers (the Euler default): the drift step
+        on the observation grid is followed by an Euler–Maruyama increment
+        ``sigma * sqrt(obs_stepsize) * xi`` per configured field, and each
+        saved observation carries its own sensor draw — at ``obs_stepsize ==
+        action_stepsize`` this consumes the same per-step key chain as
+        repeated :meth:`step` calls.  Multistage solvers raise: their
+        intermediate stages have no agreed stochastic semantics (the
+        Itô–Taylor expansion behind an RK tableau does not commute with
+        additive noise beyond weak order 1), so silently integrating the
+        drift at high order under order-0.5 noise would misrepresent the
+        result.
         """
         if self._has_noise:
-            raise ValueError(
-                "sim_ahead integrates the deterministic trajectory solve and does not "
-                "support process/observation noise — step the stochastic env through "
-                "vmap_step / vmap_rollout instead."
-            )
+            from exciting_environments_tpu.ops.solvers import ExplicitRungeKutta
+
+            if not (
+                isinstance(self._solver, ExplicitRungeKutta)
+                and self._solver.b == (1.0,)
+            ):
+                raise ValueError(
+                    "stochastic sim_ahead is defined for one-stage solvers "
+                    "only (Euler–Maruyama on the observation grid); multistage "
+                    "tableaus have no agreed SDE semantics — integrate with "
+                    'solver="euler" or step through vmap_step / vmap_rollout.'
+                )
         assert actions.ndim == 2, "The actions need to have two dimensions: (n_action_steps, action_dim)"
         assert actions.shape[-1] == self.action_dim, (
             f"The last dimension does not correspond to the action dim which is "
@@ -732,14 +752,110 @@ class CoreEnvironment:
 
         actions = jax.vmap(self.denormalize_action, in_axes=(0, None))(actions, env_properties)
 
-        states = self._ode_solver_simulate_ahead(
-            init_state, actions, env_properties.static_params, obs_stepsize, action_stepsize
-        )
+        if self._has_noise:
+            states, eps_obs = self._sde_simulate_ahead(
+                init_state, actions, env_properties, obs_stepsize, action_stepsize
+            )
+        else:
+            states = self._ode_solver_simulate_ahead(
+                init_state, actions, env_properties.static_params, obs_stepsize, action_stepsize
+            )
+            eps_obs = None
         observations = jax.vmap(self.generate_observation, in_axes=(0, None))(states, env_properties)
+        if eps_obs is not None and self._observation_noise:
+            # each post-step save carries its own step's sensor draw; the
+            # initial row is the exact state (no draw consumed yet)
+            noisy_tail = jax.vmap(
+                self._apply_observation_noise_eps, in_axes=(0, None, 0)
+            )(observations[1:], env_properties, eps_obs)
+            observations = jnp.concatenate([observations[:1], noisy_tail], axis=0)
 
         # per-leaf time indexing preserves the single-state tree structure
         last_state = self._index_time(states, -1)
         return observations, states, last_state
+
+    def _sde_simulate_ahead(self, init_state, actions, env_properties, obs_stepsize, action_stepsize):
+        """Euler–Maruyama trajectory solve on the observation grid (the
+        stochastic counterpart of :meth:`_ode_solver_simulate_ahead`,
+        one-stage solvers only).
+
+        Per observation step: the exact one-stage drift update ``y + dt *
+        f`` (the ``b == (1.0,)`` invariant of ``solvers._weighted_increment``)
+        under the ZOH action, then the diffusion increment ``sigma *
+        sqrt(dt) * xi`` on the raw (unwrapped, sim-ahead-contract) carry;
+        keys advance via :meth:`_noise_step_keys`, so at ``obs_stepsize ==
+        action_stepsize`` the draw stream equals chained :meth:`step` calls
+        in BOTH noise modes.  Saves are wrapped/clipped like the
+        deterministic path and each save carries ITS step's advanced key —
+        resuming from a saved state must not replay consumed draws.
+        Returns ``(states, eps_obs)`` with ``eps_obs`` the per-post-step-save
+        standard-normal sensor draws ``(n_steps, n_layout)``.
+        """
+        from exciting_environments_tpu.ops.rollout import zoh_action
+
+        f = self._vector_field(zoh_action(actions, action_stepsize))
+        y0 = self._physical_to_y(init_state.physical_state)
+        args = env_properties.static_params
+        t1 = action_stepsize * actions.shape[0]
+        n_steps = int(t1 / obs_stepsize)
+        dt = obs_stepsize
+        key0 = self._require_noise_key(init_state)
+
+        proc_items = sorted(self._process_noise.items()) if self._process_noise else []
+        idxs = tuple(self._ode_state_fields.index(nm) for nm, _ in proc_items)
+        sqrt_dt = jnp.sqrt(dt)
+        n_layout = len(self._obs_noise_layout)
+        want_obs = bool(self._observation_noise)
+
+        def body(carry, t):
+            y, key = carry
+            new_key, k_p, k_o = self._noise_step_keys(key)
+            dy = f(t, y, args)
+            y1 = tuple(yl + dt * dyl for yl, dyl in zip(y, dy))
+            if proc_items:
+                eps = jax.random.normal(k_p, (len(proc_items),))
+                y1 = list(y1)
+                for j, i in enumerate(idxs):
+                    y1[i] = y1[i] + proc_items[j][1] * sqrt_dt * eps[j]
+                y1 = tuple(y1)
+            eps_o = (
+                jax.random.normal(k_o, (n_layout,)) if want_obs else jnp.zeros((0,))
+            )
+            return (y1, new_key), (y1, new_key, eps_o)
+
+        ts = jnp.arange(n_steps) * dt
+        (_, _key_last), (ys_tail, keys_tail, eps_obs) = jax.lax.scan(
+            body, (y0, key0), ts
+        )
+        ys = tuple(
+            jnp.concatenate([jnp.asarray(l0)[None], tail], axis=0)
+            for l0, tail in zip(y0, ys_tail)
+        )
+        ys = self._wrap_angles(ys)
+        ys = self._clip_state(ys)
+        obs_len = n_steps + 1
+
+        physical_states = self.PhysicalState(**dict(zip(self._ode_state_fields, ys)))
+        reference = self.PhysicalState(
+            **{
+                field.name: jnp.full(obs_len, getattr(init_state.reference, field.name))
+                for field in fields(self.PhysicalState)
+            }
+        )
+        y_last = tuple(leaf[-1] for leaf in ys)
+        solver_state = self._solver.init(f, t1, t1 + self.tau, y_last, args)
+        additions = self.Additions(
+            solver_state=self.repeat_values(solver_state, obs_len),
+            active_solver_state=jnp.full(obs_len, True),
+        )
+        keys = jnp.concatenate([jnp.asarray(key0)[None], keys_tail], axis=0)
+        states = self.State(
+            physical_state=physical_states,
+            PRNGKey=keys,
+            additions=additions,
+            reference=reference,
+        )
+        return states, eps_obs
 
     @partial(jax.jit, static_argnums=0)
     def generate_rew_trunc_term_ahead(self, states, actions, env_properties):

@@ -118,17 +118,75 @@ def test_deterministic_paths_guard():
     st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))[1]
 
     # step-mode rollouts ride the fused kernel (precomputed noise stream);
-    # the trajectory solve stays deterministic-only
+    # the trajectory solve runs on the scan (Euler–Maruyama, round 4)
     assert rollout_path(env) == "fused"
     assert rollout_path(env, obs_stepsize=TAU, action_stepsize=TAU) == "scan"
-    with pytest.raises(ValueError, match="sim_ahead"):
-        env.vmap_sim_ahead(st, jnp.zeros((1024, 4, 1)), env.tau, env.tau)
+    # multistage solvers raise: an RK tableau's intermediate stages have no
+    # agreed SDE semantics (stochastic sim_ahead is one-stage only)
+    env_ms = excenvs.Pendulum(batch_size=1024, tau=TAU, process_noise={"omega": 0.5}, solver="tsit5")
+    st_ms = env_ms.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 1024))[1]
+    with pytest.raises(ValueError, match="one-stage"):
+        env_ms.vmap_sim_ahead(st_ms, jnp.zeros((1024, 4, 1)), env_ms.tau, env_ms.tau)
     with pytest.raises(ValueError, match="adaptive_rollout"):
         adaptive_rollout(env, st, jnp.zeros((1024, 4, 1)))
     # key-less reset carries the NaN placeholder -> clear trace-time error
     _, nokey = env.vmap_reset()
     with pytest.raises(ValueError, match="PRNG"):
         env.vmap_step(nokey, jnp.zeros((1024, 1)))
+
+
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_stochastic_sim_ahead_matches_step_loop(noise_mode):
+    """Round-4: stochastic ``sim_ahead`` (Euler–Maruyama on the obs grid) —
+    at ``obs_stepsize == action_stepsize`` it consumes the step path's exact
+    per-step key chain in both noise modes; finer observation grids
+    integrate the SDE on the finer grid; per-save keys advance."""
+    B_, T_ = 64, 20
+    env = excenvs.Pendulum(
+        batch_size=B_, tau=TAU, process_noise={"omega": 0.8},
+        observation_noise={"theta": 0.01}, noise_mode=noise_mode,
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (B_, T_, 1), minval=-0.5, maxval=0.5)
+    obs_sa, states, last = env.vmap_sim_ahead(st, acts, env.tau, env.tau)
+
+    s = st
+    obs_rows = []
+    for t in range(T_):
+        o, s = env.vmap_step(s, acts[:, t])
+        obs_rows.append(o)
+    obs_step = jnp.stack(obs_rows, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(obs_sa[:, 1:]), np.asarray(obs_step), rtol=1e-10, atol=1e-12
+    )
+    assert jnp.array_equal(jnp.asarray(last.PRNGKey), jnp.asarray(s.PRNGKey))
+
+    # finer observation grid: SDE on the finer grid, finite throughout
+    obs_f, states_f, _ = env.vmap_sim_ahead(st, acts, env.tau / 4, env.tau)
+    assert obs_f.shape[1] == 4 * T_ + 1 and np.isfinite(np.asarray(obs_f)).all()
+    # per-save keys advance (resume must not replay consumed draws)
+    k = jnp.asarray(states.PRNGKey)
+    assert not jnp.array_equal(k[:, 4], k[:, 5])
+
+    # the initial row is the exact reset observation (no draw consumed) —
+    # closeness-gated: the XLA CPU backend's context-dependent FMA
+    # contraction perturbs the same normalization arithmetic by ~1 ulp
+    # between compilation contexts (see tests/test_pallas_pmsm.py docstring)
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        st, env.env_properties
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_sa[:, 0]), np.asarray(obs0), rtol=1e-13, atol=1e-14
+    )
+
+
+def test_stochastic_sim_ahead_clipped_env_stays_physical():
+    """The FluidTank's in-ODE clamp plus save-clipping keep the stochastic
+    trajectory finite and non-negative under large disturbances."""
+    env = excenvs.FluidTank(batch_size=32, process_noise={"height": 0.5})
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(2), 32))
+    obs, _, _ = env.vmap_sim_ahead(st, jnp.zeros((32, 50, 1)), env.tau, env.tau)
+    assert np.isfinite(np.asarray(obs)).all() and float(jnp.min(obs)) >= -1e-12
 
 
 @pytest.mark.parametrize("noise_mode", ["exact", "fast"])

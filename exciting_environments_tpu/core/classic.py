@@ -115,9 +115,12 @@ class ClassicODEEnvironment(CoreEnvironment):
                 Turns the env into an SDE simulator for robustness training
                 and estimator stress-testing; the stochastic paths are
                 ``step`` / ``vmap_step`` / ``vmap_rollout`` (and everything
-                built on them: RL, MPC, wrappers, collectors) — ``sim_ahead``,
-                ``adaptive_rollout`` and the fused kernels are deterministic
-                solvers and raise / fall out of scope.
+                built on them: RL, MPC, wrappers, collectors), the fused
+                step-mode/closed-loop kernels (draw-identical streamed
+                slabs), and — for one-stage solvers — ``sim_ahead`` as an
+                Euler–Maruyama trajectory solve on the observation grid;
+                multistage ``sim_ahead`` and ``adaptive_rollout`` are
+                deterministic solvers and raise.
             observation_noise: Optional ``{field: sigma}`` Gaussian sensor
                 noise on the observed physical components (sigma in physical
                 units, scalar; scaled into the normalized band through the

@@ -27,3 +27,25 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compiled-program accumulation.
+
+    The full suite compiles thousands of XLA:CPU executables; around test
+    ~350 of a single-process run, XLA's CPU JIT segfaults inside
+    ``backend_compile_and_load`` while compiling yet another program
+    (reproduced 3/3 on this box, crash stack in the round-4 log: the
+    stateful closed-loop VJP compile after ~5 GB of live executables).
+    Every module passes in a fresh process, so the crash is accumulated
+    compile-state, not any one program.  Dropping the jit caches after each
+    module keeps the live-executable volume at single-module levels — the
+    regime every module already proves stable — at the cost of
+    recompilation for the handful of programs shared across modules.
+    """
+    yield
+    jax.clear_caches()

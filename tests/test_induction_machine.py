@@ -152,5 +152,13 @@ def test_stochastic_and_deterministic_guards():
     _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 8))
     obs, st1 = env.vmap_step(st, jnp.zeros((8, 2)))
     assert np.isfinite(np.asarray(obs)).all()
-    with pytest.raises(ValueError, match="sim_ahead"):
-        env.vmap_sim_ahead(st, jnp.zeros((8, 4, 2)), env.tau, env.tau)
+    # round 4: one-stage stochastic sim_ahead integrates the SDE (no raise);
+    # multistage solvers keep the documented SDE-semantics raise
+    obs_sa, _, _ = env.vmap_sim_ahead(st, jnp.zeros((8, 4, 2)), env.tau, env.tau)
+    assert np.isfinite(np.asarray(obs_sa)).all()
+    env_ms = excenvs.InductionMachine(
+        batch_size=8, process_noise={"i_sd": 0.5}, solver="tsit5"
+    )
+    _, st_ms = env_ms.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 8))
+    with pytest.raises(ValueError, match="one-stage"):
+        env_ms.vmap_sim_ahead(st_ms, jnp.zeros((8, 4, 2)), env_ms.tau, env_ms.tau)

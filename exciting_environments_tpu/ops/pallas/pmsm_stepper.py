@@ -2477,6 +2477,21 @@ def pmsm_fused_closed_loop(
     ``return_traj_states`` additionally yields the reconstructed per-save
     states.  Raises out of scope — a closed loop has no open-loop fallback
     (use ``RolloutCollector.collect_policy``).
+
+    Stochastic drives (round 4) stay at kernel speed: the XLA pre-pass
+    computes the rollout draw stream (``CoreEnvironment._noise_slabs`` —
+    the scan path's exact per-step chain, or the counter stream for
+    ``noise_mode="fast"``), pre-scales it, and streams it into the kernel.
+    The sensor slab adds onto the observation tiles BEFORE the policy
+    (pre-shifted one step: the obs at step ``t`` carries step ``t-1``'s
+    post-step measurement, the reset observation being exact), so the
+    policy closes the loop over the NOISY measurements — the in-kernel
+    sensorless compositions (``foc.make_pmsm_sensorless_current_tile``)
+    build on exactly this; the process slab perturbs the carried currents
+    after each step like ``PMSM.step``.  Draw-identical to the
+    slab-consuming scan fallback (``utils.collect.tile_policy_scan``) in
+    both noise modes, PRNG keys threaded into the final and per-save
+    states, VJP through both slabs (reparameterized gradients).
     """
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")

@@ -802,7 +802,12 @@ def supports_fused_rollout(env) -> bool:
 def _batched_param_closure(env):
     """Split ``static_params`` into scalar and per-batch leaves and build a
     tile ODE ``ode(t, y, action, param_tiles)`` reconstructing the params
-    pytree with the streamed tiles in place of the batched leaves."""
+    pytree with the streamed tiles in place of the batched leaves.
+
+    The batched leaf VALUES enter the kernel as operands (``param_leaves``),
+    so the cached closure stays valid when a per-shard property override
+    supplies different values at the same positions (see
+    :func:`_override_param_leaves`)."""
     params = env.env_properties.static_params
     leaves, treedef = jax.tree_util.tree_flatten(params)
     batched_idx = tuple(i for i, leaf in enumerate(leaves) if not np.isscalar(leaf))
@@ -818,18 +823,30 @@ def _batched_param_closure(env):
     return tile_ode, batched_leaves
 
 
-def _denormalize_action_slab(env, actions_norm, time_major):
+def _override_param_leaves(env, props):
+    """Batched static-param leaf values from a per-shard property override,
+    at the same flat positions :func:`_batched_param_closure` streams — the
+    cached tile ODE reads positions, the operands carry the values."""
+    leaves = jax.tree_util.tree_leaves(props.static_params)
+    return tuple(
+        jnp.asarray(leaf) for leaf in leaves if not np.isscalar(leaf)
+    )
+
+
+def _denormalize_action_slab(env, actions_norm, time_major, props=None):
     """Denormalize a whole (B, T, A) / (T, B, A) action slab, vmapping the
-    per-batch axis over heterogeneous action normalizations."""
+    per-batch axis over heterogeneous action normalizations.  ``props``
+    overrides ``env.env_properties`` (per-shard slices)."""
+    props = env.env_properties if props is None else props
     in_ax = env.in_axes_env_properties
     denorm_b = jax.vmap(env.denormalize_action, in_axes=(0, in_ax))
     if time_major:
-        return jax.vmap(denorm_b, in_axes=(0, None))(actions_norm, env.env_properties)
+        return jax.vmap(denorm_b, in_axes=(0, None))(actions_norm, props)
     denorm_bt = jax.vmap(
         lambda a, p: jax.vmap(env.denormalize_action, in_axes=(0, None))(a, p),
         in_axes=(0, in_ax),
     )
-    return denorm_bt(actions_norm, env.env_properties)
+    return denorm_bt(actions_norm, props)
 
 
 def _apply_obs_noise_slab(env, obs, eps, props=None):
@@ -850,7 +867,7 @@ def _apply_obs_noise_slab(env, obs, eps, props=None):
     return obs
 
 
-def _final_solver_state(env, y_final, last_action_phys):
+def _final_solver_state(env, y_final, last_action_phys, props=None):
     """Reconstruct the scan path's final solver carry.
 
     Step mode stores ``f(t1, y1)`` under the final action for FSAL methods
@@ -858,16 +875,17 @@ def _final_solver_state(env, y_final, last_action_phys):
     """
     if not env._solver.fsal:
         return None
+    params = (props or env.env_properties).static_params
     in_ax_p = jax.tree_util.tree_map(
-        lambda leaf: 0 if not np.isscalar(leaf) else None, env.env_properties.static_params
+        lambda leaf: 0 if not np.isscalar(leaf) else None, params
     )
 
-    def k_end(y, action, params):
+    def k_end(y, action, p):
         f = env._vector_field(lambda t: action)
-        return f(env.tau, y, params)
+        return f(env.tau, y, p)
 
     return jax.vmap(k_end, in_axes=(0, 0, in_ax_p))(
-        y_final, last_action_phys, env.env_properties.static_params
+        y_final, last_action_phys, params
     )
 
 
@@ -880,6 +898,7 @@ def env_fused_rollout(
     interpret: bool = False,
     strict: bool = False,
     return_traj_states: bool = False,
+    env_properties=None,
 ):
     """Environment-level fused rollout: normalized actions in, ``(obs, state)``
     out — numerically identical to the scan path for in-scope envs on TPU
@@ -899,7 +918,11 @@ def env_fused_rollout(
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
-    if not supports_fused_rollout(env):
+    # an explicit env_properties override is the mesh layer's per-shard hook:
+    # scope was checked against the full-batch env, and the override's traced
+    # leaves cannot be shape-inspected here
+    props = env.env_properties if env_properties is None else env_properties
+    if env_properties is None and not supports_fused_rollout(env):
         if strict or return_traj_states:
             raise ValueError(
                 "env_fused_rollout out of kernel scope (per-batch param shapes, "
@@ -914,7 +937,7 @@ def env_fused_rollout(
         return obs, last_state
 
     # denormalize once — a cheap XLA pre-pass over the action slab
-    actions = _denormalize_action_slab(env, actions_norm, time_major)
+    actions = _denormalize_action_slab(env, actions_norm, time_major, props=props)
 
     # stochastic envs: precompute the scan path's per-step noise draws (the
     # shared CoreEnvironment._noise_slabs stream — the exact split(key, 3)
@@ -944,6 +967,9 @@ def env_fused_rollout(
         cached = _batched_param_closure(env)
         env.__dict__["_fused_tile_ode"] = cached
     tile_ode, param_leaves = cached
+    if env_properties is not None:
+        # same flat positions, the override's (per-shard) values
+        param_leaves = _override_param_leaves(env, props)
 
     y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
     wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
@@ -976,17 +1002,17 @@ def env_fused_rollout(
         init_state,
         physical_state=env.PhysicalState(**dict(zip(env._ode_state_fields, y_final))),
         additions=env.Additions(
-            solver_state=_final_solver_state(env, y_final, last_action),
+            solver_state=_final_solver_state(env, y_final, last_action, props=props),
             active_solver_state=jnp.full(env.batch_size, True),
         ),
         **key_kwargs,
     )
     if obs_stride is None:
         obs = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-            final_state, env.env_properties
+            final_state, props
         )
         if eps_obs is not None:
-            obs = _apply_obs_noise_slab(env, obs, eps_obs[:, -1])
+            obs = _apply_obs_noise_slab(env, obs, eps_obs[:, -1], props=props)
         return obs, final_state
 
     # trajectory observations: vmap over (batch, time) on reconstructed states
@@ -1018,12 +1044,12 @@ def env_fused_rollout(
     obs = jax.vmap(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
-    )(traj_state, env.env_properties)
+    )(traj_state, props)
     if eps_obs is not None:
         # eps_obs is already saves-only: the saved steps' own sensor draws
         # (post-step save at step t uses that step's k_obs), exactly like
         # the scan path's per-step obs
-        obs = _apply_obs_noise_slab(env, obs, eps_obs)
+        obs = _apply_obs_noise_slab(env, obs, eps_obs, props=props)
     if return_traj_states:
         # the reconstructed per-save State pytree (leaves (B, n_saves, ...)) —
         # consumed by the fused trajectory collector for reward/flag
@@ -1042,6 +1068,7 @@ def env_fused_sim_ahead(
     time_major: bool = False,
     interpret: bool = False,
     strict: bool = False,
+    env_properties=None,
 ):
     """Fused trajectory solve matching :meth:`CoreEnvironment.vmap_sim_ahead`
     semantics: the solver steps on the observation grid (``tau =
@@ -1062,7 +1089,8 @@ def env_fused_sim_ahead(
     """
     n_actions = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     ratio = sim_ahead_ratio(obs_stepsize, action_stepsize)
-    if not supports_fused_sim_ahead(env, obs_stepsize, action_stepsize):
+    props = env.env_properties if env_properties is None else env_properties
+    if env_properties is None and not supports_fused_sim_ahead(env, obs_stepsize, action_stepsize):
         if strict:
             raise ValueError(
                 "env_fused_sim_ahead out of kernel scope (env support or "
@@ -1078,7 +1106,7 @@ def env_fused_sim_ahead(
     from exciting_environments_tpu.core import structures
     from exciting_environments_tpu.core.env import CoreEnvironment as _Core
 
-    actions = _denormalize_action_slab(env, actions_norm, time_major)
+    actions = _denormalize_action_slab(env, actions_norm, time_major, props=props)
     # ZOH onto the solver (= observation) grid: each action drives `ratio`
     # consecutive solver steps.  The repeat is an XLA pre-pass on the
     # (denormalized) slab; the kernel's one-slot-shifted copy of the expanded
@@ -1094,6 +1122,8 @@ def env_fused_sim_ahead(
         cached = _batched_param_closure(env)
         env.__dict__["_fused_tile_ode"] = cached
     tile_ode, param_leaves = cached
+    if env_properties is not None:
+        param_leaves = _override_param_leaves(env, props)
 
     y0 = tuple(jnp.asarray(getattr(init_state.physical_state, n)) for n in env._ode_state_fields)
     wrap_flags = tuple(n in env._angle_fields for n in env._ode_state_fields)
@@ -1142,7 +1172,7 @@ def env_fused_sim_ahead(
             # — the quantity the scan path's solver actually carries; the
             # stored value is informational-only today (step() re-initializes
             # the carry via active_solver_state=True) but should match anyway
-            solver_state=_final_solver_state(env, y_final_raw, last_action),
+            solver_state=_final_solver_state(env, y_final_raw, last_action, props=props),
             active_solver_state=jnp.full(batch, True),
         ),
         # sim_ahead rebuilds a NaN reference (reference pendulum_env.py:243-258)
@@ -1153,7 +1183,7 @@ def env_fused_sim_ahead(
 
     # trajectory observations incl. the initial state's observation
     obs0 = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
-        init_state, env.env_properties
+        init_state, props
     )
     traj_state = structures.replace(
         last_state,
@@ -1172,7 +1202,7 @@ def env_fused_sim_ahead(
     obs_traj = jax.vmap(
         jax.vmap(env.generate_observation, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
-    )(traj_state, env.env_properties)
+    )(traj_state, props)
     observations = jnp.concatenate([obs0[:, None, :], obs_traj], axis=1)
     return observations, last_state
 

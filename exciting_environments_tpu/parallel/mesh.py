@@ -243,19 +243,11 @@ class ShardedEnv:
             or getattr(env, "_has_noise", False)
         ):
             return False
-        # per-batch heterogeneous property leaves would need slicing into the
-        # shadow env per shard (they are closure constants to the kernel, not
-        # shard_map operands); those configurations ride the sharded scan path
-        all_scalar = all(
-            _np.isscalar(leaf)
-            for leaf in jax.tree_util.tree_leaves(env.env_properties.static_params)
-            + jax.tree_util.tree_leaves(env.env_properties.action_normalizations)
-            # physical norms feed the shadow env's observation/obs-noise
-            # arithmetic as closure constants — per-batch leaves would be
-            # full-B arrays inside per-shard traces
-            + jax.tree_util.tree_leaves(env.env_properties.physical_normalizations)
-        )
-        return supports_fused_rollout(env) and all_scalar
+        # per-batch heterogeneous property leaves ride shard_map as sharded
+        # operands (round 4): the local launch receives each shard's property
+        # slices through the env_properties override, so randomized classic
+        # fleets stay in fused scope under the mesh like the PMSM's
+        return supports_fused_rollout(env)
 
     def fused_rollout(
         self,
@@ -327,14 +319,19 @@ class ShardedEnv:
                 local, init_state, actions_norm, time_major, extra=(batched_props,)
             )
 
-        def local(state, actions):
+        batched_props, merge_props = self._batched_prop_operands()
+
+        def local(state, actions, prop_leaves):
             return env_fused_rollout(
                 shadow, state, actions, obs_stride=obs_stride,
                 time_major=time_major, interpret=interpret,
                 return_traj_states=return_traj_states,
+                env_properties=merge_props(prop_leaves) if batched_props else None,
             )
 
-        return self._run_sharded(local, init_state, actions_norm, time_major)
+        return self._run_sharded(
+            local, init_state, actions_norm, time_major, extra=(batched_props,)
+        )
 
     def fused_sim_ahead(
         self,
@@ -388,13 +385,18 @@ class ShardedEnv:
                 local, init_state, actions_norm, time_major, extra=(batched_props,)
             )
 
-        def local(state, actions):
+        batched_props, merge_props = self._batched_prop_operands()
+
+        def local(state, actions, prop_leaves):
             return env_fused_sim_ahead(
                 shadow, state, actions, obs_stepsize, action_stepsize,
                 obs_stride=obs_stride, time_major=time_major, interpret=interpret,
+                env_properties=merge_props(prop_leaves) if batched_props else None,
             )
 
-        return self._run_sharded(local, init_state, actions_norm, time_major)
+        return self._run_sharded(
+            local, init_state, actions_norm, time_major, extra=(batched_props,)
+        )
 
     def closed_loop_in_scope(self, interpret: bool = False) -> bool:
         """Whether :meth:`fused_closed_loop` covers this env per shard

@@ -200,10 +200,12 @@ def planning_path(env, config: MPPIConfig = MPPIConfig(), interpret: bool = Fals
     from exciting_environments_tpu.parallel.mesh import ShardedEnv
 
     if isinstance(env, ShardedEnv):
-        # per-batch heterogeneous property leaves are closure constants to
-        # the kernel, not shard_map operands (same rule as
-        # mesh.py::ShardedEnv._fused_in_scope) — slicing them per shard is
-        # not routed, so those configurations ride the sharded scan path
+        # the fused planning sweep folds n_samples into the batch of a TILED
+        # shadow env; per-batch (B,) property leaves would need tiling to
+        # (K*B,) AND per-shard slicing — neither is routed through the MPPI
+        # composition (plain sharded rollouts handle per-shard property
+        # operands since round 4, but the candidate sweep does not), so
+        # heterogeneous fleets plan through the sharded scan path
         if any(
             np.ndim(leaf) > 0
             for leaf in jax.tree_util.tree_leaves(env.env.env_properties)

@@ -904,10 +904,12 @@ def test_sharded_stochastic_closed_loop(mesh):
     assert not last_f.physical_state.omega.sharding.is_fully_replicated
 
 
-def test_per_batch_physical_norms_route_to_scan(mesh):
-    """Per-batch physical normalization spans are closure constants to the
-    fused shadow env, so such configs must ride the sharded scan path (the
-    kernel-scope probe excludes them) instead of crashing inside shard_map."""
+def test_per_batch_physical_norms_ride_the_sharded_kernel(mesh):
+    """Round-4: per-batch physical normalization spans (with sensor noise
+    scaled through them) are no longer closure constants — they ride
+    shard_map as sharded property operands, so this config stays in the
+    fused kernel's scope per shard and matches the single-device scan
+    draw for draw (round 3 excluded it to the sharded scan)."""
     B_ = 8192
     env = excenvs.Pendulum(
         batch_size=B_, tau=1e-2, observation_noise={"theta": 0.05},
@@ -917,12 +919,14 @@ def test_per_batch_physical_norms_route_to_scan(mesh):
         },
     )
     senv = ShardedEnv(env, mesh)
-    assert not senv._fused_in_scope()
+    assert senv._fused_in_scope()
     _, st = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    st = senv.shard(st)
     acts = jnp.zeros((B_, 8, 1))
-    obs, fin = senv.fused_rollout(st, acts)  # transparent scan fallback -> final obs
+    obs, fin = senv.fused_rollout(st, acts, interpret=True, strict=True)
     obs_ref, fin_ref = env.vmap_rollout(st, acts, 8)
-    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref[:, -1]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref[:, -1]), rtol=1e-10, atol=1e-12)
+    assert jnp.array_equal(jnp.asarray(fin.PRNGKey), jnp.asarray(fin_ref.PRNGKey))
 
 
 def test_sharded_ekf_fleet_equals_single_device(mesh):
@@ -951,3 +955,43 @@ def test_sharded_ekf_fleet_equals_single_device(mesh):
     assert not res_s.means.sharding.is_fully_replicated
     np.testing.assert_array_equal(np.asarray(res_s.means), np.asarray(res_ref.means))
     np.testing.assert_array_equal(np.asarray(res_s.nll), np.asarray(res_ref.nll))
+
+
+@pytest.mark.slow
+def test_sharded_fused_generic_per_batch_params(mesh):
+    """Round-4: per-batch heterogeneous properties for CLASSIC envs stay in
+    the generic fused kernel's scope under the mesh — the batched property
+    leaves ride shard_map as sharded operands and each shard launches with
+    its local slices (previously these fleets dropped to the sharded scan)."""
+    batch, T = 8192, 8
+    ls = 1.0 + jnp.linspace(0.0, 1.5, batch)
+    env = excenvs.Pendulum(batch_size=batch, static_params={"g": 9.81, "l": ls, "m": 1.0})
+    senv = ShardedEnv(env, mesh)
+    assert senv._fused_in_scope()
+    _, state = senv.vmap_reset(jax.random.split(jax.random.PRNGKey(0), batch))
+    state = senv.shard(state)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (batch, T, 1), minval=-0.7, maxval=0.7)
+
+    obs_f, last_f = senv.fused_rollout(state, actions, interpret=True, strict=True)
+    obs_s, last_s = env.vmap_rollout(state, actions, T)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s[:, -1]), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.omega),
+        np.asarray(last_s.physical_state.omega), rtol=1e-9, atol=1e-11,
+    )
+    assert not last_f.physical_state.theta.sharding.is_fully_replicated
+
+    # the trajectory solve rides the same operands (Tsit5, finer obs grid)
+    env2 = excenvs.CartPole(
+        batch_size=batch, solver="tsit5",
+        static_params={"mu_p": 2e-6, "mu_c": 5e-4, "l": 0.5 + jnp.linspace(0, 0.3, batch),
+                       "m_p": 0.1, "m_c": 1.0, "g": 9.81},
+    )
+    senv2 = ShardedEnv(env2, mesh)
+    assert senv2._fused_in_scope(env2.tau, env2.tau)
+    _, s2 = senv2.vmap_reset(jax.random.split(jax.random.PRNGKey(2), batch))
+    s2 = senv2.shard(s2)
+    a2 = jax.random.uniform(jax.random.PRNGKey(3), (batch, T, 1), minval=-0.5, maxval=0.5)
+    obs_f2, last_f2 = senv2.fused_sim_ahead(s2, a2, env2.tau, env2.tau, interpret=True, strict=True)
+    obs_s2, _, last_s2 = env2.vmap_sim_ahead(s2, a2, env2.tau, env2.tau)
+    np.testing.assert_allclose(np.asarray(obs_f2), np.asarray(obs_s2), rtol=1e-9, atol=1e-11)

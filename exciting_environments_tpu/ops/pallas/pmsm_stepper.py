@@ -1755,7 +1755,7 @@ def _hex_constrain(a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime):
 def _make_cl_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
     gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
-    u_dc, emit_u_last, n_carry=0, obs_cols=(), noise_idx=(),
+    u_dc, emit_u_last, n_carry=0, obs_cols=(), noise_idx=(), pb_names=(),
 ):
     """Closed-loop kernel over refs ``([pparams,] [obs_noise,] [proc_noise,]
     omega, i_d0, i_q0, eps0, bd0, bq0, [V | lin], *refs, *carry_in, i_d,
@@ -1807,14 +1807,22 @@ def _make_cl_kernel(
             refs = refs[1:]
         omega_ref, id_in, iq_in, eps_in, bd_in, bq_in = refs[:6]
         refs = refs[6:]
+        pb = {}
+        for nm in pb_names:
+            pb[nm] = refs[0][:]
+            refs = refs[1:]
         if saturated:
             V = refs[0][:]
             l_d = l_q = None
         else:
             V = None
-            l_d = refs[0][0, 0]
-            l_q = refs[0][0, 1]
+            l_d = pb.get("l_d", refs[0][0, 0])
+            l_q = pb.get("l_q", refs[0][0, 1])
         refs = refs[1:]
+        r_s_v = pb.get("r_s", r_s)
+        p15_v = pb.get("p15", p15)
+        psi_p_v = pb.get("psi_p", lin[2])
+        dl_v = pb.get("dl", lin[3])
         ref_tiles = tuple(r[:] for r in refs[:n_refs])
         refs = refs[n_refs:]
         carry_in = refs[:n_carry]
@@ -1841,15 +1849,14 @@ def _make_cl_kernel(
 
         omega = omega_ref[:]
         rate = _eps_rate(solver, omega)
-        psi_p, dl = lin[2], lin[3]
 
         def saturated_diff(vals, i_d, i_q, u_d, u_q):
             l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = vals
             det = l_dd * l_qq - l_dq * l_qd
             inv_dd, inv_dq = l_qq / det, -l_dq / det
             inv_qd, inv_qq = -l_qd / det, l_dd / det
-            rhs_d = u_d - r_s * i_d + omega * psi_q
-            rhs_q = u_q - r_s * i_q - omega * psi_d
+            rhs_d = u_d - r_s_v * i_d + omega * psi_q
+            rhs_q = u_q - r_s_v * i_q - omega * psi_d
             return (inv_dd * rhs_d + inv_dq * rhs_q, inv_qd * rhs_d + inv_qq * rhs_q)
 
         def body(i, carry):
@@ -1857,7 +1864,7 @@ def _make_cl_kernel(
             c = carry[5:]
             if saturated:
                 vals = lut_channels(V, i_d, i_q)
-                torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+                torque = p15_v * (vals[4] * i_q - vals[5] * i_d)
                 if traj_stride is not None:
                     # deferred save torque: the state at the top of step i IS
                     # the post-step state of step i-1, so this gather also
@@ -1867,7 +1874,7 @@ def _make_cl_kernel(
                         traj_refs[2][i // traj_stride - 1] = torque
             else:
                 vals = None
-                torque = p15 * (psi_p + dl * i_d) * i_q
+                torque = p15_v * (psi_p_v + dl_v * i_d) * i_q
 
             step = k * chunk + i
             obs = (
@@ -1904,8 +1911,8 @@ def _make_cl_kernel(
                 if saturated:
                     v = vals if y is y_entry else lut_channels(V, y[0], y[1])
                     return saturated_diff(v, y[0], y[1], action[0], action[1])
-                i_d_diff = (action[0] + omega * l_q * y[1] - r_s * y[0]) / l_d
-                i_q_diff = (action[1] - omega * (l_d * y[0] + psi_p) - r_s * y[1]) / l_q
+                i_d_diff = (action[0] + omega * l_q * y[1] - r_s_v * y[0]) / l_d
+                i_q_diff = (action[1] - omega * (l_d * y[0] + psi_p_v) - r_s_v * y[1]) / l_q
                 return (i_d_diff, i_q_diff)
 
             i_d1, i_q1 = _rk_step(ode, solver, y_entry, u_app, tau, 0.0)
@@ -1925,7 +1932,7 @@ def _make_cl_kernel(
                     traj_refs[0][slot] = i_d1
                     traj_refs[1][slot] = i_q1
                     if not saturated:
-                        traj_refs[2][slot] = p15 * (psi_p + dl * i_d1) * i_q1
+                        traj_refs[2][slot] = p15_v * (psi_p_v + dl_v * i_d1) * i_q1
                     traj_refs[3][slot] = u_con_d
                     traj_refs[4][slot] = u_con_q
                     traj_refs[5][slot] = a_d
@@ -1956,12 +1963,12 @@ def _make_cl_kernel(
             ref[:] = leaf
         if saturated:
             vals = lut_channels(V, i_d, i_q)
-            torque = p15 * (vals[4] * i_q - vals[5] * i_d)
+            torque = p15_v * (vals[4] * i_q - vals[5] * i_d)
             if traj_stride is not None:
                 # chunk-final pending save shares this gather
                 traj_refs[2][chunk // traj_stride - 1] = torque
         else:
-            torque = p15 * (psi_p + dl * i_d) * i_q
+            torque = p15_v * (psi_p_v + dl_v * i_d) * i_q
         tq_out[:] = torque
 
     return kernel
@@ -1972,6 +1979,7 @@ def _pmsm_cl_launch(
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
     y0, omega, ref_leaves, pp_flat, vflat, carry0=None,
     obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
+    pb=(), pb_names=(),
 ):
     """Tile the operands and launch the closed-loop PMSM kernel (primal).
     Returns ``(final, traj, u_last, final_carry, traj_carry)`` — the last
@@ -2063,6 +2071,9 @@ def _pmsm_cl_launch(
         operands.append(_noise_tiled(proc_noise_tm, len(noise_idx)))
     in_specs += [state_block() for _ in range(6)]
     operands += [tile(omega)] + [tile(leaf) for leaf in y0]
+    for leaf in pb:
+        in_specs.append(state_block())
+        operands.append(tile(jnp.asarray(leaf, dtype)))
     if saturated:
         zeros = (0,) * vflat.ndim
         in_specs.append(pl.BlockSpec(vflat.shape, lambda b, k, z=zeros: z, memory_space=pltpu.VMEM))
@@ -2096,7 +2107,7 @@ def _pmsm_cl_launch(
         chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
         gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
         act_norms, u_dc, emit_u_last, n_carry,
-        obs_cols=obs_cols, noise_idx=noise_idx,
+        obs_cols=obs_cols, noise_idx=noise_idx, pb_names=pb_names,
     )
     out = pl.pallas_call(
         kernel,
@@ -2186,16 +2197,16 @@ def _plain_pmsm_cl_step(
     return step
 
 
-_N_PMSM_CL_STATIC = 19
+_N_PMSM_CL_STATIC = 20
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_CL_STATIC)))
 def _pmsm_cl_core(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, pb_names,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm,
+    obs_noise_tm, proc_noise_tm, pb,
 ):
     """Differentiable closed-loop core: one kernel launch forward; backward
     by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
@@ -2211,7 +2222,7 @@ def _pmsm_cl_core(
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
-        obs_cols=obs_cols, noise_idx=noise_idx,
+        obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
     )
     if carry0 is None:
         return final, traj, u_last
@@ -2221,9 +2232,9 @@ def _pmsm_cl_core(
 def _pmsm_cl_core_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, pb_names,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm,
+    obs_noise_tm, proc_noise_tm, pb,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
@@ -2233,7 +2244,7 @@ def _pmsm_cl_core_fwd(
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
-        obs_cols=obs_cols, noise_idx=noise_idx,
+        obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
     )
     if traj_stride is None:
         traj_out = None
@@ -2247,21 +2258,21 @@ def _pmsm_cl_core_fwd(
     )
     return out, (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm,
+        obs_noise_tm, proc_noise_tm, pb,
     )
 
 
 def _pmsm_cl_core_bwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, pb_names,
     res, g,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
     (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm,
+        obs_noise_tm, proc_noise_tm, pb,
     ) = res
     has_carry = carry0 is not None
     if has_carry:
@@ -2276,12 +2287,21 @@ def _pmsm_cl_core_bwd(
     has_pp = pp_flat is not None
     save_id, save_iq, _save_tq, save_ucd, save_ucq, _sa, _sb = saves
 
-    _, torque_fn = _plain_electrical(saturated, r_s, lin, p15, geom, lut_vals)
-    inner = _plain_pmsm_cl_step(
-        saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
-        deadtime, obs_norms, act_norms, u_dc, has_carry=has_carry,
-        obs_cols=obs_cols, noise_idx=noise_idx,
-    )
+    def fns(pb_t):
+        r_s_e, lin_e, p15_e = _eff_params(r_s, lin, p15, pb_names, pb_t)
+        return (
+            _plain_electrical(saturated, r_s_e, lin_e, p15_e, geom, lut_vals)[1],
+            _plain_pmsm_cl_step(
+                saturated, solver, tau, r_s_e, lin_e, p15_e, geom, lut_vals,
+                policy, has_pp, deadtime, obs_norms, act_norms, u_dc,
+                has_carry=has_carry, obs_cols=obs_cols, noise_idx=noise_idx,
+            ),
+        )
+
+    def torque_at(y, pb_t):
+        return fns(pb_t)[0](y)
+
+    torque_fn = lambda y: torque_at(y, pb)
     has_on = obs_noise_tm is not None
     has_pn = proc_noise_tm is not None
     on_seg = (
@@ -2326,8 +2346,8 @@ def _pmsm_cl_core_bwd(
     # map at the final currents
     g_id_f, g_iq_f, g_eps_f, g_bd_f, g_bq_f, g_tq_f = g_final
     y_final = (save_id[:, -1], save_iq[:, -1])
-    _, tq_vjp = jax.vjp(torque_fn, y_final)
-    (g_from_tq,) = tq_vjp(g_tq_f)
+    _, tq_vjp = jax.vjp(torque_at, y_final, pb)
+    g_from_tq, g_pb_tq = tq_vjp(g_tq_f)
     g_y = (g_id_f + g_from_tq[0], g_iq_f + g_from_tq[1], g_eps_f, g_bd_f, g_bq_f)
 
     # per-save cotangents scattered onto their segments
@@ -2341,10 +2361,13 @@ def _pmsm_cl_core_bwd(
         )
 
         def tq_pull(y, gt):
-            _, vf = jax.vjp(torque_fn, y)
-            return vf(gt)[0]
+            _, vf = jax.vjp(torque_at, y, pb)
+            return vf(gt)
 
-        g_tq_pull = jax.vmap(tq_pull)(save_states, jnp.moveaxis(g_tq_t, 1, 0))
+        g_tq_pull, g_pb_per_save = jax.vmap(tq_pull)(
+            save_states, jnp.moveaxis(g_tq_t, 1, 0)
+        )
+        g_pb_saves = tuple(jnp.sum(gp, axis=0) for gp in g_pb_per_save)
         scatter = lambda leaf: zeros_seg().at[skip - 1 :: skip].set(leaf)
         g_save_seg = (
             scatter(jnp.moveaxis(g_id_t, 1, 0) + g_tq_pull[0]),
@@ -2358,11 +2381,13 @@ def _pmsm_cl_core_bwd(
             for leaf in (g_ad_t, g_aq_t, g_ucd_t, g_ucq_t)
         )
     else:
+        g_pb_saves = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pb)
         g_save_seg = tuple(zeros_seg() for _ in range(5))
         g_aux_seg = tuple(zeros_seg() for _ in range(4))
 
-    def seg_apply(y_start, pc_start, t_s, refs, pp, om, on_s, pn_s):
+    def seg_apply(y_start, pc_start, t_s, refs, pp, om, on_s, pn_s, pb_t):
         ppy = pp_treedef(pp) if has_pp else None
+        inner = fns(pb_t)[1]
 
         def body(carry, xs):
             y, pc = carry
@@ -2381,25 +2406,31 @@ def _pmsm_cl_core_bwd(
     g_pp0 = jnp.zeros_like(pp_flat) if has_pp else jnp.zeros((0,), dtype)
     g_om0 = jnp.zeros_like(omega)
 
+    g_pb0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pb)
+
     def bwd_body(carry, xs):
-        g_y, g_pc, g_refs, g_pp, g_om = carry
+        g_y, g_pc, g_refs, g_pp, g_om, g_pb_acc = carry
         start_s, pc_start_s, t_s, g_save_s, g_aux_s, on_s, pn_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
-            lambda y, pc, r, pp, om, on, pn: seg_apply(y, pc, t_s, r, pp, om, on, pn),
+            lambda y, pc, r, pp, om, on, pn, pbt: seg_apply(
+                y, pc, t_s, r, pp, om, on, pn, pbt
+            ),
             start_s, pc_start_s, ref_leaves,
-            pp_flat if has_pp else jnp.zeros((0,), dtype), omega, on_s, pn_s,
+            pp_flat if has_pp else jnp.zeros((0,), dtype), omega, on_s, pn_s, pb,
         )
-        gy_in, gpc_in, gr, gpp, gom, g_on, g_pn = vjp_fn((g_y, g_pc, g_aux_s))
+        gy_in, gpc_in, gr, gpp, gom, g_on, g_pn, gpb = vjp_fn((g_y, g_pc, g_aux_s))
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
-        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom), (g_on, g_pn)
+        g_pb_acc = tuple(a + b for a, b in zip(g_pb_acc, gpb))
+        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom, g_pb_acc), (g_on, g_pn)
 
-    (g_y0, g_pc0, g_refs, g_pp, g_omega), (g_on_all, g_pn_all) = jax.lax.scan(
+    (g_y0, g_pc0, g_refs, g_pp, g_omega, g_pb), (g_on_all, g_pn_all) = jax.lax.scan(
         bwd_body,
-        (g_y, g_final_pc, g_refs0, g_pp0, g_om0),
+        (g_y, g_final_pc, g_refs0, g_pp0, g_om0, g_pb0),
         (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg, on_seg, pn_seg),
         reverse=True,
     )
+    g_pb = tuple(a + b + c for a, b, c in zip(g_pb, g_pb_tq, g_pb_saves))
     return (
         g_y0,
         g_omega,
@@ -2410,6 +2441,7 @@ def _pmsm_cl_core_bwd(
         g_pc0 if has_carry else None,
         g_on_all.reshape(n_steps, batch, len(obs_cols)) if has_on else None,
         g_pn_all.reshape(n_steps, batch, len(noise_idx)) if has_pn else None,
+        g_pb,
     )
 
 
@@ -2418,23 +2450,24 @@ _pmsm_cl_core.defvjp(_pmsm_cl_core_fwd, _pmsm_cl_core_bwd)
 
 def supports_pmsm_fused_closed_loop(env) -> bool:
     """Scope of the closed-loop PMSM kernel: :func:`supports_pmsm_fused`
-    plus scalar properties throughout — static params, action AND physical
-    normalizations all fold into the in-kernel constraint/observation
-    arithmetic as compile-time constants (the open-loop kernel's per-batch
-    tile streaming has not been ported to the closed-loop kernel)."""
+    plus scalar normalizations and scalar ``u_dc`` (they fold into the
+    in-kernel constraint/observation arithmetic as compile-time constants).
+    Per-batch ``(batch,)`` winding/magnet params — ``r_s``, ``p``, ``l_d``,
+    ``l_q``, ``psi_p`` — stream as tile planes like the open-loop kernel
+    (round 4), so a domain-randomized drive fleet trains its in-kernel
+    policies over the parameter distribution.  Stochastic drives ARE in
+    scope: the launcher streams the pre-scaled sensor/process draw slabs —
+    the policy closes the loop over the NOISY measurements."""
     if not supports_pmsm_fused(env):
         return False
     props = env.env_properties
     leaves = (
         jax.tree_util.tree_leaves(props.physical_normalizations)
         + jax.tree_util.tree_leaves(props.action_normalizations)
-        + jax.tree_util.tree_leaves(props.static_params)
     )
-    # stochastic drives ARE in scope: the launcher streams the pre-scaled
-    # sensor/process draw slabs into the kernel — the policy closes the
-    # loop over the NOISY current/torque measurements (sensorless-style
-    # output feedback under sensor noise at kernel speed)
-    return all(np.isscalar(leaf) for leaf in leaves)
+    return all(np.isscalar(leaf) for leaf in leaves) and np.isscalar(
+        props.static_params.u_dc
+    )
 
 
 def pmsm_fused_closed_loop(
@@ -2544,29 +2577,10 @@ def _pmsm_cl_impl(
         raise ValueError("n_steps must be divisible by obs_stride")
 
     f = lambda v: float(np.asarray(v, dtype=dtype))
-    r_s = f(params.r_s)
     u_dc = f(params.u_dc)
-    p15 = float(np.asarray(1.5, dtype=dtype) * np.asarray(params.p, dtype=dtype))
-    if saturated:
-        lin = (1.0, 1.0, 0.0, 0.0)
-        lut = env._lut
-        if gather == "int8" and dtype == jnp.float32:
-            vflat = jnp.asarray(_split_int8x4(_lut_operand(lut, np.float32)))
-        elif gather == "dot" and dtype == jnp.float32:
-            vflat = jnp.asarray(_split_bf16x3(_lut_operand(lut, np.float32)))
-        else:
-            vflat = jnp.asarray(_lut_operand(lut, dtype))
-        geom = (
-            f(lut.x0), f(lut.dx), f(lut.y0), f(lut.dy),
-            int(lut.nx), int(lut.ny),
-            _round_up(lut.nx, SUBLANES), _round_up(lut.ny, SUBLANES),
-        )
-    else:
-        l_d, l_q, psi_p = f(params.l_d), f(params.l_q), f(params.psi_p)
-        dl = float(np.asarray(params.l_d, dtype=dtype) - np.asarray(params.l_q, dtype=dtype))
-        lin = (l_d, l_q, psi_p, dl)
-        vflat = None
-        geom = None
+    r_s, p15, lin, vflat, geom, pb_names, pb = _pmsm_scalar_config(
+        env, params, saturated, dtype, gather
+    )
 
     pn = props.physical_normalizations
     obs_norms = tuple(
@@ -2647,9 +2661,9 @@ def _pmsm_cl_impl(
     core_out = _pmsm_cl_core(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
         obs_stride, gather, interpret, policy, pp_unravel, deadtime,
-        obs_norms, act_norms, u_dc, obs_noise_cols, proc_noise_idx,
+        obs_norms, act_norms, u_dc, obs_noise_cols, proc_noise_idx, pb_names,
         y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-        obs_noise_tm, proc_noise_tm,
+        obs_noise_tm, proc_noise_tm, pb,
     )
     if has_carry:
         final, traj, u_last, final_carry = core_out

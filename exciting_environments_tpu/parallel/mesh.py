@@ -401,11 +401,27 @@ class ShardedEnv:
     def closed_loop_in_scope(self, interpret: bool = False) -> bool:
         """Whether :meth:`fused_closed_loop` covers this env per shard
         (closed-loop kernel scope plus local-batch tiling).  Probe this
-        before committing a production loop to the kernel lane."""
+        before committing a production loop to the kernel lane.
+
+        Per-batch property leaves are NOT yet routed through the sharded
+        closed loop (the open-loop paths pass per-shard property slices as
+        shard_map operands; the closed-loop launchers still read the env's
+        own full-batch leaves), so heterogeneous fleets close their loops
+        through ``RolloutCollector.collect_policy`` under the mesh."""
+        import numpy as _np
+
         from exciting_environments_tpu.ops.pallas import select_closed_loop
 
         kernel, _ = select_closed_loop(self.env, interpret)
-        return kernel is not None and (self.env.batch_size // self.mesh.size) % 1024 == 0
+        all_scalar = all(
+            _np.isscalar(leaf)
+            for leaf in jax.tree_util.tree_leaves(self.env.env_properties)
+        )
+        return (
+            kernel is not None
+            and all_scalar
+            and (self.env.batch_size // self.mesh.size) % 1024 == 0
+        )
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,

@@ -696,3 +696,68 @@ def test_pmsm_closed_loop_stochastic_trajectory_keys():
     # consecutive saves hold different (advanced) keys
     assert not np.array_equal(keys[:, 0], keys[:, 1])
     assert np.isfinite(np.asarray(obs_t)).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "saturated,variant",
+    [(False, excenvs.MotorVariant.DEFAULT), (True, excenvs.MotorVariant.BRUSA)],
+)
+def test_pmsm_closed_loop_per_batch_params(saturated, variant):
+    """Round-4: per-batch winding/magnet params stream into the CLOSED-LOOP
+    drive kernel as tile planes (a domain-randomized fleet trains in-kernel
+    policies over the parameter distribution): scan parity, and the VJP
+    carries real gradients to the parameter planes matching the scan."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+        supports_pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    params = dict(variant.get_params().static_params.__dict__)
+    if saturated:
+        params.update({"l_d": jnp.nan, "l_q": jnp.nan, "psi_p": jnp.nan})
+    params["r_s"] = jnp.asarray(params["r_s"]) * (
+        1 + 0.3 * jax.random.uniform(jax.random.PRNGKey(7), (BATCH,))
+    )
+    env = excenvs.PMSM(
+        batch_size=BATCH, saturated=saturated, motor_variant=variant,
+        static_params=params, process_noise={"i_d": 0.3},
+    )
+    assert supports_pmsm_fused_closed_loop(env)
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+
+    def policy_tile(obs, t):
+        return (-0.4 * obs[0], -0.4 * obs[1] + 0.2)
+
+    obs_f, last_f = pmsm_fused_closed_loop(
+        env, state, policy_tile, T, gather="take", interpret=True
+    )
+    obs_s, last_s = tile_policy_scan(env, state, T, policy_tile, None, False)
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_s), rtol=1e-10, atol=1e-10)
+    _assert_state_close(last_s, last_f)
+
+    r_s_arr = params["r_s"]
+
+    def loss(kind):
+        def inner(r):
+            p2 = dict(params)
+            p2["r_s"] = r
+            e = excenvs.PMSM(
+                batch_size=BATCH, saturated=saturated, motor_variant=variant,
+                static_params=p2, process_noise={"i_d": 0.3},
+            )
+            _, st2 = e.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+            if kind == "fused":
+                o, _ = pmsm_fused_closed_loop(
+                    e, st2, policy_tile, T, gather="take", interpret=True
+                )
+            else:
+                o, _ = tile_policy_scan(e, st2, T, policy_tile, None, False)
+            return jnp.sum(o**2)
+
+        return inner
+
+    g_f = jax.grad(loss("fused"))(r_s_arr)
+    g_s = jax.grad(loss("scan"))(r_s_arr)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-7, atol=1e-12)

@@ -642,7 +642,7 @@ def make_pmsm_sensorless_current_tile(
     ki_q: float = None,
     process_std: dict = None,
     measurement_std: dict = None,
-    q_floor: float = 1e-8,
+    q_floor: float = 1e-6,
 ):
     """Sensorless current control of the LINEAR-magnetics PMSM drive fully
     inside the fused closed-loop kernel: stationary-Kalman current observer
@@ -701,7 +701,13 @@ def make_pmsm_sensorless_current_tile(
             noise config for the observer's Q/R [physical units].
         q_floor: diagonal process-covariance floor (normalized units^2) —
             keeps the Riccati iteration well-posed for a noise-free plant
-            and guards against model mismatch.
+            and doubles as the standard fictitious process noise.  The
+            default 1e-6 matters on sensor-only plants: at 1e-8 the
+            stationary gain trusts the model almost completely, so the
+            (unknown) initial current error decays only at the plant's own
+            electrical time constant — measured on the default machine
+            with 5 A sensors, belief RMSE 6.7 A (worse than the raw
+            sensor) at 1e-8 vs 1.5 A at 1e-6.
 
     Returns:
         ``(policy_tile, carry0)`` for ``env.fused_closed_loop(...,

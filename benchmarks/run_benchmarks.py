@@ -82,7 +82,17 @@ def timed(name, fn, n_env_steps, inputs=None, repeats=3, validate=None):
 
 
 def timed_chain(name, step_fn, state0, action_sets, n_per_link, k_chain=4):
-    """Chained, marginal-cost timing: the trustworthy methodology on the relay.
+    """Chained, marginal-cost timing (jitted whole-chain variant).
+
+    ROUND-4 CAVEAT: jitting the whole K-link chain as ONE executable is
+    untrustworthy at long horizons — the relay's completion signal can
+    return early for large fused programs, inflating the marginal ~1.5x
+    (measured against bench.py's eager chain, which reproduces its prior
+    sustained headline to 2%).  New measurements should use the EAGER
+    recipe of ``benchmarks/r04/rescale_rows_device.py`` (separate relay
+    executions threading state, conservative whole-chain/K, affine-fit
+    scaling gate); this function is kept for the short-horizon configs
+    whose r3 rows it produced.
 
     Single-shot timings here carry ~35-40 ms of relay round-trip latency, and
     the relay's device->host fetch has been observed to return BEFORE

@@ -823,7 +823,11 @@ class CoreEnvironment:
             )
             return (y1, new_key), (y1, new_key, eps_o)
 
-        ts = jnp.arange(n_steps) * dt
+        # host-side f64 step-start times, like ops/rollout.py::solve_trajectory:
+        # an on-device fl32(i * fl32(dt)) grid adds a systematic dt-rounding to
+        # every ZOH index computation, which consumes zoh_action's floor-guard
+        # margin over long horizons
+        ts = jnp.asarray(np.arange(n_steps, dtype=np.float64) * dt)
         (_, _key_last), (ys_tail, keys_tail, eps_obs) = jax.lax.scan(
             body, (y0, key0), ts
         )

@@ -2006,7 +2006,10 @@ def _pmsm_cl_launch(
 
     dtype = y0[0].dtype
     itemsize = jnp.dtype(dtype).itemsize
-    from exciting_environments_tpu.ops.pallas.stepper import _traj_chunk
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        _streamed_cl_chunk,
+        _traj_chunk,
+    )
 
     streamed_width = len(obs_cols) + len(noise_idx)
     if streamed_width == 0:
@@ -2014,32 +2017,12 @@ def _pmsm_cl_launch(
         # each, same budgeting as the generic closed-loop launch
         chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
     else:
-        # streamed noise slabs: the chunk must also keep the double-buffered
-        # streamed blocks <= ~2 MB and the total scoped block set under the
-        # ~16 MB VMEM ceiling with margin (mirrors stepper._cl_launch)
-        max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
-        n_traj_leaves = (7 + n_carry) if traj_stride is not None else 0
-
-        def _scoped_bytes(c):
-            width = streamed_width * c
-            if traj_stride is not None:
-                width += (c // traj_stride) * n_traj_leaves
-            return 2 * width * rows * LANES * itemsize
-
-        chunk = 0
-        for c in range(1, n_steps + 1):
-            if (
-                n_steps % c == 0
-                and c <= max_chunk
-                and (traj_stride is None or c % traj_stride == 0)
-                and _scoped_bytes(c) <= 12 * 1024 * 1024
-            ):
-                chunk = c
-        if chunk == 0:
-            raise ValueError(
-                "no time chunk fits the streamed noise slabs and trajectory "
-                "blocks under the VMEM budget; use a smaller obs stride"
-            )
+        # shared noise-aware budgeting — one helper so the generic and PMSM
+        # closed-loop launchers can never drift apart
+        chunk = _streamed_cl_chunk(
+            n_steps, traj_stride, rows, itemsize, streamed_width,
+            (7 + n_carry) if traj_stride is not None else 0,
+        )
     n_time_chunks = n_steps // chunk
 
     state_block = lambda: pl.BlockSpec((rows, LANES), lambda b, k: (b, 0), memory_space=pltpu.VMEM)
@@ -2624,20 +2607,16 @@ def _pmsm_cl_impl(
     # POLICY every step -> slab stride is 1 regardless of the save stride;
     # the slab is shifted one step (the policy's obs at step i is step
     # i-1's post-step measurement; obs0 is the exact reset observation).
-    obs_noise_tm = proc_noise_tm = None
+    obs_noise_tm = None
     obs_noise_cols: tuple = ()
-    proc_noise_idx: tuple = ()
-    eps_obs = final_keys = keys_saves = None
+    # the process half is the SAME pre-scaled stream the open-loop launcher
+    # builds — one implementation keeps the two paths' draw arithmetic
+    # bit-identical (the kernel-vs-scan parity guarantee rests on it);
+    # sensor draws feed the POLICY every step -> slab stride 1
+    proc_noise_tm, proc_noise_idx, eps_obs, keys_saves, final_keys = (
+        _pmsm_noise_streams(env, init_state, n_steps, 1)
+    )
     if getattr(env, "_has_noise", False):
-        keys0 = env._require_noise_key(init_state)
-        eps_proc, eps_obs, keys_saves, final_keys = env._noise_slabs(keys0, n_steps, 1)
-        if eps_proc is not None:
-            proc_items = sorted(env._process_noise.items())
-            coef = jnp.asarray(
-                [s for _, s in proc_items], dtype=eps_proc.dtype
-            ) * jnp.sqrt(env.tau)
-            proc_noise_tm = jnp.transpose(coef * eps_proc, (1, 0, 2))
-            proc_noise_idx = tuple(("i_d", "i_q").index(n) for n, _ in proc_items)
         if eps_obs is not None:
             # closed-loop scope guarantees scalar normalization spans, so
             # the normalized sigmas are compile-time floats; only the noisy

@@ -498,6 +498,45 @@ def _ckpt_stride(n_steps: int, traj_stride) -> int:
     return min(divisors, key=lambda d: (n_steps / d + d, d))
 
 
+def _streamed_cl_chunk(n_steps, traj_stride, rows, itemsize, streamed_width, n_traj_leaves):
+    """Time-chunk length of a closed-loop launch with STREAMED noise slabs:
+    the largest divisor of ``n_steps`` (compatible with ``traj_stride``)
+    keeping the double-buffered streamed blocks <= ~2 MB and the total
+    scoped block set under the ~16 MB VMEM ceiling with margin.  Shared by
+    the generic and PMSM closed-loop launchers so their budgeting never
+    diverges (same contract as :func:`_traj_chunk` for the unstreamed
+    case); enumerates divisors in O(sqrt(n_steps)) — the former linear
+    scan was visible at trace time for million-step loops."""
+    max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
+
+    def scoped(c):
+        width = streamed_width * c
+        if traj_stride is not None:
+            width += (c // traj_stride) * n_traj_leaves
+        return 2 * width * rows * LANES * itemsize
+
+    divisors = sorted(
+        d
+        for i in range(1, int(n_steps**0.5) + 1)
+        if n_steps % i == 0
+        for d in (i, n_steps // i)
+    )
+    chunk = 0
+    for c in divisors:
+        if (
+            c <= max_chunk
+            and (traj_stride is None or c % traj_stride == 0)
+            and scoped(c) <= 12 * 1024 * 1024
+        ):
+            chunk = c
+    if chunk == 0:
+        raise ValueError(
+            "no time chunk fits the streamed noise slabs and trajectory "
+            "blocks under the VMEM budget; use a smaller traj stride"
+        )
+    return chunk
+
+
 def _traj_chunk(n_steps: int, traj_stride, rows: int, itemsize: int) -> int:
     """Time-chunk length of a closed-loop launch: the largest multiple of
     ``traj_stride`` dividing ``n_steps`` whose per-leaf trajectory block
@@ -1401,32 +1440,10 @@ def _cl_launch(
         # one chunk spans the whole horizon
         chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
     else:
-        # streamed noise slabs: the chunk must also keep the double-buffered
-        # streamed blocks <= ~2 MB and the total scoped block set under the
-        # ~16 MB VMEM ceiling with margin (mirrors _launch's budgeting)
-        max_chunk = max(1, (2 * 1024 * 1024) // (streamed_width * rows * LANES * itemsize))
-        n_traj_leaves = (n_state + n_action + n_carry) if traj_stride is not None else 0
-
-        def _scoped_bytes(c):
-            width = streamed_width * c
-            if traj_stride is not None:
-                width += (c // traj_stride) * n_traj_leaves
-            return 2 * width * rows * LANES * itemsize
-
-        chunk = 0
-        for c in range(1, n_steps + 1):
-            if (
-                n_steps % c == 0
-                and c <= max_chunk
-                and (traj_stride is None or c % traj_stride == 0)
-                and _scoped_bytes(c) <= 12 * 1024 * 1024
-            ):
-                chunk = c
-        if chunk == 0:
-            raise ValueError(
-                "no time chunk fits the streamed noise slabs and trajectory "
-                "blocks under the VMEM budget; use a smaller traj stride"
-            )
+        chunk = _streamed_cl_chunk(
+            n_steps, traj_stride, rows, itemsize, streamed_width,
+            (n_state + n_action + n_carry) if traj_stride is not None else 0,
+        )
     n_time_chunks = n_steps // chunk
 
     y0_tiled = tuple(jnp.asarray(leaf).reshape(total_rows, LANES) for leaf in y0)

@@ -658,6 +658,27 @@ class CoreEnvironment:
         obs = jnp.concatenate([x_norm, ref_cols])
         return self.generate_state_from_observation(obs, env_properties)
 
+    #: optional STATE-INDEPENDENT physical-action constraint (actuator
+    #: realism: inverter voltage-vector limits, current clamps).  When set,
+    #: it is a callable ``(action_components_tuple) -> tuple`` of
+    #: shape-polymorphic elementwise math (closing over env attributes for
+    #: its constants), applied after denormalization on EVERY path — step,
+    #: sim_ahead, reward evaluation, adaptive, the fused open-loop slabs and
+    #: the closed-loop kernels — so the scan and kernel semantics can never
+    #: diverge.  State-DEPENDENT constraints (the PMSM's angle-advanced
+    #: hexagon) need the full override machinery instead.
+    _constrain_action_tuple = None
+
+    def _constrained_phys_action(self, action):
+        """Apply :attr:`_constrain_action_tuple` to a physical action whose
+        LAST axis is the action dimension (shape-polymorphic: ``(A,)``
+        vectors, ``(T, A)`` sequences, ``(B, T, A)`` slabs)."""
+        hook = self._constrain_action_tuple
+        if hook is None:
+            return action
+        comps = hook(tuple(action[..., i] for i in range(self.action_dim)))
+        return jnp.stack(comps, axis=-1)
+
     def _advance_state(self, state, action_norm, env_properties):
         """The deterministic state update of one control step: denormalize the
         action and integrate one ``tau`` interval.  Environments with extra
@@ -667,6 +688,7 @@ class CoreEnvironment:
         advance the state, so the stochastic machinery composes with any
         step override."""
         action = self.denormalize_action(action_norm, env_properties)
+        action = self._constrained_phys_action(action)
         return self._ode_solver_step(state, action, env_properties.static_params)
 
     @partial(jax.jit, static_argnums=0)
@@ -751,6 +773,7 @@ class CoreEnvironment:
         )
 
         actions = jax.vmap(self.denormalize_action, in_axes=(0, None))(actions, env_properties)
+        actions = self._constrained_phys_action(actions)
 
         if self._has_noise:
             states, eps_obs = self._sde_simulate_ahead(
@@ -871,6 +894,7 @@ class CoreEnvironment:
             f"{self.action_dim}, but {actions.shape[-1]} is given"
         )
         actions = jax.vmap(self.denormalize_action, in_axes=(0, None))(actions, env_properties)
+        actions = self._constrained_phys_action(actions)
 
         obs_len = jax.tree_util.tree_leaves(states)[0].shape[0]
         states_without_init_state = self._index_time(states, slice(1, None))

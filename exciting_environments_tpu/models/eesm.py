@@ -52,7 +52,10 @@ tau = 1e-4 across the +-450 rad/s electrical-speed band.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 
 from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 from exciting_environments_tpu.core.structures import pytree_dataclass
@@ -90,6 +93,41 @@ class EESM(ClassicODEEnvironment):
 
     _default_batch_size = 8
     _default_tau = 1e-4
+
+    def __init__(self, *args, u_dc: float = None, **kwargs):
+        """All :class:`ClassicODEEnvironment` constructor args, plus:
+
+        Args:
+            u_dc: optional DC-link voltage [V] enabling INVERTER REALISM on
+                the stator pair: the physical ``(u_d, u_q)`` command is
+                vector-limited to the hexagon's inscribed circle
+                ``|u_dq| <= u_dc / sqrt(3)`` — the space-vector-modulation
+                linear region, which is rotation-invariant and therefore
+                exact without an electrical-angle state (the full hexagon's
+                corners rotate with the angle; reaching them means
+                overmodulation, outside this model's scope — the PMSM,
+                which carries ``epsilon`` as a state, implements the full
+                rotating hexagon).  Applied identically on every path
+                (step / sim_ahead / rewards / adaptive / fused open-loop
+                slabs / closed-loop kernels) via the engine's
+                state-independent action-constraint hook; the field
+                chopper's ``u_f`` is per-axis limited by its own action
+                band as before.  Default ``None``: no constraint, the
+                pinned defaults and golden behavior are untouched.
+        """
+        super().__init__(*args, **kwargs)
+        if u_dc is not None:
+            self._u_dc = float(u_dc)
+            lim = self._u_dc / float(np.sqrt(3.0))
+
+            def _svm_circle(comps):
+                u_d, u_q, u_f = comps
+                mag = jnp.sqrt(u_d * u_d + u_q * u_q)
+                scale = jnp.minimum(1.0, lim / jnp.maximum(mag, 1e-12))
+                return (u_d * scale, u_q * scale, u_f)
+
+            self._constrain_action_tuple = _svm_circle
+
     _ode_state_fields = ("i_d", "i_q", "i_f")
     _angle_fields = ()
     _sincos_reward_fields = ()

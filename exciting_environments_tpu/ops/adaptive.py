@@ -281,6 +281,7 @@ def adaptive_rollout(
         jax.vmap(env.denormalize_action, in_axes=(0, None)),
         in_axes=(0, env.in_axes_env_properties),
     )(actions_norm, props)
+    acts = env._constrained_phys_action(acts)
     acts_tm = jnp.moveaxis(acts, 1, 0)  # (n_intervals, B, A)
 
     phys = init_state.physical_state

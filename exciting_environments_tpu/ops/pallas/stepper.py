@@ -975,8 +975,11 @@ def env_fused_rollout(
             obs = obs[:, -1]
         return obs, last_state
 
-    # denormalize once — a cheap XLA pre-pass over the action slab
+    # denormalize once — a cheap XLA pre-pass over the action slab; the
+    # optional state-independent action constraint applies on the same slab
+    # (actuator realism at the exact point the scan paths apply it)
     actions = _denormalize_action_slab(env, actions_norm, time_major, props=props)
+    actions = env._constrained_phys_action(actions)
 
     # stochastic envs: precompute the scan path's per-step noise draws (the
     # shared CoreEnvironment._noise_slabs stream — the exact split(key, 3)
@@ -1146,6 +1149,7 @@ def env_fused_sim_ahead(
     from exciting_environments_tpu.core.env import CoreEnvironment as _Core
 
     actions = _denormalize_action_slab(env, actions_norm, time_major, props=props)
+    actions = env._constrained_phys_action(actions)
     # ZOH onto the solver (= observation) grid: each action drives `ratio`
     # consecutive solver steps.  The repeat is an XLA pre-pass on the
     # (denormalized) slab; the kernel's one-slot-shifted copy of the expanded
@@ -1271,7 +1275,7 @@ def env_fused_sim_ahead(
 def _make_closed_loop_kernel(
     ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
     wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
-    pp_treedef, n_pp, n_carry, obs_cols=(), noise_idx=(),
+    pp_treedef, n_pp, n_carry, obs_cols=(), noise_idx=(), act_constrain=None,
 ):
     """Kernel body over refs ``([pparams,] [obs_noise,] [proc_noise,]
     *params, *refs, *state_in, *carry_in, *state_out, *carry_out[,
@@ -1349,11 +1353,16 @@ def _make_closed_loop_kernel(
             else:
                 a_norm = policy(obs, step, pparams) if n_pp else policy(obs, step)
                 c1 = ()
-            # denormalize_action, per component
-            action = _IndexableAction(tuple(
+            # denormalize_action, per component; the optional state-
+            # independent action constraint (actuator realism) applies at
+            # the same point the scan paths apply it
+            phys_a = tuple(
                 (a + 1) / 2 * (mx - mn) + mn
                 for a, (mn, mx) in zip(a_norm, act_norms)
-            ))
+            )
+            if act_constrain is not None:
+                phys_a = act_constrain(phys_a)
+            action = _IndexableAction(phys_a)
             y1 = _rk_step(
                 lambda t, yy, act: ode(t, yy, act, params),
                 solver, y, action, tau, step * tau,
@@ -1399,6 +1408,7 @@ def _cl_launch(
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
     y0, param_leaves, ref_leaves, pp_flat, carry0=None,
     obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
+    act_constrain=None,
 ):
     """Tile the operands and launch the closed-loop kernel (primal of
     :func:`fused_closed_loop`).  With ``carry0`` (tuple of ``(B,)`` float
@@ -1510,6 +1520,7 @@ def _cl_launch(
         ode, solver, policy, chunk, n_state, n_action, n_params, n_refs, tau,
         wrap_flags, clip_fn, obs_norms, act_norms, traj_stride, fast_wrap,
         pp_treedef, n_pp, n_carry, obs_cols=obs_cols, noise_idx=noise_idx,
+        act_constrain=act_constrain,
     )
     out = pl.pallas_call(
         kernel,
@@ -1541,6 +1552,7 @@ def _cl_launch(
 def _plain_cl_step(
     ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
     fast_wrap, has_pp, params, has_carry=False, obs_cols=(), noise_idx=(),
+    act_constrain=None,
 ):
     """The closed-loop kernel's per-step computation in plain
     (differentiable) JAX over ``(B,)`` leaves: normalize -> [+sensor noise]
@@ -1566,10 +1578,13 @@ def _plain_cl_step(
         else:
             a_norm = policy(obs, t_step, pparams) if has_pp else policy(obs, t_step)
             c1 = ()
-        action = _IndexableAction(tuple(
+        phys_a = tuple(
             (a + 1) / 2 * (mx - mn) + mn
             for a, (mn, mx) in zip(a_norm, act_norms)
-        ))
+        )
+        if act_constrain is not None:
+            phys_a = act_constrain(phys_a)
+        action = _IndexableAction(phys_a)
         y1 = _rk_step(
             lambda tt, yy, act: ode(tt, yy, act, params),
             solver, y, action, tau, t_step * tau,
@@ -1613,14 +1628,14 @@ def _cached_unravel(params):
     return flat, _UNRAVEL_CACHE.setdefault(key, unravel)
 
 
-_N_CL_STATIC = 16
+_N_CL_STATIC = 17
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_CL_STATIC)))
 def _cl_core(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, act_constrain,
     y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm, proc_noise_tm,
 ):
     return _cl_launch(
@@ -1628,14 +1643,14 @@ def _cl_core(
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
         y0, param_leaves, ref_leaves, pp_flat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
-        obs_cols=obs_cols, noise_idx=noise_idx,
+        obs_cols=obs_cols, noise_idx=noise_idx, act_constrain=act_constrain,
     )
 
 
 def _cl_core_fwd(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, act_constrain,
     y0, param_leaves, ref_leaves, pp_flat, carry0, obs_noise_tm, proc_noise_tm,
 ):
     ckpt = _ckpt_stride(n_steps, traj_stride)
@@ -1645,7 +1660,7 @@ def _cl_core_fwd(
         n_action, clip_fn, ckpt, fast_wrap, interpret, pp_treedef,
         y0, param_leaves, ref_leaves, pp_flat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
-        obs_cols=obs_cols, noise_idx=noise_idx,
+        obs_cols=obs_cols, noise_idx=noise_idx, act_constrain=act_constrain,
     )
     if has_carry:
         final, final_c, saves, act_saves, carry_saves = res
@@ -1672,7 +1687,7 @@ def _cl_core_fwd(
 def _cl_core_bwd(
     ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
     n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-    obs_cols, noise_idx,
+    obs_cols, noise_idx, act_constrain,
     res, g,
 ):
     (
@@ -1757,7 +1772,7 @@ def _cl_core_bwd(
         inner = _plain_cl_step(
             ode, solver, policy, tau, wrap_flags, clip_fn, obs_norms, act_norms,
             fast_wrap, has_pp, params, has_carry=has_carry,
-            obs_cols=obs_cols, noise_idx=noise_idx,
+            obs_cols=obs_cols, noise_idx=noise_idx, act_constrain=act_constrain,
         )
 
         def body(yc, xs):
@@ -1818,6 +1833,7 @@ _cl_core.defvjp(_cl_core_fwd, _cl_core_bwd)
         "ode", "solver", "policy", "n_steps", "tau", "wrap_flags", "clip_fn",
         "obs_norms", "act_norms", "n_action", "traj_stride", "fast_wrap",
         "interpret", "pp_treedef", "obs_noise_cols", "proc_noise_idx",
+        "act_constrain",
     ),
 )
 def fused_closed_loop(
@@ -1843,6 +1859,7 @@ def fused_closed_loop(
     proc_noise_tm=None,
     obs_noise_cols: tuple = (),
     proc_noise_idx: tuple = (),
+    act_constrain=None,
     interpret: bool = False,
 ):
     """Closed-loop rollout fully on-chip: ``policy(obs_tiles, step[,
@@ -1890,7 +1907,7 @@ def fused_closed_loop(
     return _cl_core(
         ode, solver, policy, n_steps, tau, wrap_flags, obs_norms, act_norms,
         n_action, clip_fn, traj_stride, fast_wrap, interpret, pp_treedef,
-        tuple(obs_noise_cols), tuple(proc_noise_idx),
+        tuple(obs_noise_cols), tuple(proc_noise_idx), act_constrain,
         y0, tuple(param_leaves), tuple(ref_leaves), policy_params,
         None if policy_carry is None else tuple(policy_carry),
         obs_noise_tm, proc_noise_tm,
@@ -2069,6 +2086,7 @@ def env_fused_closed_loop(
         proc_noise_tm=proc_noise_tm,
         obs_noise_cols=obs_noise_cols,
         proc_noise_idx=proc_noise_idx,
+        act_constrain=env._constrain_action_tuple,
         interpret=interpret,
     )
     final_carry = None
@@ -2115,6 +2133,7 @@ def env_fused_closed_loop(
             [(a + 1) / 2 * (mx - mn) + mn for a, (mn, mx) in zip(a_norm_last, act_norms)],
             axis=-1,
         )
+        a_phys_last = env._constrained_phys_action(a_phys_last)
         solver_carry = _final_solver_state(env, y_final, a_phys_last)
 
     key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}

@@ -753,7 +753,7 @@ class CoreEnvironment:
 
             if not (
                 isinstance(self._solver, ExplicitRungeKutta)
-                and self._solver.b == (1.0,)
+                and self._solver.one_stage
             ):
                 raise ValueError(
                     "stochastic sim_ahead is defined for one-stage solvers "

@@ -47,6 +47,8 @@ tau = 1e-4 up to the +-450 rad/s electrical-speed band.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from exciting_environments_tpu.core.classic import ClassicODEEnvironment
 from exciting_environments_tpu.core.structures import pytree_dataclass
@@ -80,6 +82,39 @@ class InductionMachine(ClassicODEEnvironment):
 
     _default_batch_size = 8
     _default_tau = 1e-4
+
+    def __init__(self, *args, u_dc: float = None, **kwargs):
+        """All :class:`ClassicODEEnvironment` constructor args, plus:
+
+        Args:
+            u_dc: optional DC-link voltage [V] enabling INVERTER REALISM on
+                the stator voltage pair: the physical ``(u_sd, u_sq)``
+                command is vector-limited to the hexagon's inscribed circle
+                ``|u_s| <= u_dc / sqrt(3)`` — the space-vector-modulation
+                linear region, rotation-invariant and therefore exact
+                without an electrical-angle state (the same argument as the
+                EESM's stator limit, :class:`~exciting_environments_tpu.
+                models.eesm.EESM`; the PMSM, which carries ``epsilon``,
+                implements the full rotating hexagon).  Applied identically
+                on every path — step / sim_ahead / rewards / adaptive /
+                fused open-loop slabs / closed-loop kernels — via the
+                engine's state-independent action-constraint hook.  Default
+                ``None``: no constraint, pinned defaults and golden
+                behavior untouched.
+        """
+        super().__init__(*args, **kwargs)
+        if u_dc is not None:
+            self._u_dc = float(u_dc)
+            lim = self._u_dc / float(np.sqrt(3.0))
+
+            def _svm_circle(comps):
+                u_sd, u_sq = comps
+                mag = jnp.sqrt(u_sd * u_sd + u_sq * u_sq)
+                scale = jnp.minimum(1.0, lim / jnp.maximum(mag, 1e-12))
+                return (u_sd * scale, u_sq * scale)
+
+            self._constrain_action_tuple = _svm_circle
+
     _ode_state_fields = ("i_sd", "i_sq", "psi_rd", "psi_rq")
     _angle_fields = ()
     _sincos_reward_fields = ()

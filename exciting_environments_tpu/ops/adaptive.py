@@ -235,8 +235,15 @@ def adaptive_rollout(
 
     if getattr(env, "_has_noise", False):
         raise ValueError(
-            "adaptive_rollout integrates the deterministic dynamics; stochastic "
-            "(process/observation-noise) envs step through vmap_rollout/vmap_step."
+            "adaptive_rollout integrates the deterministic dynamics only: the "
+            "embedded pair's local-error estimate measures a smooth Taylor "
+            "remainder, which an O(sigma*sqrt(h)) diffusion increment swamps "
+            "— and adding noise only at accepted steps makes the path's law "
+            "depend on the tolerance (see docs/parts/solvers.rst, 'Stochastic "
+            "simulation', for the full argument incl. the Brownian-bridge "
+            "machinery a principled adaptive SDE method needs).  Stochastic "
+            "envs step through vmap_rollout/vmap_step at the fixed control "
+            "rate."
         )
 
     # Environments whose step semantics go beyond "integrate the physical

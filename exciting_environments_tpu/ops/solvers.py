@@ -107,6 +107,15 @@ class ExplicitRungeKutta(ODESolver):
     def __init__(self):
         self.num_stages = len(self.b)
 
+    @property
+    def one_stage(self) -> bool:
+        """Structurally one-stage with unit weight — the exact ``y + h*f``
+        Euler update.  This is the gate for Euler–Maruyama stochastic
+        semantics; compared structurally (length + value) so a tableau
+        expressing ``b`` as a list/ndarray is classified identically to the
+        canonical ``(1.0,)`` tuple."""
+        return len(self.b) == 1 and float(self.b[0]) == 1.0
+
     def init(self, f, t0, t1, y0, args):
         if self.fsal:
             return f(t0, y0, args)

@@ -5,12 +5,6 @@ steps are embarrassingly parallel, so the only cross-chip traffic is metric
 reduction (see SURVEY §5).
 """
 
-from exciting_environments_tpu.parallel.collectives import (
-    gather_to_host,
-    mean_metric,
-    sum_metric,
-    violation_fraction,
-)
 from exciting_environments_tpu.parallel.mesh import (
     BATCH_AXIS,
     ShardedEnv,
@@ -21,6 +15,10 @@ from exciting_environments_tpu.parallel.mesh import (
 )
 from exciting_environments_tpu.parallel.metrics import (
     RunningStats,
+    gather_to_host,
+    mean_metric,
+    sum_metric,
+    violation_fraction,
     Window,
     across_mesh,
     merge,

@@ -7,7 +7,7 @@ SPMD over a ``jax.sharding.Mesh``: environment steps are embarrassingly
 parallel across the batch, so the batch axis is laid out over the mesh and
 XLA/GSPMD partitions every step/rollout program with **zero** communication —
 the only collectives are metric reductions
-(:mod:`exciting_environments_tpu.parallel.collectives`) riding ICI.
+(:mod:`exciting_environments_tpu.parallel.metrics`) riding ICI.
 
 Usage::
 
@@ -171,12 +171,23 @@ class ShardedEnv:
         the closure.  Returns ``(batched_leaves, merge)`` where
         ``merge(local_leaves)`` rebuilds the property pytree with a shard's
         local slices in place — the per-shard ``env_properties`` override
-        the PMSM kernel launchers accept."""
-        leaves, treedef = jax.tree_util.tree_flatten(self.env.env_properties)
-        is_batched = [
-            isinstance(l, jax.Array) and l.ndim >= 1 and l.shape[0] == self.env.batch_size
-            for l in leaves
-        ]
+        the PMSM kernel launchers accept.
+
+        Batched-ness comes from ``env.in_axes_env_properties`` — the single
+        source of truth every vmap path already uses — rather than
+        re-inferring from leaf shapes, so the physical data partitioning can
+        never drift from the engine's own vmap semantics.  Both trees are
+        flattened with ``None`` kept as a leaf: the in-axes tree mirrors the
+        property tree field-for-field (``0``/``None`` per leaf), so the two
+        flat lists correspond positionally."""
+        keep_none = lambda x: x is None
+        leaves, treedef = jax.tree_util.tree_flatten(
+            self.env.env_properties, is_leaf=keep_none
+        )
+        ax_leaves = jax.tree_util.tree_leaves(
+            self.env.in_axes_env_properties, is_leaf=keep_none
+        )
+        is_batched = [ax == 0 for ax in ax_leaves]
         batched = tuple(l for l, b in zip(leaves, is_batched) if b)
 
         def merge(local_leaves):
@@ -494,26 +505,19 @@ class ShardedEnv:
         """
         from exciting_environments_tpu.ops.adaptive import adaptive_rollout
 
-        env = self.env
         shadow = self._local_shadow()
 
-        # split the property tree: array leaves with a leading batch dim are
-        # shard_map operands (split over the mesh), everything else — scalar
-        # arrays and the static Python scalars jit specializes on — is closed
-        # over and implicitly replicated
-        leaves, treedef = jax.tree_util.tree_flatten(env.env_properties)
-        is_batched = [
-            isinstance(l, jax.Array) and l.ndim >= 1 and l.shape[0] == env.batch_size
-            for l in leaves
-        ]
-        batched_leaves = tuple(l for l, b in zip(leaves, is_batched) if b)
+        # split the property tree: batched leaves are shard_map operands
+        # (split over the mesh), everything else — scalar arrays and the
+        # static Python scalars jit specializes on — is closed over and
+        # implicitly replicated (shared helper, same split as every kernel
+        # path)
+        batched_leaves, merge = self._batched_prop_operands()
 
         spec = P(self.axis_name)
 
         def local(state, actions, local_prop_leaves):
-            it = iter(local_prop_leaves)
-            merged = [next(it) if b else l for l, b in zip(leaves, is_batched)]
-            props = jax.tree_util.tree_unflatten(treedef, merged)
+            props = merge(local_prop_leaves)
             return adaptive_rollout(shadow, state, actions, env_properties=props, **kwargs)
 
         sharded = jax.shard_map(

@@ -1,7 +1,8 @@
 """Streaming and windowed fleet metrics for long-running simulation loops.
 
-The thin reductions in :mod:`~exciting_environments_tpu.parallel.collectives`
-answer "what is the mean right now"; a production excitation/RL data loop
+The thin one-shot reductions at the bottom of this module
+(:func:`mean_metric` and friends) answer "what is the mean right now" with a
+single ``psum``-style all-reduce; a production excitation/RL data loop
 additionally needs *running* statistics over millions of steps (throughput
 accounting, reward drift, constraint-violation rates) without ever shipping
 per-step data to the host.  This module provides:
@@ -179,3 +180,53 @@ def window_min(w: Window):
 
 def window_max(w: Window):
     return jnp.max(jnp.where(_masked(w), w.buffer, -jnp.inf), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# One-shot cross-chip reductions.  Environment stepping needs no
+# communication (batch entries are independent); a data-generation loop's
+# instantaneous queries — mean reward, violation fraction — are single
+# reductions that XLA lowers to a local reduce plus one all-reduce over ICI
+# when the jitted reduction consumes a mesh-sharded array (SURVEY §5,
+# "communication backend" row).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def mean_metric(values):
+    """Global mean of a (possibly mesh-sharded) per-environment metric.
+
+    Under a sharded input XLA lowers this to a local reduction plus one
+    all-reduce over ICI; the result is replicated on every chip.
+    """
+    return jnp.mean(values)
+
+
+@jax.jit
+def sum_metric(values):
+    """Global sum of a (possibly mesh-sharded) per-environment metric."""
+    return jnp.sum(values)
+
+
+@jax.jit
+def violation_fraction(truncated):
+    """Fraction of environments currently out of bounds."""
+    return jnp.mean(jnp.any(truncated, axis=tuple(range(1, truncated.ndim))).astype(jnp.float32))
+
+
+def gather_to_host(tree):
+    """Fetch a sharded pytree to host memory (one all-gather per leaf).
+
+    Use sparingly: this is the only host<->device traffic a simulation loop
+    should incur beyond initial placement.
+    """
+    return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
+
+
+def psum_across(mesh_axis: str):
+    """Explicit ``psum`` reduction for use inside ``shard_map`` bodies."""
+
+    def reduce(x):
+        return jax.lax.psum(x, mesh_axis)
+
+    return jax.jit(reduce)

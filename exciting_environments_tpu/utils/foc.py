@@ -842,14 +842,25 @@ def make_pmsm_sensorless_current_tile(
     )
     R = np.diag([(s_d * mnoise["i_d"]) ** 2, (s_q * mnoise["i_q"]) ** 2])
     P = Q.copy()
+    converged = False
     for _ in range(200_000):
         S = P + R
         Kp = P @ np.linalg.inv(S)
         P_next = A_n @ (P - Kp @ P) @ A_n.T + Q
         if np.max(np.abs(P_next - P)) < 1e-14:
             P = P_next
+            converged = True
             break
         P = P_next
+    if not converged:
+        # a non-contracting Q/R configuration must not silently yield a
+        # non-stationary gain — the whole premise of the constant-K tile
+        raise ValueError(
+            "stationary Riccati iteration did not converge to 1e-14 in "
+            "200000 steps — the Q/R configuration does not admit a "
+            "stationary Kalman gain (check process/measurement noise "
+            "levels and q_floor)"
+        )
     K = P @ np.linalg.inv(P + R)
     K = [[float(v) for v in row] for row in K]
     A_l = [[float(v) for v in row] for row in A_n]

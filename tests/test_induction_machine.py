@@ -162,3 +162,74 @@ def test_stochastic_and_deterministic_guards():
     _, st_ms = env_ms.vmap_reset(jax.random.split(jax.random.PRNGKey(0), 8))
     with pytest.raises(ValueError, match="one-stage"):
         env_ms.vmap_sim_ahead(st_ms, jnp.zeros((8, 4, 2)), env_ms.tau, env_ms.tau)
+
+
+def test_u_dc_inverter_realism_consistent_on_every_path():
+    """Round 5: ``u_dc=`` enables the SVM linear-modulation limit (the
+    hexagon's inscribed circle — rotation-invariant, hence exact without an
+    angle state) on the stator voltage pair, applied identically on
+    step / sim_ahead / fused open loop / the closed-loop kernel via the
+    engine's state-independent action-constraint hook — the EESM recipe,
+    now shared by all three drives."""
+    from exciting_environments_tpu.ops.pallas.stepper import (
+        env_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_, T_ = 1024, 12
+    env = excenvs.InductionMachine(batch_size=B_, u_dc=400.0)
+    env0 = excenvs.InductionMachine(batch_size=B_)
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    acts = 0.9 * jnp.ones((B_, T_, 2))
+
+    obs_c, last_c = env.vmap_rollout(st, acts, T_)
+    _, last_u = env0.vmap_rollout(st, acts, T_)
+    # commands at 0.9 of the +-325 V band (|u| ~ 414 V) exceed the 231 V
+    # inscribed circle: the constraint binds
+    assert (
+        float(jnp.max(jnp.abs(last_c.physical_state.i_sd - last_u.physical_state.i_sd)))
+        > 1e-3
+    )
+
+    s = st
+    for t in range(T_):
+        _, s = env.vmap_step(s, acts[:, t])
+    np.testing.assert_allclose(
+        np.asarray(s.physical_state.psi_rd),
+        np.asarray(last_c.physical_state.psi_rd),
+        rtol=0,
+        atol=1e-12,
+    )
+
+    _, last_f = env_fused_rollout(env, st, acts, interpret=True, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(last_f.physical_state.i_sd),
+        np.asarray(last_c.physical_state.i_sd),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+
+    _, _, last_sa = env.vmap_sim_ahead(st, acts, env.tau, env.tau)
+    np.testing.assert_allclose(
+        np.asarray(last_sa.physical_state.i_sd),
+        np.asarray(last_c.physical_state.i_sd),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+
+    def policy(obs, t):
+        return (0.95 + 0.0 * obs[0], 0.95 + 0.0 * obs[1])
+
+    _, last_k = env_fused_closed_loop(env, st, policy, T_, interpret=True)
+    _, last_ks = tile_policy_scan(env, st, T_, policy, None, False)
+    np.testing.assert_allclose(
+        np.asarray(last_k.physical_state.i_sd),
+        np.asarray(last_ks.physical_state.i_sd),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+    _, last_k0 = env_fused_closed_loop(env0, st, policy, T_, interpret=True)
+    assert (
+        float(jnp.max(jnp.abs(last_k.physical_state.i_sd - last_k0.physical_state.i_sd)))
+        > 1e-3
+    )

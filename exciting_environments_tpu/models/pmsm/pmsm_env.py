@@ -141,12 +141,18 @@ class PMSM(CoreEnvironment):
             i_q_lims = physical_normalizations["i_q"]
             def_i_d_lims = default_physical_normalizations["i_d"]
             def_i_q_lims = default_physical_normalizations["i_q"]
-            if (i_d_lims.min < def_i_d_lims.min) or (i_d_lims.max > def_i_d_lims.max):
+            # np.any keeps the warning working for per-batch (B,) bands
+            # (warn if ANY instance's range leaves the LUT grid)
+            if np.any(np.asarray(i_d_lims.min) < def_i_d_lims.min) or np.any(
+                np.asarray(i_d_lims.max) > def_i_d_lims.max
+            ):
                 print(
                     f"The defined permitted range of i_d ({i_d_lims}) exceeds the limits of the "
                     f"LUT ({def_i_d_lims}). Values outside this range are extrapolated."
                 )
-            if (i_q_lims.min < def_i_q_lims.min) or (i_q_lims.max > def_i_q_lims.max):
+            if np.any(np.asarray(i_q_lims.min) < def_i_q_lims.min) or np.any(
+                np.asarray(i_q_lims.max) > def_i_q_lims.max
+            ):
                 print(
                     f"The defined permitted range of i_q ({i_q_lims}) exceeds the limits of the "
                     f"LUT ({def_i_q_lims}). Values outside this range are extrapolated."

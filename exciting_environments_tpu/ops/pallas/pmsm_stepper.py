@@ -291,6 +291,34 @@ def _blend_channels(corners, wx, wy):
 #: static scalar — it selects the program structure, not an operand.
 _PB_FIELDS = ("r_s", "p15", "l_d", "l_q", "psi_p", "dl")
 
+#: per-batch-capable CLOSED-LOOP constraint/normalization planes (round 5),
+#: in streaming order: the DC-link voltage (a battery-state-of-charge
+#: randomization target), the action-band endpoints, and the observation
+#: normalization bands for (i_d, i_q, omega_el, torque, u_d_buffer,
+#: u_q_buffer).  Scalar leaves keep folding into the program as compile-time
+#: constants; only genuinely per-batch leaves stream.
+_PBN_FIELDS = ("u_dc", "a_d_mn", "a_d_mx", "a_q_mn", "a_q_mx") + tuple(
+    f"o{i}_{s}" for i in range(6) for s in ("mn", "mx")
+)
+
+
+def _eff_cl_norms(obs_norms, act_norms, u_dc, pbn_names, pbn):
+    """Resolve the closed-loop kernel's effective observation/action bands
+    and DC-link voltage: per-batch planes from ``pbn`` (order =
+    ``pbn_names``) override the baked scalars.  Works on ``(rows, 128)``
+    tiles in-kernel and on ``(B,)`` leaves in the plain backward step —
+    every consumer is elementwise."""
+    d = dict(zip(pbn_names, pbn))
+    obs_e = tuple(
+        (d.get(f"o{i}_mn", obs_norms[i][0]), d.get(f"o{i}_mx", obs_norms[i][1]))
+        for i in range(len(obs_norms))
+    )
+    act_e = (
+        (d.get("a_d_mn", act_norms[0][0]), d.get("a_d_mx", act_norms[0][1])),
+        (d.get("a_q_mn", act_norms[1][0]), d.get("a_q_mx", act_norms[1][1])),
+    )
+    return obs_e, act_e, d.get("u_dc", u_dc)
+
 
 def _make_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
@@ -992,6 +1020,8 @@ def _constraint_denorm_batched(env, props, acts, eps, omega):
     # denormalize_action: (a + 1) / 2 * (max - min) + min, per component
     u_d = (acts[..., 0] + 1) / 2 * (an.u_d.max - an.u_d.min) + an.u_d.min
     u_q = (acts[..., 1] + 1) / 2 * (an.u_q.max - an.u_q.min) + an.u_q.min
+    # per-batch (B,) u_dc broadcasts against the (T, B) slab on the trailing
+    # axis; the same expressions as the scan's scalar path, elementwise
     scale = 1 / (params.u_dc / 2)
     nd = u_d * scale
     nq = u_q * scale
@@ -1029,7 +1059,10 @@ def _constraint_denorm_batched(env, props, acts, eps, omega):
     rot_back = jax.vmap(jax.vmap(albet2dq, in_axes=(0, 0)), in_axes=(0, 0))
     u_clip = jnp.stack([oa, ob], axis=-1)[..., None, :]
     u_dq_clip = rot_back(u_clip, adv)[..., 0, :]
-    return u_dq_clip * (params.u_dc / 2)
+    half_dc = jnp.asarray(params.u_dc) / 2
+    if half_dc.ndim:  # (B,) against (T, B, 2): align on the batch axis
+        half_dc = half_dc[..., None]
+    return u_dq_clip * half_dc
 
 
 def _constrained_voltages(env, state, acts_tm, props):
@@ -1756,6 +1789,7 @@ def _make_cl_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
     gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
     u_dc, emit_u_last, n_carry=0, obs_cols=(), noise_idx=(), pb_names=(),
+    pbn_names=(),
 ):
     """Closed-loop kernel over refs ``([pparams,] [obs_noise,] [proc_noise,]
     omega, i_d0, i_q0, eps0, bd0, bq0, [V | lin], *refs, *carry_in, i_d,
@@ -1789,10 +1823,6 @@ def _make_cl_kernel(
         corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
         return _blend_channels(corners, wx, wy)
 
-    def norm(leaf, idx):
-        mn, mx = obs_norms[idx]
-        return 2 * (leaf - mn) / (mx - mn) - 1
-
     def kernel(*refs):
         if n_pp:
             pp_ref = refs[0]
@@ -1811,6 +1841,21 @@ def _make_cl_kernel(
         for nm in pb_names:
             pb[nm] = refs[0][:]
             refs = refs[1:]
+        pbn = {}
+        for nm in pbn_names:
+            pbn[nm] = refs[0][:]
+            refs = refs[1:]
+        # effective bands/DC-link: streamed per-batch tiles override the
+        # baked scalars; every consumer below is elementwise, so tiles and
+        # floats mix freely
+        obs_norms_v, act_norms_v, u_dc_v = _eff_cl_norms(
+            obs_norms, act_norms, u_dc, pbn_names, tuple(pbn.values())
+        )
+
+        def norm(leaf, idx):
+            mn, mx = obs_norms_v[idx]
+            return 2 * (leaf - mn) / (mx - mn) - 1
+
         if saturated:
             V = refs[0][:]
             l_d = l_q = None
@@ -1894,7 +1939,7 @@ def _make_cl_kernel(
                 c1 = ()
             a_d, a_q = a[0], a[1]
             u_con_d, u_con_q = _hex_constrain(
-                a_d, a_q, eps, omega, tau, act_norms, u_dc, deadtime
+                a_d, a_q, eps, omega, tau, act_norms_v, u_dc_v, deadtime
             )
             if deadtime:
                 u_app = (bd, bq)
@@ -1979,7 +2024,7 @@ def _pmsm_cl_launch(
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
     y0, omega, ref_leaves, pp_flat, vflat, carry0=None,
     obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
-    pb=(), pb_names=(),
+    pb=(), pb_names=(), pbn=(), pbn_names=(),
 ):
     """Tile the operands and launch the closed-loop PMSM kernel (primal).
     Returns ``(final, traj, u_last, final_carry, traj_carry)`` — the last
@@ -2057,6 +2102,9 @@ def _pmsm_cl_launch(
     for leaf in pb:
         in_specs.append(state_block())
         operands.append(tile(jnp.asarray(leaf, dtype)))
+    for leaf in pbn:
+        in_specs.append(state_block())
+        operands.append(tile(jnp.asarray(leaf, dtype)))
     if saturated:
         zeros = (0,) * vflat.ndim
         in_specs.append(pl.BlockSpec(vflat.shape, lambda b, k, z=zeros: z, memory_space=pltpu.VMEM))
@@ -2091,6 +2139,7 @@ def _pmsm_cl_launch(
         gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
         act_norms, u_dc, emit_u_last, n_carry,
         obs_cols=obs_cols, noise_idx=noise_idx, pb_names=pb_names,
+        pbn_names=pbn_names,
     )
     out = pl.pallas_call(
         kernel,
@@ -2180,32 +2229,34 @@ def _plain_pmsm_cl_step(
     return step
 
 
-_N_PMSM_CL_STATIC = 20
+_N_PMSM_CL_STATIC = 21
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_CL_STATIC)))
 def _pmsm_cl_core(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names,
+    obs_cols, noise_idx, pb_names, pbn_names,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm, pb,
+    obs_noise_tm, proc_noise_tm, pb, pbn,
 ):
     """Differentiable closed-loop core: one kernel launch forward; backward
     by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
     scheme as :func:`_pmsm_core_diff` / ``stepper._cl_core``).  Cotangents
     flow to the initial state planes, omega, the normalized references, the
     policy-parameter vector, (for stateful policies) the initial policy
-    carry, and the streamed noise slabs (reparameterized gradients); the
-    FSAL ``u_last`` outputs are informational (zero pull-back, like the
-    scan's re-initialized carry).  Returns ``(final, traj, u_last)`` —
-    plus ``final_carry`` when ``carry0`` is given."""
+    carry, the streamed noise slabs (reparameterized gradients), and the
+    per-batch parameter/band planes ``pb``/``pbn``; the FSAL ``u_last``
+    outputs are informational (zero pull-back, like the scan's
+    re-initialized carry).  Returns ``(final, traj, u_last)`` — plus
+    ``final_carry`` when ``carry0`` is given."""
     final, traj, u_last, final_carry, _tc = _pmsm_cl_launch(
         n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride,
         gather, interpret, policy, pp_treedef, deadtime, obs_norms, act_norms,
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
         obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
+        pbn=pbn, pbn_names=pbn_names,
     )
     if carry0 is None:
         return final, traj, u_last
@@ -2215,9 +2266,9 @@ def _pmsm_cl_core(
 def _pmsm_cl_core_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names,
+    obs_cols, noise_idx, pb_names, pbn_names,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm, pb,
+    obs_noise_tm, proc_noise_tm, pb, pbn,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
@@ -2228,6 +2279,7 @@ def _pmsm_cl_core_fwd(
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
         obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
+        pbn=pbn, pbn_names=pbn_names,
     )
     if traj_stride is None:
         traj_out = None
@@ -2241,21 +2293,21 @@ def _pmsm_cl_core_fwd(
     )
     return out, (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm, pb,
+        obs_noise_tm, proc_noise_tm, pb, pbn,
     )
 
 
 def _pmsm_cl_core_bwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names,
+    obs_cols, noise_idx, pb_names, pbn_names,
     res, g,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
     (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm, pb,
+        obs_noise_tm, proc_noise_tm, pb, pbn,
     ) = res
     has_carry = carry0 is not None
     if has_carry:
@@ -2270,19 +2322,22 @@ def _pmsm_cl_core_bwd(
     has_pp = pp_flat is not None
     save_id, save_iq, _save_tq, save_ucd, save_ucq, _sa, _sb = saves
 
-    def fns(pb_t):
+    def fns(pb_t, pbn_t):
         r_s_e, lin_e, p15_e = _eff_params(r_s, lin, p15, pb_names, pb_t)
+        obs_norms_e, act_norms_e, u_dc_e = _eff_cl_norms(
+            obs_norms, act_norms, u_dc, pbn_names, pbn_t
+        )
         return (
             _plain_electrical(saturated, r_s_e, lin_e, p15_e, geom, lut_vals)[1],
             _plain_pmsm_cl_step(
                 saturated, solver, tau, r_s_e, lin_e, p15_e, geom, lut_vals,
-                policy, has_pp, deadtime, obs_norms, act_norms, u_dc,
+                policy, has_pp, deadtime, obs_norms_e, act_norms_e, u_dc_e,
                 has_carry=has_carry, obs_cols=obs_cols, noise_idx=noise_idx,
             ),
         )
 
     def torque_at(y, pb_t):
-        return fns(pb_t)[0](y)
+        return fns(pb_t, pbn)[0](y)
 
     torque_fn = lambda y: torque_at(y, pb)
     has_on = obs_noise_tm is not None
@@ -2368,9 +2423,9 @@ def _pmsm_cl_core_bwd(
         g_save_seg = tuple(zeros_seg() for _ in range(5))
         g_aux_seg = tuple(zeros_seg() for _ in range(4))
 
-    def seg_apply(y_start, pc_start, t_s, refs, pp, om, on_s, pn_s, pb_t):
+    def seg_apply(y_start, pc_start, t_s, refs, pp, om, on_s, pn_s, pb_t, pbn_t):
         ppy = pp_treedef(pp) if has_pp else None
-        inner = fns(pb_t)[1]
+        inner = fns(pb_t, pbn_t)[1]
 
         def body(carry, xs):
             y, pc = carry
@@ -2390,28 +2445,38 @@ def _pmsm_cl_core_bwd(
     g_om0 = jnp.zeros_like(omega)
 
     g_pb0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pb)
+    g_pbn0 = tuple(jnp.zeros_like(jnp.asarray(p)) for p in pbn)
 
     def bwd_body(carry, xs):
-        g_y, g_pc, g_refs, g_pp, g_om, g_pb_acc = carry
+        g_y, g_pc, g_refs, g_pp, g_om, g_pb_acc, g_pbn_acc = carry
         start_s, pc_start_s, t_s, g_save_s, g_aux_s, on_s, pn_s = xs
         g_y = tuple(gy + gs for gy, gs in zip(g_y, g_save_s))
         _, vjp_fn = jax.vjp(
-            lambda y, pc, r, pp, om, on, pn, pbt: seg_apply(
-                y, pc, t_s, r, pp, om, on, pn, pbt
+            lambda y, pc, r, pp, om, on, pn, pbt, pbnt: seg_apply(
+                y, pc, t_s, r, pp, om, on, pn, pbt, pbnt
             ),
             start_s, pc_start_s, ref_leaves,
-            pp_flat if has_pp else jnp.zeros((0,), dtype), omega, on_s, pn_s, pb,
+            pp_flat if has_pp else jnp.zeros((0,), dtype), omega, on_s, pn_s,
+            pb, pbn,
         )
-        gy_in, gpc_in, gr, gpp, gom, g_on, g_pn, gpb = vjp_fn((g_y, g_pc, g_aux_s))
+        gy_in, gpc_in, gr, gpp, gom, g_on, g_pn, gpb, gpbn = vjp_fn(
+            (g_y, g_pc, g_aux_s)
+        )
         g_refs = tuple(a + b for a, b in zip(g_refs, gr))
         g_pb_acc = tuple(a + b for a, b in zip(g_pb_acc, gpb))
-        return (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom, g_pb_acc), (g_on, g_pn)
+        g_pbn_acc = tuple(a + b for a, b in zip(g_pbn_acc, gpbn))
+        return (
+            (gy_in, gpc_in, g_refs, g_pp + gpp, g_om + gom, g_pb_acc, g_pbn_acc),
+            (g_on, g_pn),
+        )
 
-    (g_y0, g_pc0, g_refs, g_pp, g_omega, g_pb), (g_on_all, g_pn_all) = jax.lax.scan(
-        bwd_body,
-        (g_y, g_final_pc, g_refs0, g_pp0, g_om0, g_pb0),
-        (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg, on_seg, pn_seg),
-        reverse=True,
+    ((g_y0, g_pc0, g_refs, g_pp, g_omega, g_pb, g_pbn), (g_on_all, g_pn_all)) = (
+        jax.lax.scan(
+            bwd_body,
+            (g_y, g_final_pc, g_refs0, g_pp0, g_om0, g_pb0, g_pbn0),
+            (starts, pc_starts, ts_seg, g_save_seg, g_aux_seg, on_seg, pn_seg),
+            reverse=True,
+        )
     )
     g_pb = tuple(a + b + c for a, b, c in zip(g_pb, g_pb_tq, g_pb_saves))
     return (
@@ -2425,6 +2490,7 @@ def _pmsm_cl_core_bwd(
         g_on_all.reshape(n_steps, batch, len(obs_cols)) if has_on else None,
         g_pn_all.reshape(n_steps, batch, len(noise_idx)) if has_pn else None,
         g_pb,
+        g_pbn,
     )
 
 
@@ -2433,23 +2499,25 @@ _pmsm_cl_core.defvjp(_pmsm_cl_core_fwd, _pmsm_cl_core_bwd)
 
 def supports_pmsm_fused_closed_loop(env) -> bool:
     """Scope of the closed-loop PMSM kernel: :func:`supports_pmsm_fused`
-    plus scalar normalizations and scalar ``u_dc`` (they fold into the
-    in-kernel constraint/observation arithmetic as compile-time constants).
-    Per-batch ``(batch,)`` winding/magnet params — ``r_s``, ``p``, ``l_d``,
-    ``l_q``, ``psi_p`` — stream as tile planes like the open-loop kernel
-    (round 4), so a domain-randomized drive fleet trains its in-kernel
-    policies over the parameter distribution.  Stochastic drives ARE in
-    scope: the launcher streams the pre-scaled sensor/process draw slabs —
-    the policy closes the loop over the NOISY measurements."""
+    plus scalar-or-``(batch,)`` normalization bands.  Scalar leaves fold
+    into the in-kernel constraint/observation arithmetic as compile-time
+    constants; per-batch leaves stream as tile planes — the winding/magnet
+    params ``r_s``/``p``/``l_d``/``l_q``/``psi_p`` since round 4
+    (:data:`_PB_FIELDS`) and, since round 5, the DC-link voltage ``u_dc``
+    (battery state-of-charge randomization) plus every action/observation
+    normalization band (:data:`_PBN_FIELDS`) — so a domain-randomized drive
+    fleet keeps its closed loops in kernel scope.  ``deadtime`` remains the
+    one compile-time scalar: it selects the program structure (buffer-swap
+    variant), not an operand.  Stochastic drives ARE in scope: the launcher
+    streams the pre-scaled sensor/process draw slabs — the policy closes
+    the loop over the NOISY measurements."""
     if not supports_pmsm_fused(env):
         return False
     props = env.env_properties
-    leaves = (
-        jax.tree_util.tree_leaves(props.physical_normalizations)
-        + jax.tree_util.tree_leaves(props.action_normalizations)
-    )
-    return all(np.isscalar(leaf) for leaf in leaves) and np.isscalar(
-        props.static_params.u_dc
+    batch = env.batch_size
+    leaves = jax.tree_util.tree_leaves(props.physical_normalizations)
+    return all(
+        np.isscalar(leaf) or np.shape(leaf) == (batch,) for leaf in leaves
     )
 
 
@@ -2464,6 +2532,7 @@ def pmsm_fused_closed_loop(
     return_traj_states: bool = False,
     policy_params=None,
     policy_carry=None,
+    env_properties=None,
 ):
     """Closed-loop PMSM rollout with the policy evaluated INSIDE the fused
     drive kernel.
@@ -2511,26 +2580,34 @@ def pmsm_fused_closed_loop(
     """
     if return_traj_states and obs_stride is None:
         raise ValueError("return_traj_states requires obs_stride")
-    if not supports_pmsm_fused_closed_loop(env):
+    # an explicit env_properties override is the mesh layer's per-shard hook
+    # (same contract as pmsm_fused_rollout): scope was checked against the
+    # full-batch env, and the override's traced leaves cannot be
+    # shape-inspected here
+    if env_properties is None and not supports_pmsm_fused_closed_loop(env):
         raise ValueError(
             "pmsm_fused_closed_loop out of kernel scope (requires "
-            "supports_pmsm_fused plus scalar physical normalizations); use "
-            "RolloutCollector.collect_policy for the scan path"
+            "supports_pmsm_fused plus scalar-or-(batch,) physical "
+            "normalizations); use RolloutCollector.collect_policy for the "
+            "scan path"
         )
     impl = env.__dict__.get("_pmsm_cl_impl")
     if impl is None:
         impl = jax.jit(
             functools.partial(_pmsm_cl_impl, env),
             static_argnames=(
-                "policy", "n_steps", "obs_stride", "gather", "interpret",
-                "return_traj_states",
+                "batched_pos", "policy", "n_steps", "obs_stride", "gather",
+                "interpret", "return_traj_states",
             ),
         )
         env.__dict__["_pmsm_cl_impl"] = impl
+    prop_batched, batched_pos = _split_prop_override(env_properties)
     return impl(
         init_state,
         policy_params,
         None if policy_carry is None else tuple(policy_carry),
+        prop_batched,
+        batched_pos=batched_pos,
         policy=policy,
         n_steps=n_steps,
         obs_stride=obs_stride,
@@ -2541,13 +2618,14 @@ def pmsm_fused_closed_loop(
 
 
 def _pmsm_cl_impl(
-    env, init_state, policy_params, policy_carry, *, policy, n_steps,
-    obs_stride, gather, interpret, return_traj_states,
+    env, init_state, policy_params, policy_carry, prop_batched=None, *,
+    batched_pos=None, policy, n_steps, obs_stride, gather, interpret,
+    return_traj_states,
 ):
     from exciting_environments_tpu.core import structures
     from exciting_environments_tpu.ops.pallas.stepper import _cached_unravel
 
-    props = env.env_properties
+    props = _merge_prop_override(env, prop_batched, batched_pos)
     params = props.static_params
     deadtime = int(params.deadtime)
     saturated = bool(props.saturated)
@@ -2559,22 +2637,39 @@ def _pmsm_cl_impl(
     if obs_stride is not None and n_steps % obs_stride != 0:
         raise ValueError("n_steps must be divisible by obs_stride")
 
-    f = lambda v: float(np.asarray(v, dtype=dtype))
-    u_dc = f(params.u_dc)
     r_s, p15, lin, vflat, geom, pb_names, pb = _pmsm_scalar_config(
         env, params, saturated, dtype, gather
     )
 
+    # constraint/normalization scalars fold into the program; per-batch
+    # (B,) leaves become streamed tile planes (pbn, _PBN_FIELDS order) with
+    # an inert 0.0 placeholder in the static tuple — the kernel and the
+    # plain backward step both resolve effective values via _eff_cl_norms
+    pbn_entries = []
+
+    def _sv(v, name):
+        if np.isscalar(v) or np.ndim(v) == 0:
+            return float(np.asarray(v, dtype=dtype))
+        pbn_entries.append((name, jnp.asarray(v, dtype)))
+        return 0.0
+
+    u_dc = _sv(params.u_dc, "u_dc")
     pn = props.physical_normalizations
     obs_norms = tuple(
-        (float(getattr(pn, name).min), float(getattr(pn, name).max))
-        for name in ("i_d", "i_q", "omega_el", "torque", "u_d_buffer", "u_q_buffer")
+        (_sv(getattr(pn, name).min, f"o{i}_mn"), _sv(getattr(pn, name).max, f"o{i}_mx"))
+        for i, name in enumerate(
+            ("i_d", "i_q", "omega_el", "torque", "u_d_buffer", "u_q_buffer")
+        )
     )
     an = props.action_normalizations
     act_norms = (
-        (float(an.u_d.min), float(an.u_d.max)),
-        (float(an.u_q.min), float(an.u_q.max)),
+        (_sv(an.u_d.min, "a_d_mn"), _sv(an.u_d.max, "a_d_mx")),
+        (_sv(an.u_q.min, "a_q_mn"), _sv(an.u_q.max, "a_q_mx")),
     )
+    pbn_order = {name: i for i, name in enumerate(_PBN_FIELDS)}
+    pbn_entries.sort(key=lambda e: pbn_order[e[0]])
+    pbn_names = tuple(name for name, _ in pbn_entries)
+    pbn = tuple(leaf for _, leaf in pbn_entries)
 
     proto = jnp.zeros(batch, dtype=dtype)
     bcast = lambda leaf: jnp.broadcast_to(jnp.asarray(leaf, dtype), proto.shape)
@@ -2618,10 +2713,10 @@ def _pmsm_cl_impl(
     )
     if getattr(env, "_has_noise", False):
         if eps_obs is not None:
-            # closed-loop scope guarantees scalar normalization spans, so
-            # the normalized sigmas are compile-time floats; only the noisy
-            # columns stream (PMSM layout: obs cols 0-3 = i_d, i_q,
-            # omega_el, torque)
+            # only the noisy columns stream (PMSM layout: obs cols 0-3 =
+            # i_d, i_q, omega_el, torque); the normalized sigmas are
+            # compile-time floats for scalar spans and (B,) arrays for
+            # per-batch spans — _obs_noise_sigma_norm handles both
             layout = env._obs_noise_layout
             sigmas = env._obs_noise_sigma_norm(props)
             noisy = tuple(
@@ -2629,8 +2724,13 @@ def _pmsm_cl_impl(
                 if name in env._observation_noise
             )
             obs_noise_cols = tuple(col for _k, col in noisy)
+
+            def _sig(k):
+                s = jnp.asarray(sigmas[k], eps_obs.dtype)
+                return s[:, None] if s.ndim else s  # (B,) against (B, T)
+
             scaled = jnp.stack(
-                [float(sigmas[k]) * eps_obs[..., k] for k, _col in noisy], axis=-1
+                [_sig(k) * eps_obs[..., k] for k, _col in noisy], axis=-1
             )
             scaled_tm = jnp.transpose(scaled, (1, 0, 2))  # (T, B, n)
             obs_noise_tm = jnp.concatenate(
@@ -2641,8 +2741,9 @@ def _pmsm_cl_impl(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
         obs_stride, gather, interpret, policy, pp_unravel, deadtime,
         obs_norms, act_norms, u_dc, obs_noise_cols, proc_noise_idx, pb_names,
+        pbn_names,
         y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-        obs_noise_tm, proc_noise_tm, pb,
+        obs_noise_tm, proc_noise_tm, pb, pbn,
     )
     if has_carry:
         final, traj, u_last, final_carry = core_out
@@ -2659,7 +2760,7 @@ def _pmsm_cl_impl(
         solver_state = _pmsm_final_solver_state(
             env, saturated,
             jax.lax.stop_gradient(i_d), jax.lax.stop_gradient(i_q),
-            jax.lax.stop_gradient(eps_final), u_app_last, omega,
+            jax.lax.stop_gradient(eps_final), u_app_last, omega, props=props,
         )
     key_kwargs = {} if final_keys is None else {"PRNGKey": final_keys}
     final_state = structures.replace(

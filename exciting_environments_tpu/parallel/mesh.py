@@ -414,25 +414,31 @@ class ShardedEnv:
         (closed-loop kernel scope plus local-batch tiling).  Probe this
         before committing a production loop to the kernel lane.
 
-        Per-batch property leaves are NOT yet routed through the sharded
-        closed loop (the open-loop paths pass per-shard property slices as
-        shard_map operands; the closed-loop launchers still read the env's
-        own full-batch leaves), so heterogeneous fleets close their loops
-        through ``RolloutCollector.collect_policy`` under the mesh."""
+        Per-batch property leaves ride the sharded closed loop for the PMSM
+        drive kernel (round 5): each shard's property slices pass as
+        ``shard_map`` operands into the launcher's ``env_properties`` hook,
+        exactly like the open-loop paths — a ``u_dc``- or
+        winding-randomized fleet closes its loops in-kernel under the mesh.
+        The generic classic-env closed-loop kernel still folds
+        normalizations as compile-time scalars, so heterogeneous classic
+        fleets close their loops through
+        ``RolloutCollector.collect_policy``."""
         import numpy as _np
 
+        from exciting_environments_tpu.models.pmsm.pmsm_env import PMSM
         from exciting_environments_tpu.ops.pallas import select_closed_loop
 
         kernel, _ = select_closed_loop(self.env, interpret)
-        all_scalar = all(
-            _np.isscalar(leaf)
-            for leaf in jax.tree_util.tree_leaves(self.env.env_properties)
-        )
-        return (
-            kernel is not None
-            and all_scalar
-            and (self.env.batch_size // self.mesh.size) % 1024 == 0
-        )
+        if kernel is None:
+            return False
+        if not isinstance(self.env, PMSM):
+            # the generic kernel reads the env's own (scalar) properties
+            if not all(
+                _np.isscalar(leaf)
+                for leaf in jax.tree_util.tree_leaves(self.env.env_properties)
+            ):
+                return False
+        return (self.env.batch_size // self.mesh.size) % 1024 == 0
 
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
@@ -457,38 +463,48 @@ class ShardedEnv:
             )
         shadow = self._local_shadow()
         spec = P(self.axis_name)
+        # per-batch heterogeneous PMSM fleets: each shard's property slices
+        # ride as shard_map operands into the launcher's env_properties hook
+        # (the generic lane is all-scalar by closed_loop_in_scope)
+        batched_props, merge_props = self._batched_prop_operands()
+
+        def _kw(prop_leaves):
+            return {"env_properties": merge_props(prop_leaves)} if batched_props else {}
 
         if policy_carry is None:
 
-            def local(state):
+            def local(state, prop_leaves):
                 return kernel(
                     shadow, state, policy, n_steps,
                     obs_stride=obs_stride, interpret=interpret,
                     policy_params=policy_params,
                     return_traj_states=return_traj_states, **extra,
+                    **_kw(prop_leaves),
                 )
 
             sharded = jax.shard_map(
-                local, mesh=self.mesh, in_specs=(spec,),
+                local, mesh=self.mesh, in_specs=(spec, spec),
                 out_specs=spec,  # prefix: every output leaf batch-sharded
                 check_vma=False,
             )
-            return sharded(self.shard(init_state))
+            return sharded(self.shard(init_state), batched_props)
 
-        def local(state, carry):
+        def local(state, carry, prop_leaves):
             return kernel(
                 shadow, state, policy, n_steps,
                 obs_stride=obs_stride, interpret=interpret,
                 policy_params=policy_params,
                 return_traj_states=return_traj_states,
-                policy_carry=carry, **extra,
+                policy_carry=carry, **extra, **_kw(prop_leaves),
             )
 
         sharded = jax.shard_map(
-            local, mesh=self.mesh, in_specs=(spec, spec),
+            local, mesh=self.mesh, in_specs=(spec, spec, spec),
             out_specs=spec, check_vma=False,
         )
-        return sharded(self.shard(init_state), self.shard(tuple(policy_carry)))
+        return sharded(
+            self.shard(init_state), self.shard(tuple(policy_carry)), batched_props
+        )
 
     def adaptive_rollout(self, init_state, actions_norm, **kwargs):
         """Per-instance adaptive rollout, sharded over the mesh.

@@ -761,3 +761,123 @@ def test_pmsm_closed_loop_per_batch_params(saturated, variant):
     g_f = jax.grad(loss("fused"))(r_s_arr)
     g_s = jax.grad(loss("scan"))(r_s_arr)
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_s), rtol=1e-7, atol=1e-12)
+
+
+def test_pmsm_per_batch_u_dc_and_bands_all_paths():
+    """Round-5: per-batch ``u_dc`` (battery state-of-charge randomization)
+    and per-batch normalization bands stay in kernel scope on EVERY PMSM
+    path — open-loop rollout, sim_ahead, and the closed loop, where they
+    stream as constraint/band tile planes (``_PBN_FIELDS``).  ``deadtime``
+    is the only remaining compile-time scalar."""
+    from exciting_environments_tpu.ops.pallas import rollout_path
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+        supports_pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils import MinMaxNormalization, randomize
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    var = excenvs.MotorVariant.BRUSA
+    fleet = randomize.randomize_env(
+        excenvs.PMSM, jax.random.PRNGKey(3),
+        {"u_dc": randomize.Uniform(350.0, 450.0)},
+        batch_size=BATCH,
+        defaults=dict(var.get_params().static_params.__dict__),
+        saturated=True, motor_variant=var,
+    )
+    assert rollout_path(fleet) == "pmsm_fused"
+    assert supports_pmsm_fused_closed_loop(fleet)
+    _, st = fleet.vmap_reset(jax.random.split(jax.random.PRNGKey(1), BATCH))
+    acts = 0.9 * jnp.ones((BATCH, T, 2))
+
+    # open loop + sim_ahead: constraint pre-pass broadcasts the (B,) u_dc
+    obs_f, last_f = pmsm_fused_rollout(fleet, st, acts, interpret=True, strict=True)
+    obs_s, last_s = fleet.vmap_rollout(st, acts, T)
+    _assert_state_close(last_s, last_f, atol=1e-7)
+    o_fa, l_fa = pmsm_fused_sim_ahead(
+        fleet, st, acts, fleet.tau, fleet.tau, interpret=True, strict=True
+    )
+    o_sa, _, l_sa = fleet.vmap_sim_ahead(st, acts, fleet.tau, fleet.tau)
+    np.testing.assert_allclose(np.asarray(o_fa), np.asarray(o_sa), rtol=1e-9, atol=1e-9)
+
+    # closed loop: u_dc streams as a tile plane through the in-kernel
+    # hexagon constraint; the randomized DC link must actually bind
+    # differently across the fleet
+    def policy(obs, t):
+        return (0.8 + 0.1 * obs[0], 0.7 + 0.1 * obs[1])
+
+    o_k, l_k = pmsm_fused_closed_loop(fleet, st, policy, T, interpret=True, gather="take")
+    o_sc, l_sc = tile_policy_scan(fleet, st, T, policy, None, False)
+    _assert_state_close(l_sc, l_k, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_sc), rtol=1e-9, atol=1e-9)
+    assert float(jnp.std(l_k.physical_state.u_d_buffer)) > 1.0
+
+    # per-batch physical normalization band (observation scaling plane)
+    pn = dict(var.get_params().physical_normalizations.__dict__)
+    i_d_mins = jnp.asarray(
+        np.random.RandomState(0).uniform(-280.0, -250.0, BATCH)
+    )
+    pn["i_d"] = MinMaxNormalization(min=i_d_mins, max=float(np.asarray(pn["i_d"].max)))
+    env_pb = excenvs.PMSM(
+        batch_size=BATCH, saturated=True, motor_variant=var,
+        physical_normalizations=pn,
+    )
+    assert supports_pmsm_fused_closed_loop(env_pb)
+    _, st2 = env_pb.vmap_reset(jax.random.split(jax.random.PRNGKey(2), BATCH))
+    o_k2, l_k2 = pmsm_fused_closed_loop(env_pb, st2, policy, T, interpret=True, gather="take")
+    o_s2, l_s2 = tile_policy_scan(env_pb, st2, T, policy, None, False)
+    _assert_state_close(l_s2, l_k2, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(o_k2), np.asarray(o_s2), rtol=1e-9, atol=1e-10)
+
+
+def test_pmsm_per_batch_u_dc_closed_loop_stochastic_and_grads():
+    """Per-batch u_dc composes with the stochastic slabs (draw parity incl.
+    threaded PRNG keys) and the VJP (policy-parameter gradients match the
+    scan through the per-batch constraint planes)."""
+    import functools
+
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils import randomize
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    var = excenvs.MotorVariant.BRUSA
+    fleet = randomize.randomize_env(
+        excenvs.PMSM, jax.random.PRNGKey(5),
+        {"u_dc": randomize.Uniform(350.0, 450.0)},
+        batch_size=BATCH,
+        defaults=dict(var.get_params().static_params.__dict__),
+        saturated=True, motor_variant=var,
+        observation_noise={"i_d": 3.0, "i_q": 3.0}, process_noise={"i_d": 10.0},
+    )
+    _, st = fleet.vmap_reset(jax.random.split(jax.random.PRNGKey(7), BATCH))
+
+    def policy(obs, t):
+        return (0.8 + 0.1 * obs[0], 0.7 + 0.1 * obs[1])
+
+    o_k, l_k = pmsm_fused_closed_loop(fleet, st, policy, 12, interpret=True, gather="take")
+    o_s, l_s = tile_policy_scan(fleet, st, 12, policy, None, False)
+    _assert_state_close(l_s, l_k, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_s), rtol=1e-9, atol=1e-9)
+    assert np.array_equal(np.asarray(l_k.PRNGKey), np.asarray(l_s.PRNGKey))
+
+    def polp(obs, t, p):
+        return (p["a"] + 0.0 * obs[0], p["b"] + 0.0 * obs[1])
+
+    pp = {"a": jnp.asarray(0.5), "b": jnp.asarray(0.4)}
+
+    def loss(pp):
+        _, last = pmsm_fused_closed_loop(
+            fleet, st, polp, 8, interpret=True, gather="take", policy_params=pp
+        )
+        return jnp.mean(last.physical_state.i_q)
+
+    def loss_s(pp):
+        _, last = tile_policy_scan(fleet, st, 8, functools.partial(polp), pp, False)
+        return jnp.mean(last.physical_state.i_q)
+
+    g = jax.grad(loss)(pp)
+    gs = jax.grad(loss_s)(pp)
+    np.testing.assert_allclose(float(g["a"]), float(gs["a"]), rtol=1e-6)
+    np.testing.assert_allclose(float(g["b"]), float(gs["b"]), rtol=1e-6)

@@ -995,3 +995,57 @@ def test_sharded_fused_generic_per_batch_params(mesh):
     obs_f2, last_f2 = senv2.fused_sim_ahead(s2, a2, env2.tau, env2.tau, interpret=True, strict=True)
     obs_s2, _, last_s2 = env2.vmap_sim_ahead(s2, a2, env2.tau, env2.tau)
     np.testing.assert_allclose(np.asarray(obs_f2), np.asarray(obs_s2), rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_sharded_closed_loop_per_batch_u_dc(mesh):
+    """Round-5: a u_dc/winding-randomized PMSM fleet keeps its closed loops
+    in kernel scope UNDER THE MESH — each shard's property slices ride as
+    shard_map operands into the launcher's env_properties hook, matching
+    the single-device kernel bitwise."""
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import (
+        pmsm_fused_closed_loop,
+    )
+    from exciting_environments_tpu.utils import randomize
+
+    batch, T = 8192, 8
+    var = excenvs.MotorVariant.BRUSA
+    fleet = randomize.randomize_env(
+        excenvs.PMSM, jax.random.PRNGKey(3),
+        {"u_dc": randomize.Uniform(350.0, 450.0),
+         "r_s": randomize.Uniform(15e-3, 21e-3)},
+        batch_size=batch,
+        defaults=dict(var.get_params().static_params.__dict__),
+        saturated=True, motor_variant=var,
+    )
+    senv = ShardedEnv(fleet, mesh)
+    assert senv.closed_loop_in_scope(interpret=True)
+    _, st = fleet.vmap_reset(jax.random.split(jax.random.PRNGKey(1), batch))
+
+    def policy(obs, t):
+        return (0.8 + 0.1 * obs[0], 0.7 + 0.1 * obs[1])
+
+    o_m, l_m = senv.fused_closed_loop(st, policy, T, interpret=True)
+    o_1, l_1 = pmsm_fused_closed_loop(fleet, st, policy, T, interpret=True, gather="take")
+    np.testing.assert_allclose(np.asarray(o_m), np.asarray(o_1), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(l_m.physical_state.i_d), np.asarray(l_1.physical_state.i_d),
+        rtol=0, atol=1e-12,
+    )
+    assert not l_m.physical_state.i_d.sharding.is_fully_replicated
+
+    # stateful tile policies shard their carry planes alongside
+    def tile(obs, t, c):
+        (ci,) = c
+        return (0.5 + 0.0 * obs[0], jnp.clip(0.1 * ci, -1, 1)), (ci + 0.1,)
+
+    c0 = (jnp.zeros(batch),)
+    o_mc, l_mc, fc = senv.fused_closed_loop(st, tile, T, interpret=True, policy_carry=c0)
+    o_1c, l_1c, fc1 = pmsm_fused_closed_loop(
+        fleet, st, tile, T, interpret=True, gather="take", policy_carry=c0
+    )
+    np.testing.assert_allclose(
+        np.asarray(l_mc.physical_state.i_q), np.asarray(l_1c.physical_state.i_q),
+        rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(fc[0]), np.asarray(fc1[0]), rtol=0, atol=0)

@@ -514,6 +514,107 @@ class PMSM(CoreEnvironment):
             reference=ref,
         )
 
+    def _pmsm_sde_simulate_ahead(self, init_state, actions, properties, obs_stepsize, action_stepsize):
+        """Euler–Maruyama trajectory solve of the electrical subsystem (the
+        stochastic counterpart of :meth:`_ode_solver_simulate_ahead`,
+        one-stage solvers only — gated in :meth:`sim_ahead`).
+
+        Per observation step: the exact one-stage drift update ``y + dt *
+        f`` under the ZOH (already constrained + deadtime-shifted) voltage
+        sequence, then the current diffusion increment ``sigma * sqrt(dt) *
+        xi`` on the raw carry (``epsilon`` is never perturbed — process
+        noise is restricted to the integrated currents); keys advance via
+        :meth:`CoreEnvironment._noise_step_keys`, so at ``obs_stepsize ==
+        action_stepsize`` the draw stream equals chained :meth:`step` calls
+        in BOTH noise modes.  Saves wrap the angle like the deterministic
+        path, torque is recomputed from the POST-noise currents (the
+        :meth:`_apply_process_noise_eps` semantics), and each save carries
+        ITS step's advanced key — resuming from a saved state must not
+        replay consumed draws.  Returns ``(states, eps_obs)`` with
+        ``eps_obs`` the per-post-step-save standard-normal sensor draws
+        ``(n_steps, n_layout)``.
+        """
+        init_phys = init_state.physical_state
+        f = self._pmsm_vector_field(properties.saturated, zoh_action(actions, action_stepsize))
+        args = (properties.static_params, init_phys.omega_el)
+        y0 = (init_phys.i_d, init_phys.i_q, init_phys.epsilon)
+        t1 = action_stepsize * actions.shape[0]
+        n_steps = int(t1 / obs_stepsize)
+        dt = obs_stepsize
+        key0 = self._require_noise_key(init_state)
+
+        proc_items = sorted(self._process_noise.items()) if self._process_noise else []
+        idxs = tuple(("i_d", "i_q", "epsilon").index(nm) for nm, _ in proc_items)
+        sqrt_dt = jnp.sqrt(dt)
+        n_layout = len(self._obs_noise_layout)
+        want_obs = bool(self._observation_noise)
+
+        def body(carry, t):
+            y, key = carry
+            new_key, k_p, k_o = self._noise_step_keys(key)
+            dy = f(t, y, args)
+            y1 = tuple(yl + dt * dyl for yl, dyl in zip(y, dy))
+            if proc_items:
+                eps = jax.random.normal(k_p, (len(proc_items),))
+                y1 = list(y1)
+                for j, i in enumerate(idxs):
+                    y1[i] = y1[i] + proc_items[j][1] * sqrt_dt * eps[j]
+                y1 = tuple(y1)
+            eps_o = (
+                jax.random.normal(k_o, (n_layout,)) if want_obs else jnp.zeros((0,))
+            )
+            return (y1, new_key), (y1, new_key, eps_o)
+
+        # host-side f64 step-start times (see _sde_simulate_ahead: an
+        # on-device f32 grid consumes zoh_action's floor-guard margin)
+        ts = jnp.asarray(np.arange(n_steps, dtype=np.float64) * dt)
+        (_, _key_last), (ys_tail, keys_tail, eps_obs) = jax.lax.scan(
+            body, (y0, key0), ts
+        )
+        ys = tuple(
+            jnp.concatenate([jnp.asarray(l0)[None], tail], axis=0)
+            for l0, tail in zip(y0, ys_tail)
+        )
+        i_d_t, i_q_t, eps_t = ys
+        eps_t = ((eps_t + jnp.pi) % (2 * jnp.pi)) - jnp.pi
+        obs_len = n_steps + 1
+
+        # torque from the POST-noise currents at every save (step's
+        # _apply_process_noise_eps recompute), LUT or linear magnetics
+        if properties.saturated:
+            torque_t = jax.vmap(self.currents_to_torque_saturated, in_axes=(0, 0, None))(
+                i_d_t, i_q_t, properties
+            )
+        else:
+            torque_t = jax.vmap(self.currents_to_torque, in_axes=(0, 0, None))(i_d_t, i_q_t, properties)
+
+        phys = self.PhysicalState(
+            u_d_buffer=jnp.zeros(obs_len),
+            u_q_buffer=jnp.zeros(obs_len),
+            epsilon=eps_t,
+            i_d=i_d_t,
+            i_q=i_q_t,
+            torque=torque_t,
+            omega_el=jnp.full(obs_len, init_phys.omega_el),
+        )
+        y_last = (i_d_t[-1], i_q_t[-1], eps_t[-1])
+        solver_state = self._solver.init(f, t1, t1 + self.tau, y_last, args)
+        additions = self.Additions(
+            solver_state=self.repeat_values(solver_state, obs_len),
+            active_solver_state=jnp.full(obs_len, True),
+        )
+        ref = self.PhysicalState(
+            **{field.name: jnp.full(obs_len, jnp.nan) for field in fields(self.PhysicalState)}
+        )
+        keys = jnp.concatenate([jnp.asarray(key0)[None], keys_tail], axis=0)
+        states = self.State(
+            physical_state=phys,
+            PRNGKey=keys,
+            additions=additions,
+            reference=ref,
+        )
+        return states, eps_obs
+
     def _adaptive_rollout(
         self,
         init_state,
@@ -782,13 +883,38 @@ class PMSM(CoreEnvironment):
     @partial(jax.jit, static_argnums=[0, 3, 4, 5])
     def sim_ahead(self, init_state, actions, env_properties, obs_stepsize, action_stepsize):
         """Trajectory simulation with hexagon constraint and deadtime shifting
-        of the action sequence (reference ``pmsm_env.py:746-801``)."""
+        of the action sequence (reference ``pmsm_env.py:746-801``).
+
+        Stochastic drives (``process_noise``/``observation_noise``, round 5)
+        integrate as an SDE for ONE-STAGE solvers, mirroring
+        :meth:`CoreEnvironment.sim_ahead`: the hexagon constraint and the
+        deadtime shift of the action sequence are unchanged (both are
+        state-independent given the frozen ``omega_el`` — process noise on
+        the currents never reaches the angle arithmetic), the drift step on
+        the observation grid is followed by an Euler–Maruyama current
+        increment with the derived torque recomputed from the perturbed
+        currents at every save (the exact :meth:`step` semantics), and each
+        saved observation carries its own sensor draw.  At ``obs_stepsize ==
+        action_stepsize`` this consumes the same per-step key chain as
+        repeated :meth:`step` calls in both noise modes (the trajectory-level
+        deadtime shift is equivalent to step's buffer swap there, and the
+        documented hardcoded-``tau`` extrapolation quirk of the constraint
+        angles applies identically).  Multistage solvers raise — the same
+        no-agreed-SDE-semantics argument as the classic envs
+        (``docs/parts/solvers.rst``)."""
         if self._has_noise:
-            raise ValueError(
-                "sim_ahead integrates the deterministic trajectory solve and does not "
-                "support process/observation noise — step the stochastic env through "
-                "vmap_step / vmap_rollout instead."
-            )
+            from exciting_environments_tpu.ops.solvers import ExplicitRungeKutta
+
+            if not (
+                isinstance(self._solver, ExplicitRungeKutta)
+                and self._solver.one_stage
+            ):
+                raise ValueError(
+                    "stochastic sim_ahead is defined for one-stage solvers "
+                    "only (Euler–Maruyama on the observation grid); multistage "
+                    "tableaus have no agreed SDE semantics — integrate with "
+                    'solver="euler" or step through vmap_step / vmap_rollout.'
+                )
         actions = self.constraint_denormalization_ahead(actions, init_state, env_properties)
 
         deadtime = env_properties.static_params.deadtime
@@ -804,9 +930,15 @@ class PMSM(CoreEnvironment):
         )
         actions_dead = jnp.vstack([acts_buf, actions[: (actions.shape[0] - deadtime), :]])
 
-        states = self._ode_solver_simulate_ahead(
-            init_state, actions_dead, env_properties, obs_stepsize, action_stepsize
-        )
+        if self._has_noise:
+            states, eps_obs = self._pmsm_sde_simulate_ahead(
+                init_state, actions_dead, env_properties, obs_stepsize, action_stepsize
+            )
+        else:
+            states = self._ode_solver_simulate_ahead(
+                init_state, actions_dead, env_properties, obs_stepsize, action_stepsize
+            )
+            eps_obs = None
 
         with structures.copy_and_mutate(states, validate=False) as states:
             acts_m = jnp.vstack([acts_buf, actions])
@@ -822,6 +954,14 @@ class PMSM(CoreEnvironment):
             states.physical_state.u_q_buffer = acts_m[:, 1]
 
         observations = jax.vmap(self.generate_observation, in_axes=(0, None))(states, env_properties)
+        if eps_obs is not None and self._observation_noise:
+            # each post-step save carries its own step's sensor draw; the
+            # initial row is the exact state (no draw consumed yet) — same
+            # contract as CoreEnvironment.sim_ahead
+            noisy_tail = jax.vmap(
+                self._apply_observation_noise_eps, in_axes=(0, None, 0)
+            )(observations[1:], env_properties, eps_obs)
+            observations = jnp.concatenate([observations[:1], noisy_tail], axis=0)
 
         # per-leaf time indexing so the simulation can continue from the end point
         last_state = self._index_time(states, -1)

@@ -1512,8 +1512,10 @@ def pmsm_fused_sim_ahead(
 
     n_steps = actions_norm.shape[0] if time_major else actions_norm.shape[1]
     if getattr(env, "_has_noise", False):
-        # the trajectory solve is deterministic-only; surface the env's own
-        # documented raise rather than silently integrating without noise
+        # the fused trajectory KERNEL is deterministic-only; stochastic
+        # drives ride the env's own Euler–Maruyama trajectory solve
+        # (PMSM._pmsm_sde_simulate_ahead, round 5 — raises for multistage
+        # solvers, which have no agreed SDE semantics)
         if time_major:
             actions_norm = jnp.transpose(actions_norm, (1, 0, 2))
         obs, _, last = env.vmap_sim_ahead(init_state, actions_norm, obs_stepsize, action_stepsize)

@@ -536,9 +536,16 @@ def test_pmsm_stochastic_simulation(saturated):
         np.asarray(fin_f.PRNGKey), np.asarray(fin_r.PRNGKey)
     )
 
-    # deterministic trajectory paths guard
-    with pytest.raises(ValueError, match="sim_ahead"):
-        env.vmap_sim_ahead(st, jnp.zeros((256, 4, 2)), env.tau, env.tau)
+    # trajectory paths: stochastic sim_ahead integrates the SDE for the
+    # one-stage default (round 5 — draw parity pinned in
+    # test_pmsm_stochastic_sim_ahead_matches_step_loop); multistage raises,
+    # adaptive stays deterministic-only
+    obs_sa, _, _ = env.vmap_sim_ahead(st, jnp.zeros((256, 4, 2)), env.tau, env.tau)
+    assert np.isfinite(np.asarray(obs_sa)).all()
+    env_ms = mk(process_noise={"i_d": 2.0}, solver="tsit5")
+    _, st_ms = env_ms.vmap_reset(keys)
+    with pytest.raises(ValueError, match="one-stage"):
+        env_ms.vmap_sim_ahead(st_ms, jnp.zeros((256, 4, 2)), env_ms.tau, env_ms.tau)
     with pytest.raises(ValueError, match="adaptive_rollout"):
         adaptive_rollout(env, st, jnp.zeros((256, 4, 2)))
 
@@ -582,4 +589,61 @@ def test_typed_prng_keys_accepted():
     _, st1_raw = raw.vmap_step(st_raw, jnp.zeros((8, 1)))
     np.testing.assert_allclose(
         np.asarray(st1.physical_state.omega), np.asarray(st1_raw.physical_state.omega)
+    )
+
+
+@pytest.mark.parametrize("saturated", [False, True])
+@pytest.mark.parametrize("noise_mode", ["exact", "fast"])
+def test_pmsm_stochastic_sim_ahead_matches_step_loop(saturated, noise_mode):
+    """Round-5: the PMSM's overridden ``sim_ahead`` integrates the SDE for
+    one-stage solvers like the classic envs — at ``obs_stepsize ==
+    action_stepsize`` it consumes the step path's exact per-step key chain
+    in both noise modes, the deadtime shift matching step's buffer swap.
+    (Trajectory closeness, not bitwise: the documented hardcoded-``tau``
+    constraint-angle extrapolation reproduces step's angles to float
+    precision here, like the deterministic parity contract.)"""
+    B_, T_ = 64, 12
+    variant = excenvs.MotorVariant.BRUSA
+    env = excenvs.PMSM(
+        batch_size=B_, saturated=saturated, motor_variant=variant,
+        process_noise={"i_d": 2.0, "i_q": 2.0},
+        observation_noise={"i_d": 0.5, "torque": 0.2},
+        noise_mode=noise_mode,
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(0), B_))
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (B_, T_, 2), minval=-0.4, maxval=0.4)
+
+    obs_sa, states, last = env.vmap_sim_ahead(st, acts, env.tau, env.tau)
+    assert obs_sa.shape == (B_, T_ + 1, 8)
+
+    s = st
+    obs_rows = []
+    for t in range(T_):
+        o, s = env.vmap_step(s, acts[:, t])
+        obs_rows.append(o)
+    obs_step = jnp.stack(obs_rows, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(obs_sa[:, 1:]), np.asarray(obs_step), rtol=1e-8, atol=1e-8
+    )
+    # the key chain is literally step's chain: final keys equal
+    assert jnp.array_equal(jnp.asarray(last.PRNGKey), jnp.asarray(s.PRNGKey))
+    # per-save keys advance (resume must not replay consumed draws)
+    k = jnp.asarray(states.PRNGKey)
+    assert not jnp.array_equal(k[:, 4], k[:, 5])
+    # the initial row is the exact reset observation (no draw consumed)
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        st, env.env_properties
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs_sa[:, 0]), np.asarray(obs0), rtol=1e-12, atol=1e-13
+    )
+    # torque column of the returned states reflects the perturbed currents
+    to_torque = (
+        env.currents_to_torque_saturated if saturated else env.currents_to_torque
+    )
+    tq = jax.vmap(jax.vmap(lambda i_d, i_q: to_torque(i_d, i_q, env.env_properties)))(
+        states.physical_state.i_d, states.physical_state.i_q
+    )
+    np.testing.assert_allclose(
+        np.asarray(tq), np.asarray(states.physical_state.torque), rtol=1e-10, atol=1e-10
     )

@@ -87,10 +87,13 @@ class PMSM(CoreEnvironment):
                 each step, so observations and rewards stay electrically
                 consistent.  Same key semantics as the classic envs
                 (per-instance ``State.PRNGKey``); the stochastic paths are
-                ``step`` / ``vmap_step`` / ``vmap_rollout`` — ``sim_ahead``
-                and the fused drive kernels are deterministic solvers and
-                raise / fall out of scope (``rollout_path`` answers
-                ``"scan"``).
+                ``step`` / ``vmap_step`` / ``vmap_rollout`` — at kernel
+                speed since round 4 (the drive kernels stream the
+                pre-scaled draw slabs; ``rollout_path`` answers
+                ``"pmsm_fused"``) — and, since round 5, ``sim_ahead`` for
+                one-stage solvers (Euler–Maruyama on the observation grid;
+                multistage tableaus keep the documented SDE-semantics
+                raise).
             observation_noise: Optional ``{field: sigma}`` Gaussian sensor
                 noise on the measured columns (``i_d``, ``i_q``,
                 ``omega_el``, ``torque``; sigma in physical units, scaled
@@ -791,7 +794,8 @@ class PMSM(CoreEnvironment):
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
                           policy_params=None, return_traj_states: bool = False,
-                          gather: str = "int8", policy_carry=None):
+                          gather: str = "int8", policy_carry=None,
+                          sched_lut=None):
         """Closed-loop rollout with the policy evaluated INSIDE the fused
         drive kernel: the inverter constraint moves in-kernel and angle +
         deadtime buffers become VMEM-carried planes (see
@@ -810,7 +814,7 @@ class PMSM(CoreEnvironment):
             self, init_state, policy, n_steps,
             obs_stride=obs_stride, gather=gather, interpret=interpret,
             return_traj_states=return_traj_states, policy_params=policy_params,
-            policy_carry=policy_carry,
+            policy_carry=policy_carry, sched_lut=sched_lut,
         )
 
     def fast_rollout(self, init_state, actions, time_major: bool = False,

@@ -106,15 +106,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _lut_operand(lut, dtype):
-    """Flatten the stacked LUT ``(6, nx, ny)`` into the matmul layout
-    ``(6 * ny_pad, nx_pad)`` with zero padding (padded rows/columns are never
+    """Flatten the stacked LUT ``(C, nx, ny)`` into the matmul layout
+    ``(C * ny_pad, nx_pad)`` with zero padding (padded rows/columns are never
     selected: ``ix <= nx-2``, ``iy <= ny-2``)."""
     vals = np.asarray(lut.values, dtype=dtype)
+    n_ch = vals.shape[0]
     nx_pad = _round_up(lut.nx, SUBLANES)
     ny_pad = _round_up(lut.ny, SUBLANES)
-    v = np.zeros((_N_CHANNELS, nx_pad, ny_pad), dtype=dtype)
+    v = np.zeros((n_ch, nx_pad, ny_pad), dtype=dtype)
     v[:, : lut.nx, : lut.ny] = vals
-    return np.ascontiguousarray(v.transpose(0, 2, 1).reshape(_N_CHANNELS * ny_pad, nx_pad))
+    return np.ascontiguousarray(v.transpose(0, 2, 1).reshape(n_ch * ny_pad, nx_pad))
 
 
 def _split_bf16x3(v32: np.ndarray) -> np.ndarray:
@@ -160,8 +161,9 @@ def _split_int8x4(v32: np.ndarray) -> np.ndarray:
     return np.concatenate(planes, axis=0)
 
 
-def _gather_corners(V, i_d, i_q, geom, gather="dot"):
-    """Exact 4-corner gather of all six channels at batched ``(i_d, i_q)``.
+def _gather_corners(V, i_d, i_q, geom, gather="dot", n_channels=_N_CHANNELS):
+    """Exact 4-corner gather of all ``n_channels`` channels at batched
+    ``(i_d, i_q)`` (default: the six magnetics maps).
 
     Index arithmetic replicates :func:`...ops.lut.bilinear_gather` exactly.
     Corner values are fetched via one-hot MXU contractions (``gather="dot"``,
@@ -185,7 +187,7 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
 
     if gather == "take":
         corners = {
-            (a, b): [V[c * ny_pad + iy + b, ix + a] for c in range(_N_CHANNELS)]
+            (a, b): [V[c * ny_pad + iy + b, ix + a] for c in range(n_channels)]
             for a in (0, 1)
             for b in (0, 1)
         }
@@ -253,7 +255,7 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
     oh_y1 = pltpu.roll(oh_y0, 1, 1)
     wide_vals = {}
     for a in (0, 1):
-        g = g_wide[a].reshape(_N_CHANNELS, ny_pad, width)
+        g = g_wide[a].reshape(n_channels, ny_pad, width)
         wide_vals[(a, 0)] = jnp.sum(g * oh_y0, axis=1)  # (6, width)
         wide_vals[(a, 1)] = jnp.sum(g * oh_y1, axis=1)
 
@@ -263,7 +265,7 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
         # packing (lane r*128+l becomes element (r, l))
         corners[key] = [
             jnp.reshape(wide_vals[key][c : c + 1, :], (rows, LANES))
-            for c in range(_N_CHANNELS)
+            for c in range(n_channels)
         ]
     return corners, wx, wy
 
@@ -271,7 +273,7 @@ def _gather_corners(V, i_d, i_q, geom, gather="dot"):
 def _blend_channels(corners, wx, wy):
     """Bilinear blend, term-for-term identical to ``bilinear_gather``."""
     out = []
-    for c in range(_N_CHANNELS):
+    for c in range(len(corners[(0, 0)])):
         v00 = corners[(0, 0)][c]
         v01 = corners[(0, 1)][c]
         v10 = corners[(1, 0)][c]
@@ -300,6 +302,46 @@ _PB_FIELDS = ("r_s", "p15", "l_d", "l_q", "psi_p", "dl")
 _PBN_FIELDS = ("u_dc", "a_d_mn", "a_d_mx", "a_q_mn", "a_q_mx") + tuple(
     f"o{i}_{s}" for i in range(6) for s in ("mn", "mx")
 )
+
+
+class ScheduledLUT:
+    """Config for the closed-loop kernel's scheduled-observer gather: extra
+    per-operating-point maps on the env's OWN LUT grid, gathered each step
+    at the policy's denormalized belief currents and appended to the
+    observation tuple the policy sees.
+
+    Args:
+        values: stacked channel maps ``(C, nx, ny)`` on exactly the env
+            LUT's grid (``env._lut``) — e.g. the four stationary-Kalman
+            gain channels plus the six magnetics maps the gain-scheduled
+            sensorless tile reads
+            (:func:`~exciting_environments_tpu.utils.foc.
+            make_pmsm_saturated_sensorless_current_tile`).
+        carry_idx: ``(c0, c1)`` — positions of the NORMALIZED belief
+            currents ``(i_d, i_q)`` in the policy's carry tuple; the kernel
+            denormalizes them with the ``i_d``/``i_q`` observation bands
+            (per-batch bands included) to index the gather.
+    """
+
+    def __init__(self, values, carry_idx=(0, 1)):
+        self.values = np.asarray(values)
+        if self.values.ndim != 3:
+            raise ValueError("ScheduledLUT values must be (C, nx, ny)")
+        self.carry_idx = (int(carry_idx[0]), int(carry_idx[1]))
+
+
+def _pack_sched_vals(values, lut, dtype, gather):
+    """Pack a ScheduledLUT's channel stack into the kernel's matmul layout
+    with the gather-mode encoding of the magnetics operand (int8x4 byte
+    planes / bf16x3 split / plain)."""
+    from types import SimpleNamespace
+
+    shim = SimpleNamespace(values=np.asarray(values), nx=lut.nx, ny=lut.ny)
+    if gather == "int8" and dtype == jnp.float32:
+        return jnp.asarray(_split_int8x4(_lut_operand(shim, np.float32)))
+    if gather == "dot" and dtype == jnp.float32:
+        return jnp.asarray(_split_bf16x3(_lut_operand(shim, np.float32)))
+    return jnp.asarray(_lut_operand(shim, dtype))
 
 
 def _eff_cl_norms(obs_norms, act_norms, u_dc, pbn_names, pbn):
@@ -1791,7 +1833,7 @@ def _make_cl_kernel(
     chunk, rows, saturated, solver, tau, r_s, lin, p15, geom, traj_stride,
     gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms, act_norms,
     u_dc, emit_u_last, n_carry=0, obs_cols=(), noise_idx=(), pb_names=(),
-    pbn_names=(),
+    pbn_names=(), sched=None,
 ):
     """Closed-loop kernel over refs ``([pparams,] [obs_noise,] [proc_noise,]
     omega, i_d0, i_q0, eps0, bd0, bq0, [V | lin], *refs, *carry_in, i_d,
@@ -1823,6 +1865,21 @@ def _make_cl_kernel(
 
     def lut_channels(V, i_d, i_q):
         corners, wx, wy = _gather_corners(V, i_d, i_q, geom, gather)
+        return _blend_channels(corners, wx, wy)
+
+    # scheduled-observer gather (round 5): ``sched = (n_sched, c0, c1)``
+    # appends ``n_sched`` extra channels — gathered from a second stacked
+    # map on the SAME grid at the policy's DENORMALIZED belief currents
+    # (normalized planes ``carry[c0]``/``carry[c1]``) — to the policy's
+    # observation tuple.  This is the hook the gain-scheduled sensorless
+    # tile rides: K-gains and magnetics indexed by the belief operating
+    # point, one exact MXU gather per step.
+    n_sched = 0 if sched is None else sched[0]
+
+    def sched_channels(Vs, i_d_b, i_q_b):
+        corners, wx, wy = _gather_corners(
+            Vs, i_d_b, i_q_b, geom, gather, n_channels=n_sched
+        )
         return _blend_channels(corners, wx, wy)
 
     def kernel(*refs):
@@ -1866,6 +1923,9 @@ def _make_cl_kernel(
             l_d = pb.get("l_d", refs[0][0, 0])
             l_q = pb.get("l_q", refs[0][0, 1])
         refs = refs[1:]
+        if n_sched:
+            Vs = refs[0][:]
+            refs = refs[1:]
         r_s_v = pb.get("r_s", r_s)
         p15_v = pb.get("p15", p15)
         psi_p_v = pb.get("psi_p", lin[2])
@@ -1933,6 +1993,12 @@ def _make_cl_kernel(
                 for j, col in enumerate(obs_cols):
                     obs[col] = obs[col] + obs_noise_ref[i, j]
                 obs = tuple(obs)
+            if n_sched:
+                mn0, mx0 = obs_norms_v[0]
+                mn1, mx1 = obs_norms_v[1]
+                bi_d = (c[sched[1]] + 1) / 2 * (mx0 - mn0) + mn0
+                bi_q = (c[sched[2]] + 1) / 2 * (mx1 - mn1) + mn1
+                obs = obs + tuple(sched_channels(Vs, bi_d, bi_q))
             if n_carry:
                 out = policy(obs, step, c, pparams) if n_pp else policy(obs, step, c)
                 a, c1 = out[0], tuple(out[1])
@@ -2026,7 +2092,7 @@ def _pmsm_cl_launch(
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
     y0, omega, ref_leaves, pp_flat, vflat, carry0=None,
     obs_noise_tm=None, proc_noise_tm=None, obs_cols=(), noise_idx=(),
-    pb=(), pb_names=(), pbn=(), pbn_names=(),
+    pb=(), pb_names=(), pbn=(), pbn_names=(), vsched=None, sched=None,
 ):
     """Tile the operands and launch the closed-loop PMSM kernel (primal).
     Returns ``(final, traj, u_last, final_carry, traj_carry)`` — the last
@@ -2114,6 +2180,12 @@ def _pmsm_cl_launch(
     else:
         in_specs.append(pl.BlockSpec((1, 2), lambda b, k: (0, 0), memory_space=pltpu.SMEM))
         operands.append(jnp.array([[lin[0], lin[1]]], dtype=dtype))
+    if sched is not None:
+        zeros_s = (0,) * vsched.ndim
+        in_specs.append(
+            pl.BlockSpec(vsched.shape, lambda b, k, z=zeros_s: z, memory_space=pltpu.VMEM)
+        )
+        operands.append(vsched)
     for leaf in ref_leaves:
         in_specs.append(state_block())
         operands.append(tile(leaf))
@@ -2141,7 +2213,7 @@ def _pmsm_cl_launch(
         gather, policy, pp_treedef, n_pp, n_refs, deadtime, obs_norms,
         act_norms, u_dc, emit_u_last, n_carry,
         obs_cols=obs_cols, noise_idx=noise_idx, pb_names=pb_names,
-        pbn_names=pbn_names,
+        pbn_names=pbn_names, sched=sched,
     )
     out = pl.pallas_call(
         kernel,
@@ -2172,7 +2244,7 @@ def _pmsm_cl_launch(
 def _plain_pmsm_cl_step(
     saturated, solver, tau, r_s, lin, p15, geom, lut_vals, policy, has_pp,
     deadtime, obs_norms, act_norms, u_dc, has_carry=False, obs_cols=(),
-    noise_idx=(),
+    noise_idx=(), sched=None, sched_vals=None,
 ):
     """The closed-loop kernel's per-step computation in plain (differentiable)
     JAX over ``(B,)`` leaves; returns ``(carry1, pc1, (a_d, a_q, u_con_d,
@@ -2198,6 +2270,20 @@ def _plain_pmsm_cl_step(
             for j, col in enumerate(obs_cols):
                 obs[col] = obs[col] + eo[..., j]
             obs = tuple(obs)
+        if sched is not None:
+            # the kernel's scheduled-observer gather, via the differentiable
+            # stacked bilinear gather (same index arithmetic and blend)
+            from exciting_environments_tpu.ops.lut import bilinear_gather
+
+            x0g, dxg, y0g, dyg, nxg, nyg = geom[:6]
+            mn0, mx0 = obs_norms[0]
+            mn1, mx1 = obs_norms[1]
+            bi_d = (pc[sched[1]] + 1) / 2 * (mx0 - mn0) + mn0
+            bi_q = (pc[sched[2]] + 1) / 2 * (mx1 - mn1) + mn1
+            vals_s = bilinear_gather(
+                sched_vals, x0g, dxg, y0g, dyg, nxg, nyg, bi_d, bi_q
+            )
+            obs = obs + tuple(vals_s[cch] for cch in range(sched[0]))
         if has_carry:
             out = policy(obs, t_step, pc, pparams) if has_pp else policy(obs, t_step, pc)
             a, pc1 = out[0], tuple(out[1])
@@ -2231,16 +2317,16 @@ def _plain_pmsm_cl_step(
     return step
 
 
-_N_PMSM_CL_STATIC = 21
+_N_PMSM_CL_STATIC = 22
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=tuple(range(_N_PMSM_CL_STATIC)))
 def _pmsm_cl_core(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names, pbn_names,
+    obs_cols, noise_idx, pb_names, pbn_names, sched,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm, pb, pbn,
+    obs_noise_tm, proc_noise_tm, pb, pbn, vsched, sched_vals,
 ):
     """Differentiable closed-loop core: one kernel launch forward; backward
     by checkpointed recompute through :func:`_plain_pmsm_cl_step` (same
@@ -2258,7 +2344,7 @@ def _pmsm_cl_core(
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
         obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
-        pbn=pbn, pbn_names=pbn_names,
+        pbn=pbn, pbn_names=pbn_names, vsched=vsched, sched=sched,
     )
     if carry0 is None:
         return final, traj, u_last
@@ -2268,9 +2354,9 @@ def _pmsm_cl_core(
 def _pmsm_cl_core_fwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names, pbn_names,
+    obs_cols, noise_idx, pb_names, pbn_names, sched,
     y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-    obs_noise_tm, proc_noise_tm, pb, pbn,
+    obs_noise_tm, proc_noise_tm, pb, pbn, vsched, sched_vals,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
@@ -2281,7 +2367,7 @@ def _pmsm_cl_core_fwd(
         u_dc, y0, omega, ref_leaves, pp_flat, vflat, carry0,
         obs_noise_tm=obs_noise_tm, proc_noise_tm=proc_noise_tm,
         obs_cols=obs_cols, noise_idx=noise_idx, pb=pb, pb_names=pb_names,
-        pbn=pbn, pbn_names=pbn_names,
+        pbn=pbn, pbn_names=pbn_names, vsched=vsched, sched=sched,
     )
     if traj_stride is None:
         traj_out = None
@@ -2295,21 +2381,21 @@ def _pmsm_cl_core_fwd(
     )
     return out, (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm, pb, pbn,
+        obs_noise_tm, proc_noise_tm, pb, pbn, vsched, sched_vals,
     )
 
 
 def _pmsm_cl_core_bwd(
     n_steps, tau, saturated, solver, r_s, lin, p15, geom, traj_stride, gather,
     interpret, policy, pp_treedef, deadtime, obs_norms, act_norms, u_dc,
-    obs_cols, noise_idx, pb_names, pbn_names,
+    obs_cols, noise_idx, pb_names, pbn_names, sched,
     res, g,
 ):
     from exciting_environments_tpu.ops.pallas.stepper import _ckpt_stride
 
     (
         y0, omega, ref_leaves, pp_flat, lut_vals, saves, carry0, carry_saves,
-        obs_noise_tm, proc_noise_tm, pb, pbn,
+        obs_noise_tm, proc_noise_tm, pb, pbn, vsched, sched_vals,
     ) = res
     has_carry = carry0 is not None
     if has_carry:
@@ -2335,6 +2421,7 @@ def _pmsm_cl_core_bwd(
                 saturated, solver, tau, r_s_e, lin_e, p15_e, geom, lut_vals,
                 policy, has_pp, deadtime, obs_norms_e, act_norms_e, u_dc_e,
                 has_carry=has_carry, obs_cols=obs_cols, noise_idx=noise_idx,
+                sched=sched, sched_vals=sched_vals,
             ),
         )
 
@@ -2493,6 +2580,8 @@ def _pmsm_cl_core_bwd(
         g_pn_all.reshape(n_steps, batch, len(noise_idx)) if has_pn else None,
         g_pb,
         g_pbn,
+        None if vsched is None else jnp.zeros_like(vsched),
+        None if sched_vals is None else jnp.zeros_like(sched_vals),
     )
 
 
@@ -2535,6 +2624,7 @@ def pmsm_fused_closed_loop(
     policy_params=None,
     policy_carry=None,
     env_properties=None,
+    sched_lut=None,
 ):
     """Closed-loop PMSM rollout with the policy evaluated INSIDE the fused
     drive kernel.
@@ -2598,18 +2688,46 @@ def pmsm_fused_closed_loop(
         impl = jax.jit(
             functools.partial(_pmsm_cl_impl, env),
             static_argnames=(
-                "batched_pos", "policy", "n_steps", "obs_stride", "gather",
-                "interpret", "return_traj_states",
+                "batched_pos", "sched_cfg", "policy", "n_steps", "obs_stride",
+                "gather", "interpret", "return_traj_states",
             ),
         )
         env.__dict__["_pmsm_cl_impl"] = impl
+    if sched_lut is not None:
+        if not bool(env.env_properties.saturated) or env._lut is None:
+            raise ValueError(
+                "sched_lut rides the saturated drive's LUT grid — construct "
+                "the env with saturated=True and a motor variant with LUTs"
+            )
+        lut = env._lut
+        if sched_lut.values.shape[1:] != (lut.nx, lut.ny):
+            raise ValueError(
+                f"sched_lut values {sched_lut.values.shape[1:]} must live on "
+                f"the env LUT grid ({lut.nx}, {lut.ny})"
+            )
+        if policy_carry is None:
+            raise ValueError(
+                "sched_lut indexes the gather by belief planes in the policy "
+                "carry — pass policy_carry"
+            )
+        sched_cfg = (int(sched_lut.values.shape[0]),) + sched_lut.carry_idx
+        dtype = jnp.asarray(init_state.physical_state.i_d).dtype
+        vsched = _pack_sched_vals(sched_lut.values, lut, dtype, gather)
+        sched_vals_arr = jnp.asarray(sched_lut.values, dtype)
+    else:
+        sched_cfg = None
+        vsched = None
+        sched_vals_arr = None
     prop_batched, batched_pos = _split_prop_override(env_properties)
     return impl(
         init_state,
         policy_params,
         None if policy_carry is None else tuple(policy_carry),
         prop_batched,
+        vsched,
+        sched_vals_arr,
         batched_pos=batched_pos,
+        sched_cfg=sched_cfg,
         policy=policy,
         n_steps=n_steps,
         obs_stride=obs_stride,
@@ -2620,9 +2738,10 @@ def pmsm_fused_closed_loop(
 
 
 def _pmsm_cl_impl(
-    env, init_state, policy_params, policy_carry, prop_batched=None, *,
-    batched_pos=None, policy, n_steps, obs_stride, gather, interpret,
-    return_traj_states,
+    env, init_state, policy_params, policy_carry, prop_batched=None,
+    vsched=None, sched_vals_arr=None, *,
+    batched_pos=None, sched_cfg=None, policy, n_steps, obs_stride, gather,
+    interpret, return_traj_states,
 ):
     from exciting_environments_tpu.core import structures
     from exciting_environments_tpu.ops.pallas.stepper import _cached_unravel
@@ -2743,9 +2862,9 @@ def _pmsm_cl_impl(
         n_steps, float(env.tau), saturated, env._solver, r_s, lin, p15, geom,
         obs_stride, gather, interpret, policy, pp_unravel, deadtime,
         obs_norms, act_norms, u_dc, obs_noise_cols, proc_noise_idx, pb_names,
-        pbn_names,
+        pbn_names, sched_cfg,
         y0, omega, ref_leaves, pp_flat, vflat, lut_vals, carry0,
-        obs_noise_tm, proc_noise_tm, pb, pbn,
+        obs_noise_tm, proc_noise_tm, pb, pbn, vsched, sched_vals_arr,
     )
     if has_carry:
         final, traj, u_last, final_carry = core_out

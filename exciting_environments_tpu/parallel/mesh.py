@@ -443,7 +443,7 @@ class ShardedEnv:
     def fused_closed_loop(self, init_state, policy, n_steps: int,
                           obs_stride: int = None, interpret: bool = False,
                           policy_params=None, return_traj_states: bool = False,
-                          policy_carry=None):
+                          policy_carry=None, sched_lut=None):
         """Policy-in-kernel closed loop per shard: each chip runs its local
         slice's observation -> action -> step loop fully in VMEM (see
         :func:`...ops.pallas.stepper.env_fused_closed_loop`).  The policy is
@@ -469,7 +469,12 @@ class ShardedEnv:
         batched_props, merge_props = self._batched_prop_operands()
 
         def _kw(prop_leaves):
-            return {"env_properties": merge_props(prop_leaves)} if batched_props else {}
+            kw = {"env_properties": merge_props(prop_leaves)} if batched_props else {}
+            if sched_lut is not None:
+                # PMSM-only feature (select_closed_loop picked the drive
+                # kernel); the gathered maps are replicated constants
+                kw["sched_lut"] = sched_lut
+            return kw
 
         if policy_carry is None:
 

@@ -25,7 +25,8 @@ from exciting_environments_tpu.core.structures import pytree_dataclass
 
 
 def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
-                     collect_trajectory: bool, policy_carry=None):
+                     collect_trajectory: bool, policy_carry=None,
+                     sched_lut=None):
     """Closed loop over a tile-contract policy as a ``lax.scan`` — the CPU /
     out-of-kernel-scope fallback shared by :class:`RolloutCollector` and
     ``FleetRunner``.
@@ -46,6 +47,13 @@ def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
     ``"exact"`` mode this also equals chaining ``env.step`` by hand.  The
     first observation is the exact reset observation (no sensor draw has
     been consumed yet).
+
+    ``sched_lut`` (a :class:`...ops.pallas.pmsm_stepper.ScheduledLUT`)
+    mirrors the kernel's scheduled-observer gather: its channels are
+    gathered at the denormalized belief currents held in the designated
+    policy-carry planes and appended to the observation tuple the policy
+    sees — the gain-scheduled sensorless tile runs draw-identically here
+    and in-kernel.
     """
     from exciting_environments_tpu.core import structures
 
@@ -53,6 +61,29 @@ def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
     props = env.env_properties
     obs0 = jax.vmap(env.generate_observation, in_axes=(0, in_ax))(state, props)
     has_carry = policy_carry is not None
+    if sched_lut is not None:
+        if not has_carry:
+            raise ValueError("sched_lut requires a stateful policy (policy_carry)")
+        from exciting_environments_tpu.ops.lut import bilinear_gather
+
+        lut = env._lut
+        pn_ = props.physical_normalizations
+        _sp = lambda n: (jnp.asarray(getattr(pn_, n).min), jnp.asarray(getattr(pn_, n).max))
+        (smn0, smx0), (smn1, smx1) = _sp("i_d"), _sp("i_q")
+        sched_vals = jnp.asarray(sched_lut.values, obs0.dtype)
+        sc0, sc1 = sched_lut.carry_idx
+        n_sched = sched_lut.values.shape[0]
+
+        def _sched_cols(pc):
+            bi_d = (pc[sc0] + 1) / 2 * (smx0 - smn0) + smn0
+            bi_q = (pc[sc1] + 1) / 2 * (smx1 - smn1) + smn1
+            vals = bilinear_gather(
+                sched_vals, lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny,
+                bi_d, bi_q,
+            )
+            return tuple(vals[c] for c in range(n_sched))
+    else:
+        _sched_cols = None
     has_noise = getattr(env, "_has_noise", False)
 
     if has_noise:
@@ -81,6 +112,8 @@ def tile_policy_scan(env, state, n_steps, policy_tile, policy_params,
         st, obs, pc = carry
         t = xs[0] if has_noise else xs
         cols = tuple(obs[:, i] for i in range(obs.shape[1]))
+        if _sched_cols is not None:
+            cols = cols + _sched_cols(pc)
         if has_carry:
             args = (cols, t, pc) + ((policy_params,) if policy_params is not None else ())
             a, pc = policy_tile(*args)

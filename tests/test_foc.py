@@ -532,3 +532,234 @@ def test_pmsm_sensorless_tile_saturated_refusal():
     )
     with pytest.raises(ValueError, match="LINEAR-magnetics"):
         foc.make_pmsm_sensorless_current_tile(env, i_d_ref=0.0, i_q_ref=10.0)
+
+
+def _saturated_sensorless_setup(B_, sensor_sigma=3.0):
+    env = excenvs.PMSM(
+        batch_size=B_, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        observation_noise={"i_d": sensor_sigma, "i_q": sensor_sigma},
+    )
+    tile, c0, sched = foc.make_pmsm_saturated_sensorless_current_tile(
+        env, i_d_ref=-100.0, i_q_ref=150.0, omega_el=1200.0
+    )
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(1), B_))
+    with structures.copy_and_mutate(st, validate=True) as st:
+        st.physical_state.omega_el = jnp.full(B_, 1200.0)
+    return env, tile, c0, sched, st
+
+
+def test_pmsm_saturated_sensorless_tile_settles():
+    """Round-5 headline: GAIN-SCHEDULED sensorless current control of the
+    SATURATED (LUT) PMSM — the per-grid-point stationary-Kalman gain maps
+    ride the scheduled-observer gather, the PI retunes to the local
+    differential inductance, and a noisy-sensor fleet settles on setpoints
+    it never directly measures, with belief RMSE well below the raw
+    sensor noise."""
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_ = 64
+    env, tile, c0, sched, st = _saturated_sensorless_setup(B_)
+    assert sched.values.shape[0] == 10  # 6 magnetics + 4 gain channels
+    obs_t, acts_t, traj, last, fc = tile_policy_scan(
+        env, st, 1200, tile, None, True, policy_carry=c0, sched_lut=sched
+    )
+    i_d = np.asarray(last.physical_state.i_d)
+    i_q = np.asarray(last.physical_state.i_q)
+    # mean tracking error well under 1% of the setpoints
+    assert abs(i_d.mean() + 100.0) < 1.0, i_d.mean()
+    assert abs(i_q.mean() - 150.0) < 1.5, i_q.mean()
+    # the belief (carry planes) beats the raw 3 A sensor by a wide margin
+    pn = env.env_properties.physical_normalizations
+    b_d = (np.asarray(fc[0]) + 1) / 2 * float(pn.i_d.max - pn.i_d.min) + float(pn.i_d.min)
+    b_q = (np.asarray(fc[1]) + 1) / 2 * float(pn.i_q.max - pn.i_q.min) + float(pn.i_q.min)
+    rmse_d = float(np.sqrt(((b_d - i_d) ** 2).mean()))
+    rmse_q = float(np.sqrt(((b_q - i_q) ** 2).mean()))
+    assert rmse_d < 1.5 and rmse_q < 1.5, (rmse_d, rmse_q)
+
+
+def test_pmsm_saturated_sensorless_tile_kernel_matches_scan():
+    """The identical tile runs inside the fused closed-loop kernel (the
+    scheduled 10-channel gather at the belief currents) and on the scan
+    fallback, draw-identically."""
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_ = 1024
+    env, tile, c0, sched, st = _saturated_sensorless_setup(B_)
+    T_ = 40
+    o_k, l_k, fc_k = env.fused_closed_loop(
+        st, tile, T_, interpret=True, gather="take", policy_carry=c0, sched_lut=sched
+    )
+    o_s, l_s, fc_s = tile_policy_scan(
+        env, st, T_, tile, None, False, policy_carry=c0, sched_lut=sched
+    )
+    for f in ("i_d", "i_q", "torque"):
+        a = np.asarray(getattr(l_k.physical_state, f))
+        b = np.asarray(getattr(l_s.physical_state, f))
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-7, err_msg=f)
+    for ck, cs in zip(fc_k, fc_s):
+        np.testing.assert_allclose(np.asarray(ck), np.asarray(cs), rtol=1e-8, atol=1e-8)
+    assert np.array_equal(np.asarray(l_k.PRNGKey), np.asarray(l_s.PRNGKey))
+
+
+def test_pmsm_saturated_sensorless_vs_relinearizing_ekf():
+    """Observer-quality comparison on IDENTICAL data: replay the recorded
+    (measurement, applied-voltage) sequence of one closed-loop run through
+    (a) the gain-scheduled stationary filter (the in-kernel table lookup)
+    and (b) a per-step relinearizing EKF (the host-loop gold standard whose
+    per-step Jacobian IS the gain schedule's limit).  The scheduled filter
+    must land within 1.5x of the EKF's belief RMSE."""
+    from exciting_environments_tpu.ops.lut import bilinear_gather
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_, T_ = 32, 500
+    env, tile, c0, sched, st = _saturated_sensorless_setup(B_)
+    obs_t, acts_t, traj, last, fc = tile_policy_scan(
+        env, st, T_, tile, None, True, policy_carry=c0, sched_lut=sched
+    )
+    pn = env.env_properties.physical_normalizations
+    mn_d, mx_d = float(pn.i_d.min), float(pn.i_d.max)
+    mn_q, mx_q = float(pn.i_q.min), float(pn.i_q.max)
+    an = env.env_properties.action_normalizations
+    lut = env._lut
+    r_s = float(env.env_properties.static_params.r_s)
+    tau = float(env.tau)
+    omega = 1200.0
+
+    # the measurement the policy saw at step t: reset obs for t=0, then the
+    # post-step obs of step t-1 (its own sensor draw) — obs cols 0, 1
+    obs0 = jax.vmap(env.generate_observation, in_axes=(0, env.in_axes_env_properties))(
+        st, env.env_properties
+    )
+    z_seq = jnp.concatenate([obs0[:, None, :2], obs_t[:, :-1, :2]], axis=1)  # (B, T, 2)
+    # applied voltage at step t (deadtime=1): initial buffer, then u_con[t-1]
+    ucd = np.asarray(traj.physical_state.u_d_buffer)  # post-step buffers = u_con
+    ucq = np.asarray(traj.physical_state.u_q_buffer)
+    u_app = np.stack(
+        [
+            np.concatenate([np.zeros((B_, 1)), ucd[:, :-1]], axis=1),
+            np.concatenate([np.zeros((B_, 1)), ucq[:, :-1]], axis=1),
+        ],
+        axis=-1,
+    )  # (B, T, 2) physical volts
+    true_d = np.asarray(traj.physical_state.i_d)
+    true_q = np.asarray(traj.physical_state.i_q)
+
+    # shared nonlinear predict (physical units)
+    def f_phys(i_d, i_q, u_d, u_q):
+        vals = bilinear_gather(
+            lut.values, lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny, i_d, i_q
+        )
+        l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = (vals[c] for c in range(6))
+        det = l_dd * l_qq - l_dq * l_qd
+        rhs_d = u_d - r_s * i_d + omega * psi_q
+        rhs_q = u_q - r_s * i_q - omega * psi_d
+        return (
+            (l_qq * rhs_d - l_dq * rhs_q) / det,
+            (-l_qd * rhs_d + l_dd * rhs_q) / det,
+        )
+
+    def step_norm(xn, un):
+        i_d = (xn[0] + 1) / 2 * (mx_d - mn_d) + mn_d
+        i_q = (xn[1] + 1) / 2 * (mx_q - mn_q) + mn_q
+        fd, fq = f_phys(i_d, i_q, un[0], un[1])
+        return jnp.stack(
+            [
+                2 * (i_d + tau * fd - mn_d) / (mx_d - mn_d) - 1,
+                2 * (i_q + tau * fq - mn_q) / (mx_q - mn_q) - 1,
+            ]
+        )
+
+    s_d = 2.0 / (mx_d - mn_d)
+    s_q = 2.0 / (mx_q - mn_q)
+    Q = jnp.diag(jnp.asarray([1e-6, 1e-6]))
+    R = jnp.diag(jnp.asarray([(s_d * 3.0) ** 2, (s_q * 3.0) ** 2]))
+
+    def ekf_run(z_b, u_b):
+        x0 = jnp.asarray([2 * (0 - mn_d) / (mx_d - mn_d) - 1, 2 * (0 - mn_q) / (mx_q - mn_q) - 1])
+
+        def body(carry, zt_ut):
+            x, P = carry
+            z, u = zt_ut
+            S = P + R
+            K = P @ jnp.linalg.inv(S)
+            xc = x + K @ (z - x)
+            Pc = (jnp.eye(2) - K) @ P
+            A = jax.jacobian(step_norm)(xc, u)
+            xn = step_norm(xc, u)
+            Pn = A @ Pc @ A.T + Q
+            return (xn, Pn), xc
+
+        (_, _), xs = jax.lax.scan(body, (x0, Q), (z_b, u_b))
+        return xs  # (T, 2) post-update beliefs
+
+    beliefs = jax.vmap(ekf_run)(z_seq, jnp.asarray(u_app))  # (B, T, 2)
+    ekf_d = (np.asarray(beliefs[..., 0]) + 1) / 2 * (mx_d - mn_d) + mn_d
+    ekf_q = (np.asarray(beliefs[..., 1]) + 1) / 2 * (mx_q - mn_q) + mn_q
+
+    # the scheduled stationary filter on the same sequence
+    sched_vals = jnp.asarray(sched.values)
+
+    def sched_run(z_b, u_b):
+        x0 = jnp.asarray([2 * (0 - mn_d) / (mx_d - mn_d) - 1, 2 * (0 - mn_q) / (mx_q - mn_q) - 1])
+
+        def body(x, zt_ut):
+            z, u = zt_ut
+            bi_d = (x[0] + 1) / 2 * (mx_d - mn_d) + mn_d
+            bi_q = (x[1] + 1) / 2 * (mx_q - mn_q) + mn_q
+            vals = bilinear_gather(
+                sched_vals, lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny, bi_d, bi_q
+            )
+            K = jnp.asarray([[vals[6], vals[7]], [vals[8], vals[9]]])
+            xc = x + K @ (z - x)
+            xn = step_norm(xc, u)
+            return xn, xc
+
+        _, xs = jax.lax.scan(body, x0, (z_b, u_b))
+        return xs
+
+    sb = jax.vmap(sched_run)(z_seq, jnp.asarray(u_app))
+    sch_d = (np.asarray(sb[..., 0]) + 1) / 2 * (mx_d - mn_d) + mn_d
+    sch_q = (np.asarray(sb[..., 1]) + 1) / 2 * (mx_q - mn_q) + mn_q
+
+    warm = 100  # skip the magnetization transient
+    rmse = lambda a, b: float(np.sqrt(((a - b)[:, warm:] ** 2).mean()))
+    r_ekf = 0.5 * (rmse(ekf_d, true_d) + rmse(ekf_q, true_q))
+    r_sch = 0.5 * (rmse(sch_d, true_d) + rmse(sch_q, true_q))
+    sensor = 3.0
+    assert r_sch < sensor / 2, (r_sch, "should beat the raw sensor comfortably")
+    assert r_sch < 1.5 * r_ekf, (r_sch, r_ekf)
+
+
+def test_pmsm_saturated_sensorless_tile_guards():
+    """Construction guards: linear drives point at the stationary tile,
+    multistage solvers and missing sensor noise raise, and the linear
+    tile's refusal names the scheduled extension."""
+    env_lin = excenvs.PMSM(
+        batch_size=8, motor_variant=excenvs.MotorVariant.DEFAULT,
+        observation_noise={"i_d": 1.0, "i_q": 1.0},
+    )
+    with pytest.raises(ValueError, match="LUT-magnetics"):
+        foc.make_pmsm_saturated_sensorless_current_tile(
+            env_lin, i_d_ref=0.0, i_q_ref=10.0
+        )
+    env_ms = excenvs.PMSM(
+        batch_size=8, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        observation_noise={"i_d": 1.0, "i_q": 1.0}, solver="tsit5",
+    )
+    with pytest.raises(ValueError, match="one-stage"):
+        foc.make_pmsm_saturated_sensorless_current_tile(
+            env_ms, i_d_ref=-10.0, i_q_ref=10.0
+        )
+    env_nosensor = excenvs.PMSM(
+        batch_size=8, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+    )
+    with pytest.raises(ValueError, match="sensor"):
+        foc.make_pmsm_saturated_sensorless_current_tile(
+            env_nosensor, i_d_ref=-10.0, i_q_ref=10.0
+        )
+    env_sat = excenvs.PMSM(
+        batch_size=8, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        observation_noise={"i_d": 1.0, "i_q": 1.0},
+    )
+    with pytest.raises(ValueError, match="gain SCHEDULE"):
+        foc.make_pmsm_sensorless_current_tile(env_sat, i_d_ref=0.0, i_q_ref=10.0)

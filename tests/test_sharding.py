@@ -1049,3 +1049,23 @@ def test_sharded_closed_loop_per_batch_u_dc(mesh):
         rtol=0, atol=1e-12,
     )
     np.testing.assert_allclose(np.asarray(fc[0]), np.asarray(fc1[0]), rtol=0, atol=0)
+
+
+def test_non_divisible_batch_raises_and_odd_scan_lane(mesh):
+    """Round-5 (r4 verdict item 8): the non-divisible-batch error path is a
+    loud ValueError (never silent mis-sharding), and a mesh-divisible but
+    NOT tile-divisible batch reports out of kernel scope yet rides the
+    sharded scan."""
+    bad = excenvs.Pendulum(batch_size=mesh.size * 4 + 1)
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedEnv(bad, mesh)
+
+    ob = 24 * mesh.size
+    soenv = ShardedEnv(excenvs.Pendulum(batch_size=ob), mesh)
+    assert not soenv._fused_in_scope()
+    assert not soenv.closed_loop_in_scope(interpret=True)
+    _, ostate = soenv.vmap_reset()
+    ostate = soenv.shard(ostate)
+    oobs, olast = soenv.vmap_rollout(ostate, 0.2 * jnp.ones((ob, 3, 1)))
+    assert np.isfinite(np.asarray(oobs)).all()
+    assert not olast.physical_state.theta.sharding.is_fully_replicated

@@ -462,6 +462,63 @@ def bench_fast_mechanics(batch=65536, steps=1024):
             )
 
 
+def bench_pmsm_fast_mode_parity_gate(batch=65536, te=64):
+    """Round-5 envelope GATE on fast-mode stochastic parity (r4 VERDICT item
+    3): the fast scan (``_vmap_rollout_fast_noise``) is a third program
+    structure whose tiny constraint dots can lower differently from the
+    kernel pre-pass on rare inputs; the committed characterization
+    (26/65536 deviating instances, 8.1e-2 max normalized dev at T=64) is
+    pinned with ~3x headroom and HARD-ASSERTED here — a widening regression
+    fails the harness.  (Exact mode stays bitwise-gated in ``bench_pmsm``.)
+    """
+    import exciting_environments_tpu as excenvs
+    from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_rollout
+
+    if jax.default_backend() == "cpu":
+        return
+    env = excenvs.PMSM(
+        batch_size=batch, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+        process_noise={"i_d": 0.5, "i_q": 0.5},
+        observation_noise={"i_d": 0.5, "i_q": 0.5},
+        noise_mode="fast",
+    )
+    _, state = env.vmap_reset(jax.random.split(jax.random.PRNGKey(7), batch))
+    a = jax.random.uniform(jax.random.PRNGKey(44), (batch, te, 2), minval=-0.3, maxval=0.3)
+    _, l_s = env.vmap_rollout(state, a, te)
+    _, l_f = pmsm_fused_rollout(env, state, a)
+    pn = env.env_properties.physical_normalizations
+    norm_dev = lambda n: jnp.abs(
+        jnp.asarray(getattr(l_f.physical_state, n))
+        - jnp.asarray(getattr(l_s.physical_state, n))
+    ) * (2.0 / float(getattr(pn, n).max - getattr(pn, n).min))
+    per_inst = jnp.maximum(norm_dev("i_d"), norm_dev("i_q"))
+    n_dev = int(jnp.sum(per_inst > 0))
+    max_nd = float(jnp.max(per_inst))
+    keys_eq = bool(jnp.array_equal(jnp.asarray(l_f.PRNGKey), jnp.asarray(l_s.PRNGKey)))
+    print(
+        json.dumps(
+            {
+                "metric": "pmsm_fast_mode_parity_gate",
+                "n_deviating": n_dev,
+                "max_abs_norm_dev": max_nd,
+                "final_keys_equal": keys_eq,
+                "envelope": {"n_deviating": 100, "max_abs_norm_dev": 0.25},
+                "value": max_nd,
+                "unit": "max_abs_norm_dev_T64_b65536",
+            }
+        ),
+        flush=True,
+    )
+    if not keys_eq:
+        raise RuntimeError("fast-mode final keys diverged between kernel and scan")
+    if n_dev > 100 or max_nd > 0.25:
+        raise RuntimeError(
+            f"fast-mode parity envelope exceeded: {n_dev} deviating instances "
+            f"(limit 100), max normalized dev {max_nd} (limit 0.25) — the "
+            f"third program structure regressed (see BENCHMARKS.md)"
+        )
+
+
 ALL = {
     "pendulum_readme": bench_pendulum_readme_loop,
     "headline": bench_pendulum_headline,
@@ -469,6 +526,7 @@ ALL = {
     "tsit5": bench_tsit5_sim_ahead,
     "fluid_tank": bench_fluid_tank_long_horizon,
     "pmsm": bench_pmsm,
+    "pmsm_fast_parity": bench_pmsm_fast_mode_parity_gate,
     "fast_mechanics": bench_fast_mechanics,
 }
 

@@ -1,0 +1,268 @@
+"""Round-5 headline device rows: GAIN-SCHEDULED sensorless current control
+of the SATURATED PMSM, fully in-kernel (r4 VERDICT item 1).
+
+Rows (one JSON line each, eager-chain methodology per CLAUDE.md):
+
+1. ``pmsm_saturated_sensorless_steps_per_s`` — measure→assimilate→
+   control→predict→plant steps/s for a 65,536-drive noisy-sensor BRUSA
+   fleet (the scheduled 10-channel observer gather + the plant's
+   6-channel gather per step), with settling accuracy and belief RMSE.
+2. ``pmsm_saturated_sensorless_vs_ekf`` — observer-quality comparison on
+   IDENTICAL recorded (measurement, voltage) sequences: the scheduled
+   stationary filter vs a per-step relinearizing EKF (the host-loop gold
+   standard), both replayed offline; reports the RMSE ratio.
+3. ``pmsm_saturated_sensorless_bitexact_vs_scan`` — short-horizon
+   kernel-vs-scan parity of the full sensorless loop on device.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import exciting_environments_tpu as excenvs
+from exciting_environments_tpu.core import structures
+from exciting_environments_tpu.ops.lut import bilinear_gather
+from exciting_environments_tpu.ops.pallas.pmsm_stepper import pmsm_fused_closed_loop
+from exciting_environments_tpu.utils.collect import tile_policy_scan
+from exciting_environments_tpu.utils.foc import (
+    make_pmsm_saturated_sensorless_current_tile,
+)
+
+B, T, K = 65536, 2048, 6
+OMEGA = 1200.0
+I_D_REF, I_Q_REF = -100.0, 150.0
+SENSOR = 3.0
+
+
+def row(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def mkstate(env, seed):
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(seed), env.batch_size))
+    with structures.copy_and_mutate(st, validate=True) as st:
+        st.physical_state.omega_el = jnp.full(env.batch_size, OMEGA)
+    return st
+
+
+env = excenvs.PMSM(
+    batch_size=B, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+    observation_noise={"i_d": SENSOR, "i_q": SENSOR},
+)
+tile, c0, sched = make_pmsm_saturated_sensorless_current_tile(
+    env, i_d_ref=I_D_REF, i_q_ref=I_Q_REF, omega_el=OMEGA
+)
+
+# ---- 1. throughput (eager chain threading state+carry) ----------------------
+states = [mkstate(env, s) for s in (1, 2, 3)]
+
+
+def link(st, c):
+    _, last, fc = pmsm_fused_closed_loop(
+        env, st, tile, T, policy_carry=c0 if c is None else c
+    )
+    return last, fc
+
+
+last, fc = link(states[0], None)  # compile + route
+float(jnp.mean(last.physical_state.i_d))
+best = float("inf")
+final = None
+for st0 in states[1:]:
+    t0 = time.perf_counter()
+    st, c = st0, None
+    for _ in range(K):
+        st, c = link(st, c)
+    fence = float(jnp.mean(st.physical_state.i_d))
+    el = time.perf_counter() - t0
+    if not np.isfinite(fence):
+        raise RuntimeError("non-finite chain result")
+    if el < best:
+        best, final = el, (st, c)
+t_link = best / K
+st_f, fc_f = final
+i_d = np.asarray(st_f.physical_state.i_d)
+i_q = np.asarray(st_f.physical_state.i_q)
+pn = env.env_properties.physical_normalizations
+b_d = (np.asarray(fc_f[0]) + 1) / 2 * float(pn.i_d.max - pn.i_d.min) + float(pn.i_d.min)
+b_q = (np.asarray(fc_f[1]) + 1) / 2 * float(pn.i_q.max - pn.i_q.min) + float(pn.i_q.min)
+row(
+    metric="pmsm_saturated_sensorless_steps_per_s",
+    value=B * T / t_link,
+    unit="measure-assimilate-control-plant steps/s",
+    t_link=t_link,
+    config=f"b{B}_T{T}_K{K}_brusa_lut_sensor{SENSOR}A_omega{OMEGA}",
+    mean_abs_err_i_d_A=float(np.abs(i_d - I_D_REF).mean()),
+    mean_abs_err_i_q_A=float(np.abs(i_q - I_Q_REF).mean()),
+    err_pct_i_d=float(np.abs(i_d.mean() - I_D_REF) / abs(I_D_REF) * 100),
+    err_pct_i_q=float(np.abs(i_q.mean() - I_Q_REF) / abs(I_Q_REF) * 100),
+    belief_rmse_i_d_A=float(np.sqrt(((b_d - i_d) ** 2).mean())),
+    belief_rmse_i_q_A=float(np.sqrt(((b_q - i_q) ** 2).mean())),
+    sensor_sigma_A=SENSOR,
+)
+
+# ---- 2. scheduled-gain vs relinearizing EKF on identical data ---------------
+# record one trajectory (small batch, CPU-friendly length), then replay
+# the measurement/voltage sequence through both observers offline
+BR, TR = 256, 600
+env_r = excenvs.PMSM(
+    batch_size=BR, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+    observation_noise={"i_d": SENSOR, "i_q": SENSOR},
+)
+tile_r, c0_r, sched_r = make_pmsm_saturated_sensorless_current_tile(
+    env_r, i_d_ref=I_D_REF, i_q_ref=I_Q_REF, omega_el=OMEGA
+)
+st_r = mkstate(env_r, 9)
+obs_t, acts_t, traj, last_r, _ = tile_policy_scan(
+    env_r, st_r, TR, tile_r, None, True, policy_carry=c0_r, sched_lut=sched_r
+)
+pn_r = env_r.env_properties.physical_normalizations
+mn_d, mx_d = float(pn_r.i_d.min), float(pn_r.i_d.max)
+mn_q, mx_q = float(pn_r.i_q.min), float(pn_r.i_q.max)
+lut = env_r._lut
+r_s = float(env_r.env_properties.static_params.r_s)
+tau = float(env_r.tau)
+
+in_ax = env_r.in_axes_env_properties
+obs0 = jax.vmap(env_r.generate_observation, in_axes=(0, in_ax))(
+    st_r, env_r.env_properties
+)
+z_seq = jnp.concatenate([obs0[:, None, :2], obs_t[:, :-1, :2]], axis=1)
+ucd = np.asarray(traj.physical_state.u_d_buffer)
+ucq = np.asarray(traj.physical_state.u_q_buffer)
+u_app = np.stack(
+    [
+        np.concatenate([np.zeros((BR, 1)), ucd[:, :-1]], axis=1),
+        np.concatenate([np.zeros((BR, 1)), ucq[:, :-1]], axis=1),
+    ],
+    axis=-1,
+)
+true_d = np.asarray(traj.physical_state.i_d)
+true_q = np.asarray(traj.physical_state.i_q)
+
+
+def f_phys(i_d, i_q, u_d, u_q):
+    vals = bilinear_gather(
+        lut.values, lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny, i_d, i_q
+    )
+    l_dd, l_dq, l_qd, l_qq, psi_d, psi_q = (vals[c] for c in range(6))
+    det = l_dd * l_qq - l_dq * l_qd
+    rhs_d = u_d - r_s * i_d + OMEGA * psi_q
+    rhs_q = u_q - r_s * i_q - OMEGA * psi_d
+    return (
+        (l_qq * rhs_d - l_dq * rhs_q) / det,
+        (-l_qd * rhs_d + l_dd * rhs_q) / det,
+    )
+
+
+def step_norm(xn, un):
+    i_d = (xn[0] + 1) / 2 * (mx_d - mn_d) + mn_d
+    i_q = (xn[1] + 1) / 2 * (mx_q - mn_q) + mn_q
+    fd, fq = f_phys(i_d, i_q, un[0], un[1])
+    return jnp.stack(
+        [
+            2 * (i_d + tau * fd - mn_d) / (mx_d - mn_d) - 1,
+            2 * (i_q + tau * fq - mn_q) / (mx_q - mn_q) - 1,
+        ]
+    )
+
+
+s_d = 2.0 / (mx_d - mn_d)
+s_q = 2.0 / (mx_q - mn_q)
+Q = jnp.diag(jnp.asarray([1e-6, 1e-6]))
+R = jnp.diag(jnp.asarray([(s_d * SENSOR) ** 2, (s_q * SENSOR) ** 2]))
+x0 = jnp.asarray(
+    [2 * (0 - mn_d) / (mx_d - mn_d) - 1, 2 * (0 - mn_q) / (mx_q - mn_q) - 1]
+)
+
+
+def ekf_run(z_b, u_b):
+    def body(carry, zt_ut):
+        x, P = carry
+        z, u = zt_ut
+        Kk = P @ jnp.linalg.inv(P + R)
+        xc = x + Kk @ (z - x)
+        Pc = (jnp.eye(2) - Kk) @ P
+        A = jax.jacobian(step_norm)(xc, u)
+        return (step_norm(xc, u), A @ Pc @ A.T + Q), xc
+
+    (_, _), xs = jax.lax.scan(body, (x0, Q), (z_b, u_b))
+    return xs
+
+
+sched_vals = jnp.asarray(sched_r.values)
+
+
+def sched_run(z_b, u_b):
+    def body(x, zt_ut):
+        z, u = zt_ut
+        bi_d = (x[0] + 1) / 2 * (mx_d - mn_d) + mn_d
+        bi_q = (x[1] + 1) / 2 * (mx_q - mn_q) + mn_q
+        vals = bilinear_gather(
+            sched_vals, lut.x0, lut.dx, lut.y0, lut.dy, lut.nx, lut.ny, bi_d, bi_q
+        )
+        Kk = jnp.asarray([[vals[6], vals[7]], [vals[8], vals[9]]])
+        xc = x + Kk @ (z - x)
+        return step_norm(xc, u), xc
+
+    _, xs = jax.lax.scan(body, x0, (z_b, u_b))
+    return xs
+
+
+ekf_b = jax.vmap(ekf_run)(z_seq, jnp.asarray(u_app))
+sch_b = jax.vmap(sched_run)(z_seq, jnp.asarray(u_app))
+den = lambda x, mn, mx: (np.asarray(x) + 1) / 2 * (mx - mn) + mn
+warm = 100
+rmse = lambda a, b: float(np.sqrt(((a - b)[:, warm:] ** 2).mean()))
+r_ekf = 0.5 * (
+    rmse(den(ekf_b[..., 0], mn_d, mx_d), true_d)
+    + rmse(den(ekf_b[..., 1], mn_q, mx_q), true_q)
+)
+r_sch = 0.5 * (
+    rmse(den(sch_b[..., 0], mn_d, mx_d), true_d)
+    + rmse(den(sch_b[..., 1], mn_q, mx_q), true_q)
+)
+row(
+    metric="pmsm_saturated_sensorless_vs_ekf",
+    value=r_sch / r_ekf,
+    unit="belief_rmse_ratio_scheduled_over_relinearizing_ekf",
+    scheduled_rmse_A=r_sch,
+    ekf_rmse_A=r_ekf,
+    sensor_sigma_A=SENSOR,
+    config=f"b{BR}_T{TR}_identical_measurement_and_voltage_sequences",
+)
+
+# ---- 3. kernel-vs-scan parity on device -------------------------------------
+Tp = 64
+env_p = excenvs.PMSM(
+    batch_size=1024, saturated=True, motor_variant=excenvs.MotorVariant.BRUSA,
+    observation_noise={"i_d": SENSOR, "i_q": SENSOR},
+)
+tile_p, c0_p, sched_p = make_pmsm_saturated_sensorless_current_tile(
+    env_p, i_d_ref=I_D_REF, i_q_ref=I_Q_REF, omega_el=OMEGA
+)
+st_p = mkstate(env_p, 11)
+o_k, l_k, fc_k = pmsm_fused_closed_loop(
+    env_p, st_p, tile_p, Tp, policy_carry=c0_p, sched_lut=sched_p
+)
+o_s, l_s, fc_s = tile_policy_scan(
+    env_p, st_p, Tp, tile_p, None, False, policy_carry=c0_p, sched_lut=sched_p
+)
+dev = max(
+    float(jnp.max(jnp.abs(getattr(l_k.physical_state, n) - getattr(l_s.physical_state, n))))
+    for n in ("i_d", "i_q", "torque")
+)
+keys_eq = bool(jnp.array_equal(jnp.asarray(l_k.PRNGKey), jnp.asarray(l_s.PRNGKey)))
+row(
+    metric="pmsm_saturated_sensorless_kernel_vs_scan_dev",
+    value=dev,
+    unit="max_abs_state_dev_T64_b1024",
+    final_keys_equal=keys_eq,
+)
+if dev > 1e-2 or not keys_eq:
+    raise RuntimeError(f"sensorless kernel-vs-scan parity broke: {dev}, {keys_eq}")

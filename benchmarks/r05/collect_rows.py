@@ -16,9 +16,11 @@ for path in sys.argv[1:]:
                 line = line.strip()
                 if line.startswith("{"):
                     try:
-                        rows.append(json.loads(line))
+                        r = json.loads(line)
                     except json.JSONDecodeError:
-                        pass
+                        continue
+                    if "metric" in r:  # labeled rows only
+                        rows.append(r)
     except OSError:
         print(f"skip {path}", file=sys.stderr)
 

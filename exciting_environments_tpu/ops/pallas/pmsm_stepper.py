@@ -1886,8 +1886,11 @@ def _make_cl_kernel(
         if n_pp:
             pp_ref = refs[0]
             refs = refs[1:]
-            pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
-            pparams = pp_treedef(pp_vec)
+            if n_pp > 64:  # stepper._PP_SCALAR_TREE: Mosaic-safe scalar tree
+                pparams = pp_treedef(tuple(pp_ref[0, i] for i in range(n_pp)))
+            else:
+                pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
+                pparams = pp_treedef(pp_vec)
         if obs_cols:
             obs_noise_ref = refs[0]
             refs = refs[1:]

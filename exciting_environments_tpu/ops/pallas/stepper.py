@@ -1303,8 +1303,12 @@ def _make_closed_loop_kernel(
         if n_pp:
             pp_ref = refs[0]
             refs = refs[1:]
-            pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
-            pparams = pp_treedef(pp_vec)  # pp_treedef: the cached unravel fn
+            if n_pp > _PP_SCALAR_TREE:
+                # Mosaic-safe scalar tree: no long-vector assembly in-kernel
+                pparams = pp_treedef(tuple(pp_ref[0, i] for i in range(n_pp)))
+            else:
+                pp_vec = jnp.stack([pp_ref[0, i] for i in range(n_pp)])
+                pparams = pp_treedef(pp_vec)  # pp_treedef: the cached unravel fn
         if obs_cols:
             obs_noise_ref = refs[0]
             refs = refs[1:]
@@ -1614,18 +1618,62 @@ def _plain_cl_step(
 _UNRAVEL_CACHE = {}
 
 
+#: above this flat parameter count the kernels rebuild the policy-parameter
+#: pytree from the SMEM scalars as NESTED TUPLES instead of stacking one
+#: flat vector: Mosaic cannot assemble long vectors from scalars ("input
+#: offsets outside of the first tile" at ~256 elements), and scalar-tree
+#: leaves index identically (``w[i][j]``/``b[j]`` work on tuples and jnp
+#: arrays alike — the contract tile policies with array-shaped parameter
+#: leaves must follow, see utils/rl_fused._tile_mlp)
+_PP_SCALAR_TREE = 64
+
+
+def _nest_scalars(chunk, shp):
+    """Rebuild one raveled leaf from scalars as nested tuples (C order)."""
+    if shp == ():
+        return chunk[0]
+    if len(shp) == 1:
+        return tuple(chunk)
+    sub = 1
+    for d in shp[1:]:
+        sub *= d
+    return tuple(
+        _nest_scalars(chunk[i * sub : (i + 1) * sub], shp[1:]) for i in range(shp[0])
+    )
+
+
 def _cached_unravel(params):
     """``ravel_pytree`` with a structure-keyed cache for the unravel
     callable, so it stays a STABLE static argument across calls (a fresh
-    unravel per call would miss the jit cache every time)."""
+    unravel per call would miss the jit cache every time).
+
+    The cached callable accepts EITHER a flat array (the standard
+    ``ravel_pytree`` inverse — scan/VJP paths) OR a tuple of scalars (the
+    kernels' Mosaic-safe scalar-tree path for ``n_pp > _PP_SCALAR_TREE``:
+    array-shaped leaves come back as nested tuples of 0-d scalars)."""
     from jax.flatten_util import ravel_pytree
 
     flat, unravel = ravel_pytree(params)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = tuple(jnp.shape(l) for l in leaves)
     key = (
-        jax.tree_util.tree_structure(params),
-        tuple((jnp.shape(l), str(jnp.result_type(l))) for l in jax.tree_util.tree_leaves(params)),
+        treedef,
+        tuple((shp, str(jnp.result_type(l))) for shp, l in zip(shapes, leaves)),
     )
-    return flat, _UNRAVEL_CACHE.setdefault(key, unravel)
+
+    def unravel_any(x, _unravel=unravel, _treedef=treedef, _shapes=shapes):
+        if isinstance(x, tuple):
+            out, k = [], 0
+            for shp in _shapes:
+                n = 1
+                for d in shp:
+                    n *= d
+                out.append(_nest_scalars(x[k : k + n], shp))
+                k += n
+            return jax.tree_util.tree_unflatten(_treedef, out)
+        return _unravel(x)
+
+    return flat, _UNRAVEL_CACHE.setdefault(key, unravel_any)
 
 
 _N_CL_STATIC = 17

@@ -170,12 +170,17 @@ def _tile_mlp(actor, cols):
     h = list(cols)
     for li, layer in enumerate(actor):
         w, b = layer["w"], layer["b"]
-        m, n = w.shape
+        # leaf-agnostic indexing: in-kernel the weights arrive as nested
+        # tuples of SMEM scalars (the Mosaic-safe scalar-tree path of
+        # stepper._cached_unravel); on the scan/VJP paths as jnp arrays —
+        # w[i][j] / b[j] index both identically
+        m = len(w)
+        n = len(w[0]) if isinstance(w[0], tuple) else w[0].shape[0]
         out = []
         for j in range(n):
             acc = b[j]
             for i in range(m):
-                acc = acc + w[i, j] * h[i]
+                acc = acc + w[i][j] * h[i]
             out.append(jnp.tanh(acc) if li < len(actor) - 1 else acc)
         h = out
     return h

@@ -160,9 +160,11 @@ def k_collect(st):
     return final
 
 
-_, s_a = env.vmap_reset(jax.random.split(jax.random.PRNGKey(21), B))
-_, s_b = env.vmap_reset(jax.random.split(jax.random.PRNGKey(22), B))
-_, s_c = env.vmap_reset(jax.random.split(jax.random.PRNGKey(23), B))
+# reset WITH references: a tracking env's reference columns are NaN on a
+# plain reset, which would poison the actor MLP
+_, s_a = jax.jit(lambda k: episodes.reset_with_references(env, k))(jax.random.PRNGKey(21))
+_, s_b = jax.jit(lambda k: episodes.reset_with_references(env, k))(jax.random.PRNGKey(22))
+_, s_c = jax.jit(lambda k: episodes.reset_with_references(env, k))(jax.random.PRNGKey(23))
 t_k = chain(k_collect, [s_a, s_b, s_c], lambda st: st.physical_state.theta)
 row(metric="ppo_collection_kernel_steps_per_s", value=B * TC / t_k,
     unit="env-steps/s", seconds_per_chunk=t_k,

@@ -2129,9 +2129,12 @@ def _pmsm_cl_launch(
 
     streamed_width = len(obs_cols) + len(noise_idx)
     if streamed_width == 0:
-        # per-leaf trajectory blocks (7 + n_carry leaves) bounded to ~2 MB
-        # each, same budgeting as the generic closed-loop launch
-        chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
+        # the (7 + n_carry)-leaf trajectory block SET bounded as one budget,
+        # same helper as the generic closed-loop launch
+        chunk = _traj_chunk(
+            n_steps, traj_stride, rows, itemsize,
+            (7 + n_carry) if traj_stride is not None else 1,
+        )
     else:
         # shared noise-aware budgeting — one helper so the generic and PMSM
         # closed-loop launchers can never drift apart

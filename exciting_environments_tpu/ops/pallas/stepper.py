@@ -537,17 +537,23 @@ def _streamed_cl_chunk(n_steps, traj_stride, rows, itemsize, streamed_width, n_t
     return chunk
 
 
-def _traj_chunk(n_steps: int, traj_stride, rows: int, itemsize: int) -> int:
+def _traj_chunk(n_steps: int, traj_stride, rows: int, itemsize: int,
+                n_traj_leaves: int = 1) -> int:
     """Time-chunk length of a closed-loop launch: the largest multiple of
-    ``traj_stride`` dividing ``n_steps`` whose per-leaf trajectory block
-    (``saves x rows x LANES``) stays within ~2 MB of VMEM — shared by the
-    generic and PMSM closed-loop launchers so their budgeting never
-    diverges.  ``traj_stride`` itself always qualifies (saves-per-chunk 1),
-    so the search cannot come up empty; the whole horizon when no
-    trajectory is streamed."""
+    ``traj_stride`` dividing ``n_steps`` whose TOTAL double-buffered
+    trajectory block set (``n_traj_leaves`` leaves of ``saves x rows x
+    LANES``, x2 for double buffering) stays within ~10 MB of the ~16 MB
+    scoped-VMEM ceiling — shared by the generic and PMSM closed-loop
+    launchers so their budgeting never diverges.  (Round 5: budgeting the
+    SET, not 2 MB per leaf — four leaves at the per-leaf budget overflowed
+    Mosaic's kernel stack by 448 KB at b=65,536 x T=512, obs_stride=1.)
+    ``traj_stride`` itself always qualifies (saves-per-chunk 1), so the
+    search cannot come up empty; the whole horizon when no trajectory is
+    streamed."""
     if traj_stride is None:
         return n_steps
-    max_saves = max(1, (2 * 1024 * 1024) // (rows * LANES * itemsize))
+    per_save = 2 * max(1, n_traj_leaves) * rows * LANES * itemsize
+    max_saves = max(1, (10 * 1024 * 1024) // per_save)
     chunk = traj_stride
     for c in range(traj_stride, n_steps + 1, traj_stride):
         if n_steps % c == 0 and c // traj_stride <= max_saves:
@@ -1449,10 +1455,13 @@ def _cl_launch(
     itemsize = jnp.asarray(y0[0]).dtype.itemsize
     streamed_width = len(obs_cols) + len(noise_idx)
     if streamed_width == 0:
-        # time chunk: bounds the trajectory block size (~2 MB per output
-        # leaf); no streamed operand exists, so without trajectory output
-        # one chunk spans the whole horizon
-        chunk = _traj_chunk(n_steps, traj_stride, rows, itemsize)
+        # time chunk: bounds the TOTAL trajectory block set; no streamed
+        # operand exists, so without trajectory output one chunk spans the
+        # whole horizon
+        chunk = _traj_chunk(
+            n_steps, traj_stride, rows, itemsize,
+            (n_state + n_action + n_carry) if traj_stride is not None else 1,
+        )
     else:
         chunk = _streamed_cl_chunk(
             n_steps, traj_stride, rows, itemsize, streamed_width,

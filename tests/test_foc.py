@@ -763,3 +763,32 @@ def test_pmsm_saturated_sensorless_tile_guards():
     )
     with pytest.raises(ValueError, match="gain SCHEDULE"):
         foc.make_pmsm_sensorless_current_tile(env_sat, i_d_ref=0.0, i_q_ref=10.0)
+
+
+def test_pmsm_saturated_sensorless_tile_sew_variant():
+    """The gain schedule generalizes across motor maps: the SEW variant
+    (different grid, different saturation surface, 550 V link) builds its
+    own K-table and the sensorless loop settles on its (much smaller,
+    ±16 A band) setpoints through the scan path."""
+    from exciting_environments_tpu.utils.collect import tile_policy_scan
+
+    B_ = 32
+    env = excenvs.PMSM(
+        batch_size=B_, saturated=True, motor_variant=excenvs.MotorVariant.SEW,
+        observation_noise={"i_d": 0.5, "i_q": 0.5},
+    )
+    tile, c0, sched = foc.make_pmsm_saturated_sensorless_current_tile(
+        env, i_d_ref=-8.0, i_q_ref=10.0, omega_el=400.0
+    )
+    lut = env._lut
+    assert sched.values.shape == (10, lut.nx, lut.ny)
+    _, st = env.vmap_reset(jax.random.split(jax.random.PRNGKey(3), B_))
+    with structures.copy_and_mutate(st, validate=True) as st:
+        st.physical_state.omega_el = jnp.full(B_, 400.0)
+    _, last, fc = tile_policy_scan(
+        env, st, 1200, tile, None, False, policy_carry=c0, sched_lut=sched
+    )
+    i_d = np.asarray(last.physical_state.i_d)
+    i_q = np.asarray(last.physical_state.i_q)
+    assert abs(i_d.mean() + 8.0) < 0.3, i_d.mean()
+    assert abs(i_q.mean() - 10.0) < 0.3, i_q.mean()
